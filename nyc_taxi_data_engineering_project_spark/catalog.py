@@ -1,0 +1,60 @@
+"""Catalog layer — the Spark equivalent of the reference's DDL bootstrap
+(``sql/init.sql:9-47``; SURVEY.md §3 entry point 2).
+
+The reference materializes a fixed star schema and three B-tree indexes.
+In Spark the same capability is: register the parquet tables in the session
+(temp views here; ``saveAsTable`` for a persistent metastore), and replace
+indexes with storage layout — date partitioning for range pruning, broadcast
+joins for the small dimensions (SURVEY.md §1.4, §4.1).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Dimensions small enough that a broadcast-hash join is always the right
+# physical plan (the zones-dim observation of SURVEY.md §1.1 generalized).
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table (one parquet file per TESTDATA.md).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark cannot represent
+    (micro-precision engine); read it as a long and floor-divide to micros —
+    the same truncation DuckDB applies when casting ns → its micro-precision
+    TIMESTAMP, so oracle comparisons agree.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: tuple[str, ...] = TESTDATA_TABLES) -> None:
+    """CREATE-OR-REPLACE temp views for SQL-surface queries (C30/C31).
+
+    Mirrors ``CREATE TABLE IF NOT EXISTS`` idempotency
+    (``sql/init.sql:12,21``): safe to call repeatedly.
+    """
+    for name in names:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def bootstrap_database(spark: SparkSession, db: str = "nyc") -> None:
+    """``CREATE SCHEMA IF NOT EXISTS nyc`` (``sql/init.sql:9``) equivalent."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")

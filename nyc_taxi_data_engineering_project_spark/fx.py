@@ -1,0 +1,43 @@
+"""Engine expression helpers shared by the query library.
+
+Cross-engine float policy (SURVEY.md §7.4 hard-point 1, extended):
+``F.round`` (Spark, rounds the shortest-decimal representation via
+BigDecimal) and DuckDB ``round`` (rounds the binary double) disagree on
+half-boundary values (e.g. 1.005 @ 2dp → 1.01 vs 1.0). Aggregated doubles
+additionally differ in the last ulp from summation order. The parity-safe
+policy is: round with *pure IEEE double arithmetic* that both engines
+execute identically — ``floor(x * 10^n + 0.5) / 10^n`` — and use the SQL
+spelling of the exact same expression in the oracle.
+
+Valid for |x|·10^n < 2^53 (exact double integers); inputs here are money
+and ratio magnitudes, far below that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def fround(col: Column | str, n: int) -> Column:
+    """Half-up round to ``n`` decimals as a bit-stable double expression."""
+    c = F.col(col) if isinstance(col, str) else col
+    scale = float(10**n)
+    return F.floor(c * scale + F.lit(0.5)) / F.lit(scale)
+
+
+def r2(col: Column | str) -> Column:
+    return fround(col, 2)
+
+
+def r4(col: Column | str) -> Column:
+    return fround(col, 4)
+
+
+def r6(col: Column | str) -> Column:
+    return fround(col, 6)
+
+
+def sql_round(expr: str, n: int) -> str:
+    """The oracle-side spelling of :func:`fround` (ANSI/DuckDB SQL)."""
+    scale = float(10**n)
+    return f"FLOOR(({expr}) * {scale} + 0.5) / {scale}"

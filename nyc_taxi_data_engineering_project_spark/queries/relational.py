@@ -1,0 +1,435 @@
+"""Group B query keys — the reference's implied analytical query corpus
+(SURVEY.md §2 group B; evidence §0.2: date-range + location-join indexes
+``sql/init.sql:44-47``, course-assignment shapes ``README.md:5,79-82``),
+re-expressed over the driver's TPC-H-ish testdata.
+
+Physical-plan posture (SURVEY.md §4):
+- date-range predicates (b1/b8/b10) push down to the parquet scan —
+  the Spark answer to ``idx_taxi_trips_pickup_dt`` (``sql/init.sql:45``);
+- dimension joins (b2/b3/b4) broadcast the small side — the Spark answer
+  to the two location B-trees (``sql/init.sql:46-47``); explicit
+  ``F.broadcast`` on provably-small dims, AQE otherwise;
+- aggregates rely on partial (map-side) aggregation, automatic in Spark.
+
+Float policy: money aggregates are rounded (2dp sums, 4dp ratios) on BOTH
+sides of the oracle pair so cross-engine summation-order noise cannot flip
+the value hash (SURVEY.md §7.4 hard-point 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+from .. import fx
+
+
+# ---------------------------------------------------------------- flagship
+@query(
+    "flagship_daily_region_revenue",
+    oracle="""
+    SELECT strftime(o.o_orderdate, '%Y-%m-%d') AS order_day,
+           r.r_name                    AS region_name,
+           COUNT(*)                    AS n_orders,
+           FLOOR((SUM(o.o_totalprice)) * 100.0 + 0.5) / 100.0 AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2
+    """,
+)
+def flagship_daily_region_revenue(spark, sf_dir):
+    """Flagship pipeline (SURVEY.md §7.2 M1): the reference's
+    "daily trip count + revenue by borough" shape — date-range filter →
+    snowflaked dim joins → day-grain aggregate. Equivalent taxi query:
+    trips ⋈ zones on pickup, grouped by day × borough
+    (capability basis: ``sql/init.sql:44-47`` indexes + §0.2 corpus).
+
+    Scale notes: filter pushes to scan (partition pruning once the fact
+    table is date-partitioned, see io.py); nation/region are broadcast by
+    construction; customer broadcasts under the default threshold at test
+    SF and AQE picks shuffle-hash beyond it; the groupBy is a two-stage
+    hash aggregate on (day, region) — low cardinality, no skew.
+    """
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            F.col("r_name").alias("region_name"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            fx.fround(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- B1-B13
+@query(
+    "b1_date_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+           l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-07-01'
+    """,
+)
+def b1_date_range(spark, sf_dir):
+    """Half-open date-range filter — the exact predicate shape of the
+    reference's idempotency window (``python/ingest_data.py:160-166``) and
+    the raison d'être of ``idx_taxi_trips_pickup_dt`` (``sql/init.sql:45``).
+    Pushes to the parquet scan (row-group min/max skipping)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01"))
+        )
+        .select(
+            "l_orderkey", "l_linenumber",
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+            "l_quantity", "l_extendedprice",
+        )
+    )
+
+
+@query(
+    "b2_join_pickup_zone",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           FLOOR((SUM(o.o_totalprice)) * 100.0 + 0.5) / 100.0 AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def b2_join_pickup_zone(spark, sf_dir):
+    """Fact→dim equi join + aggregate — the trips⋈zones-on-pickup shape
+    (``sql/init.sql:11,28,46``). The dim is broadcast: same physical
+    answer as the reference's FK B-tree, with zero shuffle of the fact."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer),
+                    orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            fx.fround(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "b3_join_both_zones",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           COUNT(*) AS n_items,
+           FLOOR((SUM(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def b3_join_both_zones(spark, sf_dir):
+    """Same dimension joined twice under two roles — the zones-as-pickup +
+    zones-as-dropoff pattern evidenced by the paired FK indexes
+    (``sql/init.sql:46-47``). TPC-H Q7 shape: nation as customer-nation and
+    supplier-nation. Both nation copies broadcast; the lineitem⋈orders
+    join is the only shuffle (AQE may still broadcast orders at small SF)."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    cn = table(spark, sf_dir, "nation").alias("cn")
+    sn = table(spark, sf_dir, "nation").alias("sn")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn.n_nationkey"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn.n_nationkey"))
+        .groupBy(
+            F.col("cn.n_name").alias("cust_nation"),
+            F.col("sn.n_name").alias("supp_nation"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            fx.fround(F.sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+            .alias("revenue"),
+        )
+    )
+
+
+@query(
+    "b4_left_join",
+    oracle="""
+    SELECT l.l_returnflag AS returnflag,
+           COUNT(*) AS n_rows,
+           COUNT(p.p_partkey) AS n_matched
+    FROM lineitem l
+    LEFT JOIN part p ON l.l_partkey = p.p_partkey AND p.p_size <= 25
+    GROUP BY 1
+    """,
+)
+def b4_left_join(spark, sf_dir):
+    """Left outer join keeping unmatched fact rows — required because the
+    reference declares the FK columns without constraints
+    (``sql/init.sql:28-29``), i.e. orphan ids must survive."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    return (
+        l.join(
+            F.broadcast(p),
+            (l.l_partkey == p.p_partkey) & (p.p_size <= 25),
+            "left",
+        )
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("p_partkey").alias("n_matched"),
+        )
+    )
+
+
+@query(
+    "b5_case_buckets",
+    oracle="""
+    SELECT CASE WHEN l_quantity < 10 THEN 'q_00_09'
+                WHEN l_quantity < 20 THEN 'q_10_19'
+                WHEN l_quantity < 30 THEN 'q_20_29'
+                WHEN l_quantity < 40 THEN 'q_30_39'
+                ELSE 'q_40_plus' END AS bucket,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def b5_case_buckets(spark, sf_dir):
+    """CASE-WHEN banding + count — the Zoomcamp trip_distance-bucket
+    homework shape (SURVEY.md §0.2(2); distance col ``sql/init.sql:31``)."""
+    q = F.col("l_quantity")
+    bucket = (
+        F.when(q < 10, "q_00_09")
+        .when(q < 20, "q_10_19")
+        .when(q < 30, "q_20_29")
+        .when(q < 40, "q_30_39")
+        .otherwise("q_40_plus")
+    )
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "b6_groupby_count",
+    oracle="""
+    SELECT o_orderpriority AS priority, COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def b6_groupby_count(spark, sf_dir):
+    """Group-by + COUNT(*) — the reference's "validation counts"
+    (``README.md:108``). Two-stage hash aggregate; partial combine makes
+    the shuffle carry one row per (task, key)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "b7_groupby_aggs",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           FLOOR((SUM(l_quantity)) * 100.0 + 0.5) / 100.0      AS sum_qty,
+           FLOOR((AVG(l_quantity)) * 10000.0 + 0.5) / 10000.0      AS avg_qty,
+           FLOOR((MAX(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS max_price,
+           FLOOR((MIN(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS min_price,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def b7_groupby_aggs(spark, sf_dir):
+    """Group-by with SUM/AVG/MIN/MAX — revenue-per-zone / longest-trip /
+    biggest-tip capability (money + distance columns retained for exactly
+    this, ``sql/init.sql:31-38``)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            fx.fround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            fx.fround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            fx.fround(F.max("l_extendedprice"), 2).alias("max_price"),
+            fx.fround(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "b8_groupby_day",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+           COUNT(*) AS n,
+           FLOOR((SUM(o_totalprice)) * 100.0 + 0.5) / 100.0 AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def b8_groupby_day(spark, sf_dir):
+    """Group-by on a derived day key — ``GROUP BY CAST(pickup_datetime AS
+    DATE)`` (daily-grain questions over ``sql/init.sql:24,45``). The cast
+    happens pre-shuffle; only (day, partial-agg) rows move."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            fx.fround(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "b9_topk",
+    oracle="""
+    SELECT o_custkey AS custkey, FLOOR((SUM(o_totalprice)) * 100.0 + 0.5) / 100.0 AS revenue
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY SUM(o_totalprice) DESC, o_custkey
+    LIMIT 10
+    """,
+)
+def b9_topk(spark, sf_dir):
+    """ORDER BY … LIMIT top-k — largest-N zones / biggest tip
+    (SURVEY.md §0.2(2)). Spark plans TakeOrderedAndProject: per-partition
+    heaps, k rows to the driver — no global sort. Tiebreak on key keeps
+    the result deterministic across engines."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.sum("o_totalprice").alias("_rev"))
+        .orderBy(F.desc("_rev"), F.asc("custkey"))
+        .limit(10)
+        .select("custkey", fx.fround("_rev", 2).alias("revenue"))
+    )
+
+
+@query(
+    "b10_conj_filter",
+    oracle="""
+    SELECT o_orderkey, o_custkey, FLOOR((o_totalprice) * 100.0 + 0.5) / 100.0 AS totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_day
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+      AND o_orderpriority = '1-URGENT'
+      AND o_totalprice > 50000
+    """,
+)
+def b10_conj_filter(spark, sf_dir):
+    """Multi-predicate conjunctive filter (date window AND literal equality
+    AND threshold) — B1+B2 composed, the two-index intersection case of the
+    reference. All three predicates push to the scan as one conjunction."""
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+            & (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 50000)
+        )
+        .select(
+            "o_orderkey", "o_custkey",
+            fx.fround("o_totalprice", 2).alias("totalprice"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        )
+    )
+
+
+@query(
+    "b11_having",
+    oracle="""
+    SELECT o_custkey AS custkey, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 14
+    """,
+)
+def b11_having(spark, sf_dir):
+    """HAVING — post-aggregation filter on the aggregate value."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 14)
+    )
+
+
+@query(
+    "b12_derived_cols",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           FLOOR((l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS revenue,
+           FLOOR((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100.0 + 0.5) / 100.0
+               AS charge,
+           CASE WHEN l_quantity > 0
+                THEN FLOOR((l_extendedprice / l_quantity) * 10000.0 + 0.5) / 10000.0 END
+               AS unit_price
+    FROM lineitem
+    """,
+)
+def b12_derived_cols(spark, sf_dir):
+    """Scalar projection arithmetic — derived measures (tip-percentage /
+    duration analog; both timestamps + money cols retained for this,
+    ``sql/init.sql:24-25,32-41``). Pure codegen'd expressions."""
+    l = table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.select(
+        "l_orderkey", "l_linenumber",
+        fx.fround(rev, 2).alias("revenue"),
+        fx.fround(rev * (1 + F.col("l_tax")), 2).alias("charge"),
+        F.when(
+            F.col("l_quantity") > 0,
+            fx.fround(F.col("l_extendedprice") / F.col("l_quantity"), 4),
+        ).alias("unit_price"),
+    )
+
+
+@query(
+    "b13_distinct",
+    oracle="""
+    SELECT DISTINCT l_returnflag AS returnflag, l_linestatus AS linestatus
+    FROM lineitem
+    """,
+)
+def b13_distinct(spark, sf_dir):
+    """DISTINCT — distinct zones/vendors capability. Planned as a
+    group-by-all-columns hash aggregate (partial dedup before shuffle)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+        )
+        .distinct()
+    )

@@ -1,0 +1,101 @@
+"""Driver-style harness: load __spark_entry__ the way the round driver does
+(fresh process, import by path), smoke entry(), then run every queries()
+key at the given SF against its oracle_sql() twin in DuckDB, comparing
+row count + sorted column names + order-insensitive values.
+
+Usage: python scripts/drive_contract.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import math
+import sys
+import time
+
+import duckdb
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+REPO = "/root/repo"
+
+spec = importlib.util.spec_from_file_location(
+    "__spark_entry__", f"{REPO}/__spark_entry__.py"
+)
+mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(mod)
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .appName("drive-contract")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+con = duckdb.connect()
+for name in ("region", "nation", "customer", "supplier", "part", "orders",
+             "lineitem", "events", "documents", "embeddings"):
+    con.execute(
+        f"CREATE VIEW {name} AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/{name}.parquet')"
+    )
+
+
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else round(v, 6)
+    if isinstance(v, list):
+        return tuple(canon(x) for x in v)
+    return str(v)
+
+
+t0 = time.time()
+edf = mod.entry(spark)
+erows = edf.collect()
+print(f"entry(): {len(erows)} rows, schema={[f.name for f in edf.schema]}, "
+      f"{time.time()-t0:.1f}s")
+assert len(erows) > 0
+
+qs, oracles = mod.queries(), mod.oracle_sql()
+print(f"{len(qs)} queries, {len(oracles)} with oracle")
+fails = []
+for key in sorted(qs):
+    t0 = time.time()
+    try:
+        sdf = qs[key](spark, SF_DIR).toPandas()
+    except Exception as exc:  # noqa: BLE001
+        fails.append((key, f"spark error: {exc}"))
+        print(f"  {key}: SPARK ERROR {exc}")
+        continue
+    dt = time.time() - t0
+    if key not in oracles:
+        print(f"  {key}: rows-only, {len(sdf)} rows, {dt:.1f}s")
+        continue
+    odf = con.sql(oracles[key]).df()
+    status = []
+    if sorted(sdf.columns) != sorted(odf.columns):
+        status.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+    elif len(sdf) != len(odf):
+        status.append(f"rowcount {len(sdf)} vs {len(odf)}")
+    else:
+        cols = sorted(sdf.columns)
+        srows = sorted((tuple(canon(v) for v in r)
+                        for r in sdf[cols].itertuples(index=False)), key=repr)
+        orows = sorted((tuple(canon(v) for v in r)
+                        for r in odf[cols].itertuples(index=False)), key=repr)
+        bad = [(a, b) for a, b in zip(srows, orows) if a != b]
+        if bad:
+            status.append(f"{len(bad)} value mismatches, first: {bad[0]}")
+    if status:
+        fails.append((key, "; ".join(status)))
+        print(f"  {key}: MISMATCH {status[0][:200]}")
+    else:
+        print(f"  {key}: OK {len(sdf)} rows, {dt:.1f}s")
+
+print(f"\n{'FAIL ' + str(len(fails)) if fails else 'ALL OK'}")
+sys.exit(1 if fails else 0)

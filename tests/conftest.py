@@ -1,0 +1,81 @@
+"""Shared fixtures: one SparkSession per test run, DuckDB oracle connection,
+and the Spark-vs-DuckDB comparator that mirrors the driver's correctness
+gate (row-count + column names + order-insensitive value compare)."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nyc_taxi_data_engineering_project_spark.catalog import TESTDATA_TABLES
+from nyc_taxi_data_engineering_project_spark.session import get_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_session("nyc-tests", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def oracle_con():
+    con = duckdb.connect()
+    for name in TESTDATA_TABLES:
+        path = os.path.join(SF_DIR, f"{name}.parquet")
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+        )
+    yield con
+    con.close()
+
+
+def _canon(v):
+    """Canonicalize a cell for order-insensitive comparison."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse ulp-level cross-engine noise
+        return round(v, 6)
+    if isinstance(v, list):
+        return tuple(_canon(x) for x in v)
+    return str(v)
+
+
+def assert_df_matches_oracle(spark_df, con, sql, key=""):
+    """Mirror of the driver gate: same row count, same sorted column
+    names, same multiset of canonicalized rows."""
+    sdf = spark_df.toPandas()
+    odf = con.sql(sql).df()
+    assert sorted(sdf.columns) == sorted(odf.columns), (
+        f"{key}: columns differ: spark={sorted(sdf.columns)} "
+        f"oracle={sorted(odf.columns)}"
+    )
+    assert len(sdf) == len(odf), (
+        f"{key}: row count differs: spark={len(sdf)} oracle={len(odf)}"
+    )
+    cols = sorted(sdf.columns)
+    srows = sorted(
+        (tuple(_canon(v) for v in row) for row in sdf[cols].itertuples(index=False)),
+        key=repr,
+    )
+    orows = sorted(
+        (tuple(_canon(v) for v in row) for row in odf[cols].itertuples(index=False)),
+        key=repr,
+    )
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(srows, orows)) if a != b
+    ]
+    assert not mismatches, (
+        f"{key}: {len(mismatches)} row mismatches; first 3: {mismatches[:3]}"
+    )
