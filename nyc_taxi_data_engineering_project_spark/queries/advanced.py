@@ -1,1 +1,563 @@
-"""Placeholder — filled in by later milestones."""
+"""Group C query keys (part 1: C1-C17) — the full relational surface the
+reference exposes by delegating queries to Postgres (``README.md:79-82``;
+SURVEY.md §2 group C). Everything here is built-in Spark — the work is the
+query definitions and their physical posture, not custom machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from .. import fx
+from ..catalog import table
+from ..registry import query
+
+
+@query(
+    "c1_smj_selfjoin",
+    oracle="""
+    SELECT l1.l_returnflag AS returnflag,
+           COUNT(*) AS n_pairs,
+           FLOOR(SUM(l1.l_quantity + l2.l_quantity) * 100.0 + 0.5) / 100.0
+               AS pair_qty
+    FROM lineitem l1
+    JOIN lineitem l2
+      ON l1.l_orderkey = l2.l_orderkey
+     AND l1.l_linenumber < l2.l_linenumber
+    GROUP BY 1
+    """,
+)
+def c1_smj_selfjoin(spark, sf_dir):
+    """Large-large equi self-join (trips⋈trips analog). ``merge`` hint
+    forces sort-merge — at 100 TB both sides shuffle-sort on l_orderkey;
+    no broadcast is possible. The extra `<` predicate is applied post-merge.
+    Skew note: order sizes are bounded (≤7 lines), so no hot key."""
+    l1 = table(spark, sf_dir, "lineitem").alias("l1")
+    l2 = table(spark, sf_dir, "lineitem").alias("l2")
+    return (
+        l1.hint("merge")
+        .join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_linenumber") < F.col("l2.l_linenumber")),
+        )
+        .groupBy(F.col("l1.l_returnflag").alias("returnflag"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            fx.r2(F.sum(F.col("l1.l_quantity") + F.col("l2.l_quantity")))
+            .alias("pair_qty"),
+        )
+    )
+
+
+@query(
+    "c3_semi_join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey
+                    AND c.c_mktsegment = 'BUILDING')
+    """,
+)
+def c3_semi_join(spark, sf_dir):
+    """Left semi join — EXISTS/IN. Only the join key crosses the shuffle
+    (or none: the filtered dim broadcasts); no row duplication."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi")
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+@query(
+    "c4_anti_join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey
+                        AND c.c_acctbal > 5000)
+    """,
+)
+def c4_anti_join(spark, sf_dir):
+    """Left anti join — NOT EXISTS. Same broadcast posture as c3."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+@query(
+    "c5_full_outer",
+    oracle="""
+    WITH big_cust AS (
+        SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 8000
+    ), busy AS (
+        SELECT o_custkey, COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 13
+    )
+    SELECT COALESCE(b.c_custkey, u.o_custkey) AS custkey,
+           b.c_acctbal AS acctbal,
+           u.n_orders AS n_orders
+    FROM big_cust b FULL OUTER JOIN busy u ON b.c_custkey = u.o_custkey
+    """,
+)
+def c5_full_outer(spark, sf_dir):
+    """Full outer join — rows surviving on either side only. Full outer
+    cannot broadcast (both sides must see unmatched rows): shuffle-hash /
+    sort-merge on the key, which AQE picks by size."""
+    big = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 8000)
+        .select("c_custkey", "c_acctbal")
+    )
+    busy = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 13)
+    )
+    return (
+        big.join(busy, big.c_custkey == busy.o_custkey, "full")
+        .select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            F.col("c_acctbal").alias("acctbal"),
+            "n_orders",
+        )
+    )
+
+
+@query(
+    "c6_cross_join",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def c6_cross_join(spark, sf_dir):
+    """Cross join (cartesian) — only sane when one side is tiny; planned
+    as BroadcastNestedLoopJoin here. Guard rails at scale: never cross-join
+    two fact tables (see f3's pre-filtered variant for the ANN use)."""
+    r = table(spark, sf_dir, "region").select(F.col("r_name").alias("region_name"))
+    n = table(spark, sf_dir, "nation").select(F.col("n_name").alias("nation_name"))
+    return r.crossJoin(n)
+
+
+@query(
+    "c7_range_join",
+    oracle="""
+    SELECT b.band_name AS band, COUNT(*) AS n_parts,
+           FLOOR(SUM(p.p_retailprice) * 100.0 + 0.5) / 100.0 AS total_price
+    FROM part p
+    JOIN (VALUES ('low', 900.0, 930.0), ('mid', 930.0, 970.0),
+                 ('high', 970.0, 1000.0)) b(band_name, lo, hi)
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY 1
+    """,
+)
+def c7_range_join(spark, sf_dir):
+    """Theta/range join — non-equi band lookup. The bands table is a
+    literal dim → BroadcastNestedLoopJoin with the inequality evaluated
+    in codegen. At scale, a banded fact uses the same broadcast (bands are
+    always small); for fact-fact range joins see c8's bucketing note."""
+    p = table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("low", 900.0, 930.0), ("mid", 930.0, 970.0), ("high", 970.0, 1000.0)],
+        "band_name string, lo double, hi double",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy(F.col("band_name").alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            fx.r2(F.sum("p_retailprice")).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "c8_asof_join",
+    oracle="""
+    SELECT p.event_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def c8_asof_join(spark, sf_dir):
+    """As-of join (nearest earlier event) — Spark has no native operator
+    (SURVEY.md §2 C8). Scalable composition: tag both streams, union, and
+    carry the last click timestamp forward with a running
+    ``last(ignorenulls)`` window — one shuffle on (user_id), no range
+    explosion, works at any size (vs the naive range-join + row_number
+    which is quadratic per key). DuckDB's native ASOF JOIN is the oracle.
+    """
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("timestamp").alias("click_ts"),
+        "event_id",
+    )
+    # clicks sort before purchases at equal ts (p.ts >= c.ts is inclusive)
+    tagged = clicks.unionByName(purchases)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc_nulls_first())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        tagged.withColumn(
+            "last_click", F.last("click_ts", ignorenulls=True).over(w)
+        )
+        .filter(F.col("event_id").isNotNull())
+        .select(
+            "event_id",
+            F.date_format("ts", fmt).alias("purchase_ts"),
+            F.date_format("last_click", fmt).alias("last_click_ts"),
+        )
+    )
+
+
+@query(
+    "c9_rollup",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n,
+           FLOOR(SUM(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def c9_rollup(spark, sf_dir):
+    """ROLLUP — hierarchical subtotals (flag → flag+status → grand).
+    Spark expands to a union of grouping sets inside one hash aggregate."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            fx.r2(F.sum("l_quantity")).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n", "sum_qty",
+        )
+    )
+
+
+@query(
+    "c9_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def c9_cube(spark, sf_dir):
+    """CUBE — all grouping-set combinations."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+        )
+    )
+
+
+@query(
+    "c10_count_distinct",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def c10_count_distinct(spark, sf_dir):
+    """Exact COUNT(DISTINCT) — planned as expand + two-phase aggregate.
+    The approx (HLL++) variant is `c10_approx_distinct` (rows-only: sketch
+    results are engine-specific)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query("c10_approx_distinct")  # rows-only: HLL sketch is engine-specific
+def c10_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) — the 100 TB path for
+    distinct counts: fixed-size sketch, mergeable, one pass, no expand."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "c11_percentiles",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           FLOOR(median(l_quantity) * 10000.0 + 0.5) / 10000.0 AS med_qty,
+           FLOOR(quantile_cont(l_extendedprice, 0.25) * 10000.0 + 0.5) / 10000.0
+               AS p25_price,
+           FLOOR(quantile_cont(l_extendedprice, 0.75) * 10000.0 + 0.5) / 10000.0
+               AS p75_price,
+           FLOOR(stddev_samp(l_quantity) * 10000.0 + 0.5) / 10000.0 AS sd_qty,
+           FLOOR(corr(l_quantity, l_extendedprice) * 10000.0 + 0.5) / 10000.0
+               AS qty_price_corr
+    FROM lineitem GROUP BY 1
+    """,
+)
+def c11_percentiles(spark, sf_dir):
+    """Exact median/percentiles + stats aggregates. Exact percentile sorts
+    per group — fine at dim cardinality; the scale path for high-cardinality
+    groups is `c11_approx_percentile` (rows-only)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            fx.r4(F.expr("percentile(l_quantity, 0.5D)")).alias("med_qty"),
+            fx.r4(F.expr("percentile(l_extendedprice, 0.25D)")).alias("p25_price"),
+            fx.r4(F.expr("percentile(l_extendedprice, 0.75D)")).alias("p75_price"),
+            fx.r4(F.stddev_samp("l_quantity")).alias("sd_qty"),
+            fx.r4(F.corr("l_quantity", "l_extendedprice")).alias("qty_price_corr"),
+        )
+    )
+
+
+@query("c11_approx_percentile")  # rows-only: t-digest/GK sketch differs
+def c11_approx_percentile(spark, sf_dir):
+    """approx_percentile — mergeable quantile sketch; the 100 TB path."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000)
+            .alias("price_quartiles"),
+        )
+    )
+
+
+@query(
+    "c12_rank",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+               ROW_NUMBER() OVER w AS rn,
+               RANK() OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate DESC, o_orderkey)
+    ) WHERE rn <= 3
+    """,
+)
+def c12_rank(spark, sf_dir):
+    """Ranking windows — latest-3-orders-per-customer (top-k per group).
+    One shuffle on the partition key; tiebreak on orderkey keeps
+    row_number deterministic across engines."""
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "c13_lag_lead",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           o_totalprice AS totalprice,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def c13_lag_lead(spark, sf_dir):
+    """Analytic windows — lag/lead along each customer's order history."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+@query(
+    "c14_running_sum",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           FLOOR(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) * 100.0 + 0.5) / 100.0 AS running_rev
+    FROM orders
+    """,
+)
+def c14_running_sum(spark, sf_dir):
+    """Aggregate window with an explicit ROWS frame — running revenue per
+    customer. Frame order is pinned, so the float sum sequence is identical
+    across engines (rounding is belt-and-braces)."""
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        fx.r2(F.sum("o_totalprice").over(w)).alias("running_rev"),
+    )
+
+
+@query(
+    "c15_union",
+    oracle="""
+    SELECT key, COUNT(*) AS n FROM (
+        SELECT o_custkey AS key FROM orders
+        UNION ALL
+        SELECT c_custkey AS key FROM customer
+    ) GROUP BY key
+    """,
+)
+def c15_union(spark, sf_dir):
+    """UNION ALL + aggregate — bag semantics preserved."""
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    return o.unionByName(c).groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "c15_intersect",
+    oracle="""
+    SELECT o_custkey AS key FROM orders
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 7000
+    """,
+)
+def c15_intersect(spark, sf_dir):
+    """INTERSECT (set semantics) — planned as an aggregate + semi join."""
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 7000)
+        .select(F.col("c_custkey").alias("key"))
+    )
+    return o.intersect(c)
+
+
+@query(
+    "c15_except",
+    oracle="""
+    SELECT c_custkey AS key FROM customer WHERE c_acctbal > 0
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    """,
+)
+def c15_except(spark, sf_dir):
+    """EXCEPT (set difference) — planned as an aggregate + anti join."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("key"))
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 100000)
+        .select(F.col("o_custkey").alias("key"))
+    )
+    return c.exceptAll(o).distinct()
+
+
+@query(
+    "c16_sort",
+    oracle="""
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+           o_totalprice
+    FROM orders
+    ORDER BY o_orderdate ASC, o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def c16_sort(spark, sf_dir):
+    """Global multi-key sort — range-partitioned exchange (sampled
+    boundaries) feeding per-partition sorts; with LIMIT, Spark instead
+    plans TakeOrderedAndProject (no full exchange)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .orderBy(
+            F.col("o_orderdate").asc(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            "o_totalprice",
+        )
+    )
+
+
+@query(
+    "c17_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 10
+    """,
+)
+def c17_offset(spark, sf_dir):
+    """LIMIT + OFFSET pagination over a deterministic total order."""
+    return (
+        table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(10)
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )
