@@ -1,0 +1,94 @@
+"""I/O layer — readers and idempotent writers (SURVEY.md §2 rows A1-A3,
+A10-A13, A15; reference logic ``python/ingest_data.py:69-107,152-183``).
+
+Write-path design for 100 TB:
+
+- The fact table is **partitioned by month** (``pickup_month=YYYY-MM``
+  directories). This is the Spark replacement for the reference's
+  ``idx_taxi_trips_pickup_dt`` B-tree (``sql/init.sql:45``): date-range
+  predicates prune whole partitions before any task launches.
+- **Idempotent month reload** (A10) = the reference's delete-then-insert
+  window (``python/ingest_data.py:160-166``) expressed as *dynamic
+  partition overwrite*: only partitions present in the incoming batch are
+  atomically replaced; reruns converge to the same state.
+- **Full refresh** (A11) = the dimension truncate-and-reload
+  (``python/ingest_data.py:104-107``) as ``mode("overwrite")``.
+- Chunking (A12, ``INGEST_CHUNK_SIZE``) disappears: Spark sizes tasks from
+  ``spark.sql.files.maxPartitionBytes`` and parquet row groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .conform import conform_trips
+
+MONTH_COL = "pickup_month"
+
+
+def read_trips(spark: SparkSession, path: str) -> DataFrame:
+    """A2: parquet scan. Spark parallelizes over row groups natively —
+    the reference's manual row-group loop (``python/ingest_data.py:169-175``)
+    is the engine's default execution model."""
+    return spark.read.parquet(path)
+
+
+def read_zones_csv(spark: SparkSession, path: str) -> DataFrame:
+    """A3: header CSV scan for the zones lookup
+    (``python/ingest_data.py:95``). Schema inference is acceptable for a
+    265-row dim; real pipelines pass an explicit schema."""
+    return spark.read.csv(path, header=True)
+
+
+def with_month(df: DataFrame) -> DataFrame:
+    """Derive the partition column from pickup_datetime."""
+    return df.withColumn(
+        MONTH_COL, F.date_format("pickup_datetime", "yyyy-MM")
+    )
+
+
+def write_trips_month_idempotent(df: DataFrame, target: str) -> None:
+    """A10: idempotent window reload. Dynamic partition overwrite replaces
+    exactly the months present in ``df`` and leaves all others untouched —
+    the delete-before-insert of ``python/ingest_data.py:160-166`` without
+    a separate delete pass, atomic per partition via the file-commit
+    protocol (SURVEY.md §7.4 hard-point 5: single-writer, like the
+    reference's systemd unit)."""
+    (
+        with_month(df)
+        .repartition(MONTH_COL)  # one shuffle → few large files per month
+        .write.mode("overwrite")
+        .partitionBy(MONTH_COL)
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(target)
+    )
+
+
+def write_full_refresh(df: DataFrame, target: str) -> None:
+    """A11: truncate-and-reload for small dimensions
+    (``python/ingest_data.py:104-107``)."""
+    df.write.mode("overwrite").parquet(target)
+
+
+def ingest_trips(spark: SparkSession, source_path: str, target: str) -> int:
+    """End-to-end fact ingestion (reference ``load_trips_chunked``,
+    ``python/ingest_data.py:152-183``): scan → conform (A4-A9) → idempotent
+    month-partitioned write (A10). One lazy DAG, no driver-side loops.
+    Returns rows written (the reference's logged row count, ``:183``)."""
+    conformed = conform_trips(read_trips(spark, source_path))
+    write_trips_month_idempotent(conformed, target)
+    return spark.read.parquet(target).count()
+
+
+def surrogate_ids(df: DataFrame, order_cols: list[str] | None = None) -> DataFrame:
+    """A13: surrogate key. Default: ``monotonically_increasing_id`` —
+    distributed, collision-free, non-dense (like BIGSERIAL's ordering
+    guarantees, ``sql/init.sql:22``). With ``order_cols``: deterministic
+    ``row_number`` over a global sort (use only when determinism is worth
+    a full exchange)."""
+    if order_cols:
+        from pyspark.sql import Window as W
+
+        w = W.orderBy(*order_cols)
+        return df.withColumn("trip_id", F.row_number().over(w))
+    return df.withColumn("trip_id", F.monotonically_increasing_id())
