@@ -1,1 +1,236 @@
-"""Placeholder — filled in by later milestones."""
+"""Group D query keys — streaming operators over the events table
+(SURVEY.md §2 group D). Window/session/dedup/stream-static keys run in
+their *batch form* here (oracle-checkable — identical plans run
+incrementally via streaming.py, asserted in tests/test_streaming.py);
+source/watermark/stateful/sink keys execute a real bounded stream and are
+rows-only."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from .. import fx
+from ..catalog import table
+from ..registry import query
+from ..streaming import (
+    events_stream,
+    foreach_batch_idempotent_sink,
+    run_available_now,
+)
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@query("d1_stream_source")  # rows-only: streaming execution, no SQL oracle
+def d1_stream_source(spark, sf_dir):
+    """D1: file-source stream replayed to completion (availableNow) —
+    counts per event type via a real streaming query."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return run_available_now(agg, "d1_counts", output_mode="complete")
+
+
+@query("d2_watermark")  # rows-only: late-data semantics are stream-side
+def d2_watermark(spark, sf_dir):
+    """D2/D7: watermarked tumbling aggregate in append mode — windows
+    close once the 10-minute watermark passes; late rows beyond it drop."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("window.start", _TS_FMT).alias("win_start"),
+            "event_type", "n",
+        )
+    )
+    return run_available_now(agg, "d2_watermarked", output_mode="append")
+
+
+@query(
+    "d3_tumbling",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def d3_tumbling(spark, sf_dir):
+    """D3: tumbling window aggregate — ``F.window`` in batch form (epoch-
+    aligned 1h windows ≡ date_trunc hour). The identical plan runs as a
+    stream in tests/test_streaming.py::test_tumbling_batch_equivalence."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            fx.r2(F.sum("value")).alias("total_value"),
+        )
+        .select(
+            F.date_format("window.start", _TS_FMT).alias("win_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
+@query(
+    "d4_sliding",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
+                    - k.k * INTERVAL '15 minutes',
+                    '%Y-%m-%d %H:%M:%S') AS win_start,
+           COUNT(*) AS n
+    FROM events
+    CROSS JOIN (VALUES (0), (1), (2), (3)) k(k)
+    GROUP BY 1
+    """,
+)
+def d4_sliding(spark, sf_dir):
+    """D4: sliding window (1h length, 15min slide) — each event lands in 4
+    overlapping windows; the oracle derives the same 4 starts from the
+    15-minute bucket."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("window.start", _TS_FMT).alias("win_start"), "n"
+        )
+    )
+
+
+@query(
+    "d5_session",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+        SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS session_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def d5_session(spark, sf_dir):
+    """D5: session windows (30-minute gap) — ``session_window`` in batch
+    form; the oracle is the classic gap-island SQL (SURVEY.md §7.4 point 7).
+    Session merge rule: an event at exactly prev_ts+30min starts a NEW
+    session (half-open session end), mirrored by ``>=`` in the oracle."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            fx.r2(F.sum("value")).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", _TS_FMT)
+            .alias("session_start"),
+            "n_events", "session_value",
+        )
+    )
+
+
+@query(
+    "d6_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def d6_stream_dedup(spark, sf_dir):
+    """D6: dedup on a key subset — ``dropDuplicates`` in batch form; the
+    streaming form (state-backed, watermark-bounded) is asserted
+    equivalent in tests/test_streaming.py."""
+    return (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+
+
+@query("d8_stateful")  # rows-only: arbitrary stateful op, stream-side
+def d8_stateful(spark, sf_dir):
+    """D8: arbitrary stateful processing — per-user running event count +
+    max value maintained in explicit GroupState via
+    ``applyInPandasWithState`` over a real bounded stream."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    def track(key, pdfs, state: GroupState):
+        n, vmax = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                vmax = max(vmax, float(pdf["value"].max()))
+        state.update((n, vmax))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [vmax]}
+        )
+
+    out = (
+        events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType="user_id long, n_events long, max_value double",
+            stateStructType="n long, vmax double",
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+    return run_available_now(out, "d8_state", output_mode="update")
+
+
+@query(
+    "d9_stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, COUNT(*) AS n_events,
+           FLOOR(SUM(e.value) * 100.0 + 0.5) / 100.0 AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def d9_stream_static_join(spark, sf_dir):
+    """D9: stream⋈static dimension join, batch form (stream form in
+    tests). The static side broadcasts — in a real stream every micro-batch
+    reuses the broadcast, no per-batch shuffle."""
+    e = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            fx.r2(F.sum("value")).alias("total_value"),
+        )
+    )
+
+
+@query("d10_foreachbatch")  # rows-only: sink behavior, no SQL oracle
+def d10_foreachbatch(spark, sf_dir):
+    """D10: exactly-once sink — foreachBatch + checkpoint + per-epoch
+    deterministic overwrite; returns the sunk rows read back."""
+    tmp = tempfile.mkdtemp(prefix="d10_")
+    target = os.path.join(tmp, "out")
+    checkpoint = os.path.join(tmp, "ckpt")
+    sdf = events_stream(spark, sf_dir).select("event_id", "user_id", "value")
+    foreach_batch_idempotent_sink(sdf, target, checkpoint)
+    return spark.read.parquet(target).select("event_id", "user_id", "value")

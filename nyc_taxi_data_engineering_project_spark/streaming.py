@@ -1,0 +1,91 @@
+"""Structured Streaming surface (SURVEY.md §2 group D).
+
+The reference has no streaming; its nearest analog is the chunked
+micro-batch ingest loop (``python/ingest_data.py:173-181``) plus
+restart-on-failure (``terraform/main.tf:149-165``). Structured Streaming
+is the engine-native generalization: the same DataFrame plan, executed
+incrementally with state, watermarks, and exactly-once sinks.
+
+Test harness: the parquet ``events`` table replayed as a file-source
+stream with an ``availableNow`` trigger — processes all existing data as
+a bounded stream then stops, which makes stream results comparable to
+batch oracles (SURVEY.md §5.2.5 batch-equivalence)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+# events.ts is parquet TIMESTAMP(NANOS): streamed as long then converted,
+# same truncation as catalog.table (see catalog.py).
+EVENTS_RAW_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: file-source stream over the events table."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file source needs a directory basePath; select just the events
+    # file from the shared testdata dir with a glob filter
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_available_now(sdf: DataFrame, name: str,
+                      output_mode: str = "append") -> DataFrame:
+    """Execute a streaming DataFrame to completion over existing input
+    (availableNow trigger → memory sink) and return the materialized
+    result table. This is the bounded-replay harness; production sinks
+    use ``foreachBatch``/parquet with checkpoints (D10)."""
+    spark = sdf.sparkSession
+    # state-store partition count is frozen from shuffle.partitions at
+    # query start and AQE does not apply to streaming state — pin it to a
+    # sane bound for the bounded replay, then restore the session value
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
+
+
+def foreach_batch_idempotent_sink(sdf: DataFrame, target: str,
+                                  checkpoint: str) -> None:
+    """D10: exactly-once file sink — ``foreachBatch`` + checkpoint. The
+    batch function writes with deterministic overwrite per epoch, so a
+    replayed epoch converges instead of duplicating (the reference's
+    delete-before-insert A10 pattern, generalized to streams)."""
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("_epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .parquet(os.path.join(target, f"epoch={epoch_id}"))
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

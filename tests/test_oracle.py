@@ -26,7 +26,7 @@ def test_query_matches_oracle(spark, oracle_con, key):
 @pytest.mark.parametrize("key", ROWS_ONLY_KEYS)
 def test_rows_only_query_runs(spark, key):
     df = registry.QUERIES[key](spark, SF_DIR)
-    assert df.count() >= 0
+    assert df.count() > 0, f"{key}: rows-only query produced no rows"
     assert len(df.schema.fields) > 0
 
 

@@ -1,0 +1,99 @@
+"""Streaming batch-equivalence tests (SURVEY.md §5.2.5): run the D-group
+plans as real bounded streams (availableNow) and assert the results equal
+the batch forms the oracle checks."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+from nyc_taxi_data_engineering_project_spark.catalog import table
+from nyc_taxi_data_engineering_project_spark.streaming import (
+    events_stream,
+    run_available_now,
+)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_tumbling_batch_equivalence(spark):
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    stream = (
+        events_stream(spark, SF_DIR)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n")
+    )
+    got = run_available_now(stream, name, output_mode="complete")
+    batch = (
+        table(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n")
+    )
+    assert _rows(got, ["ws", "event_type", "n"]) == _rows(
+        batch, ["ws", "event_type", "n"]
+    )
+
+
+def test_dedup_batch_equivalence(spark):
+    name = f"d_{uuid.uuid4().hex[:8]}"
+    stream = (
+        events_stream(spark, SF_DIR)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    got = run_available_now(stream, name, output_mode="append")
+    batch = (
+        table(spark, SF_DIR, "events")
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    assert _rows(got, ["user_id", "event_type"]) == _rows(
+        batch, ["user_id", "event_type"]
+    )
+
+
+def test_stream_static_join_equivalence(spark):
+    name = f"j_{uuid.uuid4().hex[:8]}"
+    cust = table(spark, SF_DIR, "customer")
+    stream = (
+        events_stream(spark, SF_DIR)
+        .join(F.broadcast(cust), F.col("user_id") == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = run_available_now(stream, name, output_mode="complete")
+    batch = (
+        table(spark, SF_DIR, "events")
+        .join(F.broadcast(cust), F.col("user_id") == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert _rows(got, ["c_mktsegment", "n"]) == _rows(
+        batch, ["c_mktsegment", "n"]
+    )
+
+
+def test_watermark_drops_nothing_in_ordered_replay(spark):
+    # availableNow over a single file = one batch; nothing is late, so the
+    # watermarked append-mode result must cover every event exactly once
+    name = f"w_{uuid.uuid4().hex[:8]}"
+    stream = (
+        events_stream(spark, SF_DIR)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("n")
+    )
+    got = run_available_now(stream, name, output_mode="append")
+    total_events = table(spark, SF_DIR, "events").count()
+    emitted = got.agg(F.sum("n").alias("s")).collect()[0].s or 0
+    # append mode holds back windows not yet past the watermark: the final
+    # (max-ts) window may be unemitted, everything else must be
+    assert emitted >= total_events - 60  # < one window's worth withheld
+    assert emitted <= total_events
