@@ -1,1 +1,669 @@
-"""Placeholder — filled in by later milestones."""
+"""Group F query keys — LLM-training-data pipeline operators over the
+``documents`` and ``embeddings`` tables (SURVEY.md §2 group F; north-star
+mandate: dedup, similarity search, multimodal columns, text analysis —
+designed for 100 TB).
+
+Design rules applied throughout:
+- everything is DataFrame expressions (JVM/codegen) — no Python UDFs in
+  any hot path; the only pandas surface is the explicitly-stubbed
+  multimodal decode (f12), which is Arrow-batched;
+- the quadratic ops (near-dup, ANN) have a linear-ish LSH path next to
+  the exact baseline, because at 100 TB the cross join does not exist;
+- all hash-derived signatures use xxhash64 with literal seeds —
+  deterministic across runs and partitionings.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from .. import fx
+from ..catalog import table
+from ..registry import query
+
+# --------------------------------------------------------------- helpers
+
+STOPWORDS_EN = ("the", "a", "of", "and", "in", "to", "is")
+STOPWORDS_ES = ("el", "la", "de", "y", "en", "que")
+STOPWORDS_DE = ("der", "die", "das", "und", "ist")
+
+
+def _tokens(col="text"):
+    return F.split(F.col(col), " ")
+
+
+def _shingles(tok_col, n=3):
+    """Distinct word n-gram shingles as an array column (pure exprs)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tok_col) - (n - 1), F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tok_col, (i + k).cast("int")) for k in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def _dot(a, b):
+    """Sequential double dot product — same accumulation order as the
+    oracle's loop, so results are bit-identical."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _as_double(arr):
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def _embeddings(spark, sf_dir) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    emb = _as_double(F.col("embedding"))
+    return e.select("vec_id", "label", emb.alias("emb"),
+                    _norm(emb).alias("nrm"))
+
+
+# ------------------------------------------------------------ F1: dedup
+@query(
+    "f1_exact_dedup",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def f1_exact_dedup(spark, sf_dir):
+    """F1: exact content dedup — SHA-256 content hash → groupBy → keep the
+    min id. At 100 TB this is one shuffle on a 32-byte key with partial
+    aggregation; hashing happens map-side in codegen. (dropDuplicates is
+    the one-liner variant; the hash form keeps lineage of what was kept.)
+    """
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy(F.sha2("text", 256).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query("f2_minhash_dedup")  # rows-only: LSH banding, no SQL oracle
+def f2_minhash_dedup(spark, sf_dir):
+    """F2: MinHash+LSH near-duplicate detection, built from scratch in
+    DataFrame ops (shingle → 16 minhashes → 4 bands → band-bucket join →
+    exact-Jaccard verify ≥ 0.6).
+
+    The corpus is documents ∪ planted near-duplicates (docs 0-19 with the
+    last two tokens dropped, id+100000) so the operator's output is
+    deterministic and non-empty on synthetic data.
+
+    Scale posture: candidate generation is an equi self-join on
+    (band_id, band_hash) — shuffle-partitioned by bucket, never all-pairs.
+    Hot buckets (boilerplate shingles) are the known skew risk: AQE skew
+    split handles moderate cases; beyond that, cap bucket width before the
+    join (count per bucket, drop/bisect outliers) — standard LSH salting.
+    The verify step rejoins shingle sets by doc id (broadcast-size here;
+    bucketed join at scale)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = _tokens()
+    mutated = (
+        docs.filter(F.col("doc_id") < 20)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.array_join(F.slice(toks, 1, F.size(toks) - 2), " ")
+            .alias("text"),
+        )
+    )
+    corpus = docs.unionByName(mutated)
+    shingled = corpus.select(
+        "doc_id", _shingles(_tokens()).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+    n_hashes, n_bands = 16, 4
+    rows_per_band = n_hashes // n_bands
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("sh"), lambda s, j=j: F.xxhash64(s, F.lit(j)))
+            )
+            for j in range(n_hashes)
+        ]
+    )
+    with_sig = shingled.select("doc_id", "sh", sig.alias("sig"))
+    bands = with_sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                            F.lit(b),
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+    left = bands.alias("l")
+    right = bands.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh_a = with_sig.select(F.col("doc_id").alias("doc_a"),
+                           F.col("sh").alias("sh_a"))
+    sh_b = with_sig.select(F.col("doc_id").alias("doc_b"),
+                           F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+    )
+    return verified.select("doc_a", "doc_b", fx.r4(F.col("jaccard")).alias("jaccard"))
+
+
+# ------------------------------------------- F3: similarity search (ANN)
+@query(
+    "f3_cosine_topk",
+    oracle="""
+    SELECT * FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               FLOOR(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[]))
+                     * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                   CAST(c.embedding AS DOUBLE[]))
+                            DESC, c.vec_id
+               ) AS rk
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 20
+    ) WHERE rk <= 5
+    """,
+)
+def f3_cosine_topk(spark, sf_dir):
+    """F3: exact brute-force cosine top-k — the correctness baseline for
+    similarity search. Queries (small side) broadcast against the full
+    candidate set; norms are precomputed once per side; per-pair work is a
+    sequential 64-dim double dot in codegen (bit-identical to the oracle's
+    loop). Top-k is a per-query window, planned as partial top-k under AQE.
+    The scale path (bucketed candidates instead of all-pairs) is
+    f3_lsh_ann."""
+    emb = _embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("c_emb"), F.col("nrm").alias("c_nrm"),
+    )
+    pairs = F.broadcast(q).join(
+        c, F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = (_dot(F.col("q_emb"), F.col("c_emb"))
+           / (F.col("q_nrm") * F.col("c_nrm")))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.select("query_id", "neighbor_id", cos.alias("_cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "query_id", "neighbor_id",
+            fx.r6(F.col("_cos")).alias("cosine"), "rk",
+        )
+    )
+
+
+@query("f3_lsh_ann")  # rows-only: approximate recall, no exact oracle
+def f3_lsh_ann(spark, sf_dir):
+    """F3 scale path: random-hyperplane LSH ANN with multi-probe. Each
+    vector gets a 4-bit signature (sign of dot with 4 fixed seeded
+    hyperplanes) → 16 buckets; each query probes its own bucket plus the
+    4 Hamming-1 neighbors (explode over 5 probe ids), joins candidates
+    equi on bucket id, then exact top-k within the probed set. At 100 TB:
+    bucket count scales with data (more planes), the join stays
+    equi/shuffle-partitionable, candidates are indexed once while the
+    (small) query side fans out — recall/cost is tuned by probe radius,
+    never by widening to all-pairs. Recall vs the exact baseline is
+    asserted in tests/test_llm_ops.py."""
+    rng = random.Random(42)
+    n_planes = 4
+    planes = [[rng.uniform(-1.0, 1.0) for _ in range(64)]
+              for _ in range(n_planes)]
+    emb = _embeddings(spark, sf_dir)
+
+    def bucket_of(emb_col):
+        bits = [
+            (
+                _dot(
+                    emb_col,
+                    F.array(*[F.lit(v) for v in plane]),
+                )
+                > 0
+            ).cast("int")
+            for plane in planes
+        ]
+        out = F.lit(0)
+        for i, b in enumerate(bits):
+            out = out + b * (2**i)
+        return out
+
+    tagged = emb.withColumn("bucket", bucket_of(F.col("emb")))
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+    )
+    q = (
+        tagged.filter(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm"),
+            F.explode(probes).alias("bucket"),
+        )
+    )
+    c = tagged.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("c_emb"), F.col("nrm").alias("c_nrm"), "bucket",
+    )
+    pairs = q.join(c, ["bucket"]).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = (_dot(F.col("q_emb"), F.col("c_emb"))
+           / (F.col("q_nrm") * F.col("c_nrm")))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.select("query_id", "neighbor_id", cos.alias("_cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id",
+                fx.r6(F.col("_cos")).alias("cosine"), "rk")
+    )
+
+
+@query("f13_embedding_neardup")  # rows-only: threshold pairs via LSH
+def f13_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup: pairs above a cosine threshold found
+    through the LSH buckets (same machinery as f3_lsh_ann, pair output) —
+    the embedding-space member of the dedup family."""
+    rng = random.Random(42)
+    planes = [[rng.uniform(-1.0, 1.0) for _ in range(64)] for _ in range(2)]
+    emb = _embeddings(spark, sf_dir)
+    bits = None
+    for i, plane in enumerate(planes):
+        bit = (
+            _dot(F.col("emb"), F.array(*[F.lit(v) for v in plane])) > 0
+        ).cast("int") * (2**i)
+        bits = bit if bits is None else bits + bit
+    tagged = emb.withColumn("bucket", bits)
+    a = tagged.select(F.col("vec_id").alias("id_a"),
+                      F.col("emb").alias("emb_a"),
+                      F.col("nrm").alias("nrm_a"), "bucket")
+    b = tagged.select(F.col("vec_id").alias("id_b"),
+                      F.col("emb").alias("emb_b"),
+                      F.col("nrm").alias("nrm_b"), "bucket")
+    cos = (_dot(F.col("emb_a"), F.col("emb_b"))
+           / (F.col("nrm_a") * F.col("nrm_b")))
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", fx.r6(cos).alias("cosine"))
+        # synthetic embeddings are isotropic random (max pairwise cosine
+        # ≈0.48); 0.3 marks the top ~1% as "near-dup" for a non-degenerate
+        # demonstration — real corpora use 0.85-0.95
+        .filter(F.col("cosine") > 0.3)
+    )
+
+
+# ------------------------------------------------------ F4: text → TF-IDF
+@query(
+    "f4_tfidf",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT term,
+           COUNT(*) AS doc_freq,
+           FLOOR(ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / COUNT(*))
+                 * 1000000.0 + 0.5) / 1000000.0 AS idf
+    FROM tok GROUP BY term
+    """,
+)
+def f4_tfidf(spark, sf_dir):
+    """F4: document frequency + IDF per term (the model-free core of
+    TF-IDF; the per-(doc,term) TF join is a composition of this with e5's
+    tokenizer). explode → distinct → count: two-stage aggregate, vocab-
+    sized output; at 100 TB the distinct is the only shuffle and is
+    partial-aggregated map-side."""
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar dim, not a per-row collect
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens())).alias("term")
+    )
+    return tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        fx.r6(F.log(F.lit(float(n_docs)) / F.count(F.lit(1)))).alias("idf"),
+    )
+
+
+# ------------------------------------------------- F5/F12: multimodal
+@query(
+    "f5_binary_cols",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           'text/plain' AS mime,
+           sha256(text) AS payload_hash
+    FROM documents
+    """,
+)
+def f5_binary_cols(spark, sf_dir):
+    """F5: multimodal column pattern — opaque binary payload + typed
+    metadata travelling together. The payload here is encoded text (the
+    container has no image/audio libs, TESTDATA.md); the schema shape
+    (binary + struct metadata) is the real contract."""
+    d = table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    meta = F.struct(
+        F.length(payload).alias("n_bytes"),
+        F.lit("text/plain").alias("mime"),
+    )
+    return d.select(
+        "doc_id",
+        payload.alias("payload"),
+        meta.alias("meta"),
+        F.sha2("text", 256).alias("payload_hash"),
+    ).select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.mime").alias("mime"),
+        "payload_hash",
+    )
+
+
+@query("f12_multimodal_decode")  # rows-only: stubbed decoder
+def f12_multimodal_decode(spark, sf_dir):
+    """F12: multimodal decode/feature-extract plumbing — binary payloads
+    stream through an Arrow-batched ``mapInPandas`` extractor. The decode
+    itself is a STUB (no image/audio libs in this container —
+    deterministic fake: first-8-byte checksum + length buckets standing in
+    for real decoded features); the Spark-side contract (binary in, fixed
+    feature schema out, batch iteration, partition parallelism) is real.
+    """
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            payloads = pdf["payload"]
+            # --- STUB DECODER: replace with real image/audio decode ---
+            checksum = payloads.map(
+                lambda b: int.from_bytes(bytes(b)[:8].ljust(8, b"\0"), "big")
+                % (2**31)
+            )
+            size_bucket = payloads.map(lambda b: len(b) // 64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "feat_checksum": checksum.astype("int64"),
+                    "feat_size_bucket": size_bucket.astype("int32"),
+                }
+            )
+
+    return d.mapInPandas(
+        extract,
+        schema="doc_id long, feat_checksum long, feat_size_bucket int",
+    )
+
+
+# ------------------------------------------------- F6-F9: text analysis
+@query(
+    "f6_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           FLOOR(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) * 10000.0 + 0.5) / 10000.0
+               AS distinct_ratio,
+           FLOOR(CAST(len(list_filter(string_split(text, ' '),
+                                      x -> x IN {STOPWORDS_EN!r})) AS DOUBLE)
+                 / len(string_split(text, ' ')) * 10000.0 + 0.5) / 10000.0
+               AS stopword_ratio,
+           FLOOR((length(text) - len(string_split(text, ' ')) + 1.0)
+                 / len(string_split(text, ' ')) * 10000.0 + 0.5) / 10000.0
+               AS avg_token_len
+    FROM documents
+    """,
+)
+def f6_text_stats(spark, sf_dir):
+    """F6: text quality statistics — length, token count, lexical
+    diversity, stopword ratio, mean token length. Pure column expressions:
+    the whole profile is one codegen'd projection, no shuffle at all."""
+    toks = _tokens()
+    n_tok = F.size(toks).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        fx.r4(F.size(F.array_distinct(toks)) / n_tok).alias("distinct_ratio"),
+        fx.r4(n_stop / n_tok).alias("stopword_ratio"),
+        fx.r4((F.length("text") - F.size(toks) + 1.0) / n_tok)
+        .alias("avg_token_len"),
+    )
+
+
+@query(
+    "f7_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang, s_en, s_es, s_de,
+           CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+                WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS predicted_lang
+    FROM (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text, ' '),
+                               x -> x IN {STOPWORDS_EN!r})) AS s_en,
+               len(list_filter(string_split(text, ' '),
+                               x -> x IN {STOPWORDS_ES!r})) AS s_es,
+               len(list_filter(string_split(text, ' '),
+                               x -> x IN {STOPWORDS_DE!r})) AS s_de
+        FROM documents
+    )
+    """,
+)
+def f7_lang_id(spark, sf_dir):
+    """F7: heuristic language ID — stopword-hit scoring per language,
+    argmax with a fixed tie order. (The synthetic corpus is English-ish
+    word soup with random ``lang`` labels, so the *mechanism* is what is
+    checked — agreement with the label is not expected.)"""
+    toks = _tokens()
+
+    def score(words):
+        arr = F.array(*[F.lit(s) for s in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        score(STOPWORDS_EN).alias("s_en"),
+        score(STOPWORDS_ES).alias("s_es"),
+        score(STOPWORDS_DE).alias("s_de"),
+    )
+    return d.withColumn(
+        "predicted_lang",
+        F.when(
+            (F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_de")),
+            "en",
+        )
+        .when(F.col("s_es") >= F.col("s_de"), "es")
+        .otherwise("de"),
+    )
+
+
+@query(
+    "f8_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           sha256(array_to_string(list_sort(list_distinct(
+               string_split(text, ' '))), ' ')) AS bag_fingerprint
+    FROM documents
+    """,
+)
+def f8_fingerprint(spark, sf_dir):
+    """F8: order-insensitive document fingerprint — SHA-256 over the
+    sorted distinct token bag. Robust to token reordering (the classic
+    cheap near-dup pre-filter before MinHash)."""
+    toks = _tokens()
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.sha2(
+            F.array_join(F.sort_array(F.array_distinct(toks)), " "), 256
+        ).alias("bag_fingerprint"),
+    )
+
+
+@query(
+    "f9_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split_regex(text, '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+')) AS alpha_tokens,
+           len(regexp_extract_all(text, '[0-9]+')) AS num_tokens
+    FROM documents
+    """,
+)
+def f9_token_count(spark, sf_dir):
+    """F9: token counting — whitespace tokens plus a BPE-ish regex token
+    class count (alpha runs, digit runs). regexp_count is codegen'd; no
+    Python in the loop."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", r"\s+")).alias("ws_tokens"),
+        F.regexp_count("text", F.lit("[a-z]+")).cast("long")
+        .alias("alpha_tokens"),
+        F.regexp_count("text", F.lit("[0-9]+")).cast("long")
+        .alias("num_tokens"),
+    )
+
+
+@query("f10_simhash")  # rows-only: bit-level signature, engine-specific
+def f10_simhash(spark, sf_dir):
+    """F10: 64-bit SimHash — per-token xxhash64, each bit votes ±1, the
+    signature is the sign vector. Implemented entirely with higher-order
+    array expressions (transform/aggregate/zip_with): one pass, no UDF,
+    no shuffle."""
+    toks = _tokens()
+    tok_hashes = F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t))
+    # shift distances must be Python ints (shiftleft/right take no Column
+    # bit count), so the 64 bit positions unroll at plan-build time
+    votes = F.aggregate(
+        tok_hashes,
+        F.array(*[F.lit(0) for _ in range(64)]),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+                    ).otherwise(-1)
+                    for b in range(64)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim.bitwiseOR(
+            F.when(
+                F.element_at(votes, b + 1) > 0,
+                F.shiftleft(F.lit(1).cast("long"), b),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", sim.alias("simhash64")
+    )
+
+
+@query(
+    "f11_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([string_split(text, ' ')[i] || ' ' ||
+                              string_split(text, ' ')[i+1] || ' ' ||
+                              string_split(text, ' ')[i+2]
+                              FOR i IN generate_series(1, len(string_split(text, ' ')) - 2)])
+                   AS grams
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           FLOOR(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.grams, b.grams)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def f11_ngram_jaccard(spark, sf_dir):
+    """F11: n-gram Jaccard similarity — exact shingle-set overlap for
+    adjacent doc-id pairs (the verify kernel used inside f2's LSH
+    pipeline, exposed standalone and oracle-checked)."""
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.filter(F.size(_tokens()) >= 3).select(
+        "doc_id", _shingles(_tokens()).alias("grams")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    jac = (
+        F.size(F.array_intersect("ga", "gb")).cast("double")
+        / F.size(F.array_union("ga", "gb"))
+    )
+    return (
+        a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
+        .select("doc_a", "doc_b", fx.r6(jac).alias("jaccard"))
+    )

@@ -1,0 +1,87 @@
+"""Behavioral tests for group F operators — properties the oracle can't
+express: LSH recall vs the exact baseline, planted near-duplicates being
+found, simhash locality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+from nyc_taxi_data_engineering_project_spark import registry
+
+registry.load_all()
+
+
+def test_minhash_finds_planted_neardups(spark):
+    out = registry.QUERIES["f2_minhash_dedup"](spark, SF_DIR).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in out}
+    planted = {(i, i + 100000) for i in range(20)}
+    found = planted & pairs
+    # dropping 2 trailing tokens keeps Jaccard high; LSH with 4 bands of 4
+    # must surface the large majority of planted pairs
+    assert len(found) >= 15, f"only {len(found)}/20 planted pairs found"
+    for r in out:
+        if (r.doc_a, r.doc_b) in planted:
+            assert r.jaccard >= 0.6
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    exact = registry.QUERIES["f3_cosine_topk"](spark, SF_DIR).collect()
+    approx = registry.QUERIES["f3_lsh_ann"](spark, SF_DIR).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # 4-bit multi-probe LSH (own bucket + 4 Hamming-1 probes) over
+    # isotropic random vectors: a true neighbor is found when at most one
+    # hyperplane separates it — far above the 5/16 random-bucket baseline
+    assert mean_recall >= 0.25, f"mean recall {mean_recall:.2f}"
+    # within-bucket results must agree with exact cosine ordering
+    exact_cos = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_cos:
+            assert abs(exact_cos[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
+
+
+def test_simhash_locality(spark):
+    """Near-identical documents must have near-identical simhashes."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river"),
+            (2, "the quick brown fox jumps over the lazy dog near the shore"),
+            (3, "completely different words about spark shuffles and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    out = {
+        r.doc_id: r.simhash64
+        for r in registry.QUERIES["f10_simhash"](spark, tmp).collect()
+    }
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(out[1], out[2]) < hamming(out[1], out[3])
+    assert hamming(out[1], out[2]) <= 16
+
+
+def test_exact_dedup_counts(spark):
+    out = registry.QUERIES["f1_exact_dedup"](spark, SF_DIR)
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    agg = out.agg(
+        F.sum("n_copies").alias("total"), F.count("*").alias("n_groups")
+    ).collect()[0]
+    assert agg.total == n_docs  # every doc accounted for exactly once
+    assert agg.n_groups <= n_docs
