@@ -1,0 +1,79 @@
+"""Benchmark harness — wall-clock per query key over the driver testdata.
+
+Runs every registered query key (SURVEY.md §2 inventory) at
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "total_query_wall_clock", "value": N, "unit": "sec",
+     "queries": {"<key>": sec, ...}, "sf": 0.1}
+
+Timing methodology: each query's DataFrame is materialized with a
+``count()``-free full-evaluation action (``write.format("noop")``) so the
+measured cost is plan + shuffle + compute — not driver collection or disk.
+A single warm-up pass of the flagship query absorbs JVM/codegen startup so
+per-query numbers reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nyc_taxi_data_engineering_project_spark import registry  # noqa: E402
+from nyc_taxi_data_engineering_project_spark.session import get_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _materialize(df) -> None:
+    # noop sink evaluates every row/column without driver collect or I/O
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    registry.load_all()
+    spark = get_session("bench")
+
+    # warm-up: JVM, codegen, parquet footer caches
+    _materialize(registry.QUERIES["flagship_daily_region_revenue"](spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for key in sorted(registry.QUERIES):
+        fn = registry.QUERIES[key]
+        t0 = time.perf_counter()
+        try:
+            _materialize(fn(spark, SF_DIR))
+            timings[key] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # a failing key must not hide the others
+            timings[key] = -1.0
+            print(f"# BENCH ERROR {key}: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
