@@ -1,0 +1,109 @@
+"""Physical-plan assertions (SURVEY.md §4) — the scale-posture guardrails.
+
+Correctness tests prove the answers match; these prove the *plans* are the
+ones that survive a 100 TB scale-up: filters reach the parquet scan,
+scans prune columns, small dims broadcast, top-k avoids global sorts,
+aggregates combine map-side, and nothing silently degenerates into a
+cartesian product. Plans are inspected without executing (driver-side
+only), so the whole registry can be swept cheaply.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from conftest import SF_DIR
+from nyc_taxi_data_engineering_project_spark import registry
+
+registry.load_all()
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_b1_filter_pushdown_and_column_pruning(spark):
+    p = plan_of(registry.QUERIES["b1_date_range"](spark, SF_DIR))
+    # the date-range predicate must reach the parquet scan
+    assert "PushedFilters: [" in p
+    pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed, f"no shipdate pushdown: {pushed}"
+    # and the scan must not read columns the query never touches
+    read = p.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_shipdate" in read
+    for unused in ("l_tax", "l_returnflag", "l_suppkey"):
+        assert unused not in read, f"unpruned column {unused}: {read}"
+
+
+def test_b2_dim_join_is_broadcast(spark):
+    p = plan_of(registry.QUERIES["b2_join_pickup_zone"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # the fact side must not shuffle
+
+
+def test_flagship_broadcasts_small_dims(spark):
+    p = plan_of(registry.QUERIES["flagship_daily_region_revenue"](spark, SF_DIR))
+    assert p.count("BroadcastHashJoin") >= 2  # nation and region at least
+    assert "CartesianProduct" not in p
+    # the date filter reaches the orders scan
+    assert "PushedFilters: [" in p and "o_orderdate" in p.split(
+        "PushedFilters: [", 1
+    )[1].split("]", 1)[0]
+
+
+def test_c1_large_large_join_is_shuffle_based(spark):
+    p = plan_of(registry.QUERIES["c1_smj_selfjoin"](spark, SF_DIR))
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+
+
+def test_b9_topk_avoids_global_sort(spark):
+    p = plan_of(registry.QUERIES["b9_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_b6_aggregate_is_partial(spark):
+    p = plan_of(registry.QUERIES["b6_groupby_count"](spark, SF_DIR))
+    # two-stage hash aggregate: map-side partial + reduce-side final
+    assert "partial_count" in p or p.count("HashAggregate") >= 2
+
+
+def test_f1_dedup_aggregate_is_partial(spark):
+    p = plan_of(registry.QUERIES["f1_exact_dedup"](spark, SF_DIR))
+    assert p.count("HashAggregate") >= 2
+
+
+# ops whose semantics genuinely require a non-equi/nested-loop strategy:
+# c6 is the cross-join operator itself; c7 is a broadcast band lookup;
+# f3's exact baseline is a deliberate broadcast all-pairs (its scale path
+# f3_lsh_ann joins equi on bucket id and is asserted below).
+NON_EQUI_ALLOWED = {"c6_cross_join", "c7_range_join", "f3_cosine_topk"}
+
+# streaming keys exercise readStream plumbing in their rows-only form and
+# are planned separately by the streaming engine
+SWEEP_KEYS = sorted(
+    k for k in registry.QUERIES if not k.startswith("d")
+)
+
+
+@pytest.mark.parametrize("key", SWEEP_KEYS)
+def test_no_accidental_cartesian(spark, key):
+    p = plan_of(registry.QUERIES[key](spark, SF_DIR), mode="simple")
+    if key in NON_EQUI_ALLOWED:
+        return
+    assert "CartesianProduct" not in p, f"{key} degenerated to cartesian"
+    assert "BroadcastNestedLoopJoin" not in p, f"{key} uses nested loop"
+
+
+def test_lsh_paths_join_equi_on_bucket(spark):
+    """The scale paths of similarity search must be equi joins (shuffle-
+    partitionable by bucket), never all-pairs."""
+    for key in ("f3_lsh_ann", "f13_embedding_neardup", "f2_minhash_dedup"):
+        p = plan_of(registry.QUERIES[key](spark, SF_DIR), mode="simple")
+        assert "CartesianProduct" not in p, key
+        assert "BroadcastNestedLoopJoin" not in p, key
