@@ -153,20 +153,29 @@ def f2_minhash_dedup(spark, sf_dir):
         F.slice("toks", 1, F.size("toks") - 2).alias("toks"),
     )
     corpus = toked.unionByName(mutated).filter(F.size("toks") >= 3)
-    # repartition = materialization barrier: without it, projection
-    # collapse substitutes the shingle-transform expression into every
-    # one of the 32 minhash lambdas below (measured 14× recompute at
-    # sf0.1); with it, `sh` is computed once into shuffle files. The
-    # shuffled payload is just the hashed-gram arrays (~8·|grams| bytes
-    # per doc) and doc-id partitioning is reused by the verify join.
+    # Two materialization decisions, both measured (see BASELINE.md):
+    # - the repartition barrier stops projection collapse from
+    #   substituting the shingle transform into all 32 minhash lambdas
+    #   (14× recompute without it);
+    # - persist() pins the shingled frame, which three plan branches
+    #   consume (band generation + both sides of the verify join) and
+    #   which Spark would otherwise re-evaluate per branch — exchange
+    #   reuse does not fire across differently-aliased subtrees. At
+    #   100 TB this is persist(DISK_ONLY) or a checkpoint table; the
+    #   payload is only doc_id + hashed-gram arrays (~8·|grams| B/doc),
+    #   far smaller than the text it derives from.
+    # NB: no filter on size(sh) here — the toks-size filter above already
+    # guarantees ≥1 gram, and a post-projection filter on `sh` would be
+    # pushed below the projection, re-evaluating the entire shingle
+    # expression a second time (measured 2.7× on this stage).
     shingled = (
         corpus.select(
             "doc_id",
             F.transform(_shingles(F.col("toks")), lambda g: F.xxhash64(g))
             .alias("sh"),
         )
-        .filter(F.size("sh") > 0)
         .repartition(F.col("doc_id"))
+        .persist()
     )
 
     n_hashes, n_bands, max_bucket = 32, 4, 64
@@ -193,26 +202,24 @@ def f2_minhash_dedup(spark, sf_dir):
         F.explode(F.expr(f"array({band_structs})")).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
 
-    # hot-bucket cap: bound candidate generation under skew
-    bucket_w = W.partitionBy("band_id", "band_hash")
-    bands = (
-        bands.withColumn("_w", F.count(F.lit(1)).over(bucket_w))
-        .filter(F.col("_w") <= max_bucket)
-        .drop("_w")
+    # Candidate generation as ONE aggregation instead of a band self-join
+    # + window cap: group docs per bucket, keep buckets of width 2..cap
+    # (the size filter IS the hot-bucket cap — skewed buckets never
+    # expand), and expand the within-bucket pairs with an array
+    # comprehension. Work and shuffle are both bounded by B·cap² however
+    # skewed the input; the self-join formulation also evaluated the
+    # whole minhash subtree once per join side.
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> "
+        "named_struct('doc_a', least(x, y), 'doc_b', greatest(x, y)))))"
     )
-
-    left = bands.alias("l")
-    right = bands.alias("r")
     cand = (
-        left.join(
-            right,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
-        )
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     sh_a = shingled.select(F.col("doc_id").alias("doc_a"),
