@@ -421,6 +421,74 @@ def f13_embedding_neardup(spark, sf_dir):
     )
 
 
+@query("f14_dedup_clusters")  # rows-only: iterative algorithm
+def f14_dedup_clusters(spark, sf_dir):
+    """F14: duplicate-cluster resolution — connected components over the
+    near-duplicate pair graph (f2's output), turning pairwise matches
+    into dedup decisions: every doc gets a cluster_id (the minimum doc_id
+    in its component) and a keep flag on the cluster representative.
+
+    Algorithm: min-label propagation. Each vertex starts labeled with its
+    own id; each round, every vertex takes the minimum label among itself
+    and its neighbors; converged when a round changes nothing. Rounds are
+    bounded by component diameter — near-dup clusters are tiny and dense,
+    so this converges in 2-3 rounds (hard cap 10).
+
+    Scale notes: the per-round work is one equi join edges⋈labels plus a
+    min-aggregate — both shuffle-partitioned on vertex id. Each round's
+    result is localCheckpoint()ed: without lineage truncation an
+    iterative loop's plan doubles per round and the job dies at plan
+    compile time long before data size matters. The convergence check is
+    a scalar count per round (a driver-side decision, not a data
+    collect)."""
+    pairs = f2_minhash_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"),
+                         F.col("doc_a").alias("dst"))
+        )
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(10):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("id") == F.col("label")).alias("keep"),
+    )
+
+
 # ------------------------------------------------------ F4: text → TF-IDF
 @query(
     "f4_tfidf",

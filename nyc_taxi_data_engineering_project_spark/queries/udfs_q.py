@@ -78,7 +78,7 @@ def e2_pandas_udf(spark, sf_dir):
                  / (CASE WHEN stddev_samp(o_totalprice) OVER w = 0 THEN NULL
                          ELSE stddev_samp(o_totalprice) OVER w END)
                  * 10000.0 + 0.5) / 10000.0 AS price_z
-    FROM orders WHERE o_custkey < 2000
+    FROM orders WHERE o_custkey < 500
     WINDOW w AS (PARTITION BY o_custkey)
     """,
 )
@@ -111,7 +111,7 @@ def e3_apply_in_pandas(spark, sf_dir):
 
     return (
         table(spark, sf_dir, "orders")
-        .filter(F.col("o_custkey") < 2000)
+        .filter(F.col("o_custkey") < 500)
         .groupBy("o_custkey")
         .applyInPandas(
             zscore, schema="orderkey long, custkey long, price_z double"

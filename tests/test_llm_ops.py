@@ -77,6 +77,31 @@ def test_simhash_locality(spark):
     assert hamming(out[1], out[2]) <= 16
 
 
+def test_dedup_clusters_resolve_planted_pairs(spark):
+    """Connected components must put each planted near-dup with its
+    source doc, keep exactly one representative per cluster, and label
+    clusters by their minimum member."""
+    out = registry.QUERIES["f14_dedup_clusters"](spark, SF_DIR).collect()
+    cluster_of = {r.doc_id: r.cluster_id for r in out}
+    keeps = {r.doc_id for r in out if r.keep}
+    planted_found = [
+        i for i in range(20)
+        if i in cluster_of and (i + 100000) in cluster_of
+    ]
+    assert len(planted_found) >= 15
+    for i in planted_found:
+        assert cluster_of[i + 100000] == cluster_of[i]
+    # exactly one keeper per cluster, and it is the minimum member
+    import collections
+
+    members = collections.defaultdict(list)
+    for r in out:
+        members[r.cluster_id].append(r.doc_id)
+    for cid, docs in members.items():
+        assert cid == min(docs)
+        assert len(set(docs) & keeps) == 1
+
+
 def test_exact_dedup_counts(spark):
     out = registry.QUERIES["f1_exact_dedup"](spark, SF_DIR)
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
