@@ -90,6 +90,54 @@ def _norm(a):
     return F.sqrt(_dot(a, a))
 
 
+# Fixed random-hyperplane set for the ANN scale path — seeded, so the
+# DuckDB oracle can inline the exact same literals and check values.
+_N_LSH_PLANES = 4
+_LSH_RNG = random.Random(42)
+LSH_PLANES = [
+    [_LSH_RNG.uniform(-1.0, 1.0) for _ in range(64)]
+    for _ in range(_N_LSH_PLANES)
+]
+
+
+def _lsh_ann_oracle() -> str:
+    """DuckDB twin of f3_lsh_ann: same planes (inlined literals), same
+    bucket rule (sign bits), same Hamming-1 multi-probe, same top-k."""
+    plane_sql = [
+        "[" + ", ".join(repr(v) for v in plane) + "]" for plane in LSH_PLANES
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {p}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(plane_sql)
+    )
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(_N_LSH_PLANES)]
+    )
+    return f"""
+    WITH tagged AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+               {bucket} AS bucket
+        FROM embeddings
+    ), probes AS (
+        SELECT vec_id AS query_id, e AS qe,
+               unnest([{probe_list}]) AS bucket
+        FROM tagged WHERE vec_id < 20
+    ), pairs AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(p.qe, c.e) AS cos
+        FROM probes p JOIN tagged c USING (bucket)
+        WHERE p.query_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           FLOOR(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine, rk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+        ) AS rk FROM pairs
+    ) WHERE rk <= 5
+    """
+
+
 def _embeddings(spark, sf_dir) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     emb = _as_double(F.col("embedding"))
@@ -297,7 +345,7 @@ def f3_cosine_topk(spark, sf_dir):
     )
 
 
-@query("f3_lsh_ann")  # rows-only: approximate recall, no exact oracle
+@query("f3_lsh_ann", oracle=_lsh_ann_oracle())
 def f3_lsh_ann(spark, sf_dir):
     """F3 scale path: random-hyperplane LSH ANN with multi-probe. Each
     vector gets a 4-bit signature (sign of dot with 4 fixed seeded
@@ -308,11 +356,11 @@ def f3_lsh_ann(spark, sf_dir):
     equi/shuffle-partitionable, candidates are indexed once while the
     (small) query side fans out — recall/cost is tuned by probe radius,
     never by widening to all-pairs. Recall vs the exact baseline is
-    asserted in tests/test_llm_ops.py."""
-    rng = random.Random(42)
-    n_planes = 4
-    planes = [[rng.uniform(-1.0, 1.0) for _ in range(64)]
-              for _ in range(n_planes)]
+    asserted in tests/test_llm_ops.py; because the hyperplanes are fixed
+    literals, the whole approximate pipeline is ALSO value-checked
+    against a DuckDB twin that inlines the same planes."""
+    n_planes = _N_LSH_PLANES
+    planes = LSH_PLANES
     emb = _embeddings(spark, sf_dir)
 
     def bucket_of(emb_col):
