@@ -537,6 +537,78 @@ def f14_dedup_clusters(spark, sf_dir):
     )
 
 
+@query(
+    "f15_train_val_split",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, lang,
+               ('0x' || substring(md5(text), 1, 8))::BIGINT % 100 AS bucket
+        FROM documents
+    )
+    """,
+)
+def f15_train_val_split(spark, sf_dir):
+    """F15: deterministic train/val/test split (90/5/5) — bucket by a
+    content hash (md5 of the text, not the id), so the assignment is
+    stable under re-sharding, re-ingestion, and id reassignment, and
+    duplicate texts always land in the same split (no train/test leakage
+    through near-copies that exact-hash equal). Pure projection: no
+    shuffle, fuses with the scan; the md5/hex-prefix construction is the
+    cross-engine-reproducible spelling of the bucket hash."""
+    bucket = (
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long") % 100
+    )
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
+    "f16_pack_sequences",
+    oracle="""
+    SELECT doc_id, lang, n_tokens,
+           CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
+    FROM (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tokens,
+               SUM(len(string_split(text, ' '))) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents
+    )
+    """,
+)
+def f16_pack_sequences(spark, sf_dir):
+    """F16: sequence packing — assign documents to fixed token-budget
+    packs (512 here) for training-batch construction. Deterministic
+    cumulative-sum formulation: pack_id = floor(tokens-before / budget)
+    within each language stream ordered by doc_id — reproducible across
+    runs/partitionings and cheap (one window per lang partition, which
+    shuffle-partitions by lang; at scale the stream key is
+    (lang, shard) so no single partition serializes a whole language)."""
+    toks = F.size(_tokens())
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", toks.alias("n_tokens"),
+        F.sum(toks).over(w).alias("cum"),
+    )
+    return d.select(
+        "doc_id", "lang", "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / 512.0).alias("pack_id"),
+    )
+
+
 # ------------------------------------------------------ F4: text → TF-IDF
 @query(
     "f4_tfidf",
