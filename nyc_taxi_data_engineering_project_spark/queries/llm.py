@@ -510,24 +510,22 @@ def f14_dedup_clusters(spark, sf_dir):
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        new_label = F.least(
+            F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+        )
+        # carry the changed flag through the checkpoint so convergence is
+        # a filter-count on materialized data, not a second join per round
+        stepped = (
             labels.join(nbr_min, labels.id == nbr_min.src, "left")
             .select(
                 "id",
-                F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("nbr_label"), F.col("label")),
-                ).alias("label"),
+                new_label.alias("label"),
+                (new_label < F.col("label")).alias("_changed"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter("_changed").count()
+        labels = stepped.drop("_changed")
         if changed == 0:
             break
     return labels.select(
