@@ -47,16 +47,28 @@ def with_month(df: DataFrame) -> DataFrame:
     )
 
 
-def write_trips_month_idempotent(df: DataFrame, target: str) -> None:
+def write_trips_month_idempotent(df: DataFrame, target: str,
+                                 files_per_month: int = 1) -> None:
     """A10: idempotent window reload. Dynamic partition overwrite replaces
     exactly the months present in ``df`` and leaves all others untouched —
     the delete-before-insert of ``python/ingest_data.py:160-166`` without
     a separate delete pass, atomic per partition via the file-commit
     protocol (SURVEY.md §7.4 hard-point 5: single-writer, like the
-    reference's systemd unit)."""
+    reference's systemd unit).
+
+    ``files_per_month`` controls layout width: the shuffle key is
+    (month, hash(pickup_datetime) % N), so each month writes N similar-
+    sized files. Local/test default is 1; at real scale a month of trips
+    is far bigger than one task's worth, so N is sized to make individual
+    files land near the 128 MB-1 GB sweet spot — one-file-per-month does
+    not survive a 100 TB table."""
+    keyed = with_month(df).withColumn(
+        "_file_bucket",
+        F.pmod(F.hash("pickup_datetime"), F.lit(files_per_month)),
+    )
     (
-        with_month(df)
-        .repartition(MONTH_COL)  # one shuffle → few large files per month
+        keyed.repartition(MONTH_COL, "_file_bucket")
+        .drop("_file_bucket")
         .write.mode("overwrite")
         .partitionBy(MONTH_COL)
         .option("partitionOverwriteMode", "dynamic")
