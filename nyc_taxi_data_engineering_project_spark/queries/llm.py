@@ -674,7 +674,19 @@ def f5_binary_cols(spark, sf_dir):
     )
 
 
-@query("f12_multimodal_decode")  # rows-only: stubbed decoder
+@query(
+    "f12_multimodal_decode",
+    # the deterministic stub decoder is arithmetic on the payload bytes,
+    # so even the mapInPandas plumbing is value-checked cross-engine
+    oracle="""
+    SELECT doc_id,
+           (('0x' || rpad(substring(hex(encode(text)), 1, 16), 16, '0'))
+               ::UBIGINT % 2147483648)::BIGINT AS feat_checksum,
+           CAST(octet_length(encode(text)) // 64 AS INTEGER)
+               AS feat_size_bucket
+    FROM documents
+    """,
+)
 def f12_multimodal_decode(spark, sf_dir):
     """F12: multimodal decode/feature-extract plumbing — binary payloads
     stream through an Arrow-batched ``mapInPandas`` extractor. The decode
