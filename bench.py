@@ -46,8 +46,14 @@ def main() -> None:
     registry.load_all()
     spark = get_session("bench")
 
-    # warm-up: JVM, codegen, parquet footer caches
-    _materialize(registry.QUERIES["flagship_daily_region_revenue"](spark, SF_DIR))
+    # warm-up: JVM, codegen, parquet footer caches — failure here must not
+    # suppress the whole benchmark (each key also times its own first run)
+    try:
+        _materialize(
+            registry.QUERIES["flagship_daily_region_revenue"](spark, SF_DIR)
+        )
+    except Exception as exc:
+        print(f"# BENCH WARMUP ERROR: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for key in sorted(registry.QUERIES):

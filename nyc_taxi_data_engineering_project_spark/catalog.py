@@ -19,9 +19,10 @@ TESTDATA_TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
-# Dimensions small enough that a broadcast-hash join is always the right
-# physical plan (the zones-dim observation of SURVEY.md §1.1 generalized).
-BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+# (Broadcast decisions are made at each join site with F.broadcast —
+# the zones-dim observation of SURVEY.md §1.1 — and asserted by
+# tests/test_plans.py; no central dim list exists so the code can't
+# drift from the actual physical plans.)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

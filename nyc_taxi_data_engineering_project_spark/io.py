@@ -86,10 +86,20 @@ def ingest_trips(spark: SparkSession, source_path: str, target: str) -> int:
     """End-to-end fact ingestion (reference ``load_trips_chunked``,
     ``python/ingest_data.py:152-183``): scan → conform (A4-A9) → idempotent
     month-partitioned write (A10). One lazy DAG, no driver-side loops.
-    Returns rows written (the reference's logged row count, ``:183``)."""
+    Returns rows written BY THIS BATCH (the reference's logged row count,
+    ``:183``) — counted on the target restricted to the months this batch
+    replaced, so pre-existing untouched months never inflate the number."""
     conformed = conform_trips(read_trips(spark, source_path))
     write_trips_month_idempotent(conformed, target)
-    return spark.read.parquet(target).count()
+    months = [
+        r[0]
+        for r in with_month(conformed).select(MONTH_COL).distinct().collect()
+    ]
+    return (
+        spark.read.parquet(target)
+        .filter(F.col(MONTH_COL).isin(months))
+        .count()
+    )
 
 
 def surrogate_ids(df: DataFrame, order_cols: list[str] | None = None) -> DataFrame:

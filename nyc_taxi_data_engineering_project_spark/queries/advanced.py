@@ -499,7 +499,11 @@ def c15_intersect(spark, sf_dir):
     """,
 )
 def c15_except(spark, sf_dir):
-    """EXCEPT (set difference) — planned as an aggregate + anti join."""
+    """EXCEPT (set difference) — planned as an aggregate + anti join.
+    NB: ``subtract`` is EXCEPT DISTINCT; ``exceptAll().distinct()`` would
+    be wrong when the left side holds duplicates of a value also present
+    on the right (exceptAll leaves surviving copies that distinct keeps,
+    but set-EXCEPT removes the value entirely)."""
     c = (
         table(spark, sf_dir, "customer")
         .filter(F.col("c_acctbal") > 0)
@@ -510,7 +514,7 @@ def c15_except(spark, sf_dir):
         .filter(F.col("o_totalprice") > 100000)
         .select(F.col("o_custkey").alias("key"))
     )
-    return c.exceptAll(o).distinct()
+    return c.subtract(o)
 
 
 @query(

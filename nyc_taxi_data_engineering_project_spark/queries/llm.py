@@ -44,14 +44,19 @@ def _shingles(tok_col, n=3):
     operand, so an inline split re-tokenizes the document per gram per
     position (measured 8× slower at sf0.1). Callers go through
     ``_hashed_shingles``."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tok_col) - (n - 1), F.lit(0)))
+    idx = F.sequence(F.lit(1), F.size(tok_col) - (n - 1))
     grams = F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(tok_col, (i + k).cast("int")) for k in range(n)]
         ),
     )
-    return F.array_distinct(grams)
+    # guard BEFORE building the sequence: sequence(1, 0) is the
+    # DESCENDING array [1, 0], not empty, and element_at(toks, 0) throws —
+    # short docs must short-circuit to an empty shingle set
+    return F.when(
+        F.size(tok_col) >= n, F.array_distinct(grams)
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def _hashed_shingles(docs, n=3):
@@ -196,7 +201,11 @@ def f2_minhash_dedup(spark, sf_dir):
     scale)."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     toked = docs.select("doc_id", _tokens().alias("toks"))
-    mutated = toked.filter(F.col("doc_id") < 20).select(
+    # size guard BEFORE the slice: slice() with a negative length throws,
+    # so a 1-token doc among doc_id<20 must be excluded, not sliced
+    mutated = toked.filter(
+        (F.col("doc_id") < 20) & (F.size("toks") >= 3)
+    ).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.slice("toks", 1, F.size("toks") - 2).alias("toks"),
     )
@@ -473,8 +482,10 @@ def f13_embedding_neardup(spark, sf_dir):
 def f14_dedup_clusters(spark, sf_dir):
     """F14: duplicate-cluster resolution — connected components over the
     near-duplicate pair graph (f2's output), turning pairwise matches
-    into dedup decisions: every doc gets a cluster_id (the minimum doc_id
-    in its component) and a keep flag on the cluster representative.
+    into dedup decisions: every doc in the corpus gets a cluster_id (the
+    minimum doc_id in its component; singletons are their own cluster)
+    and a keep flag on the cluster representative — so "keep rows where
+    keep" is the complete deduplicated corpus, not just the pair members.
 
     Algorithm: min-label propagation. Each vertex starts labeled with its
     own id; each round, every vertex takes the minimum label among itself
@@ -528,10 +539,25 @@ def f14_dedup_clusters(spark, sf_dir):
         labels = stepped.drop("_changed")
         if changed == 0:
             break
-    return labels.select(
-        F.col("id").alias("doc_id"),
-        F.col("label").alias("cluster_id"),
-        (F.col("id") == F.col("label")).alias("keep"),
+    # cover the WHOLE corpus, not just docs that appear in a pair:
+    # singletons are their own (kept) cluster — a consumer keeping
+    # keep=true rows must not silently lose every unique document.
+    # (Corpus = the documents table ∪ f2's planted synthetic docs, which
+    # surface through the edge set.)
+    all_docs = (
+        table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("id"))
+        .unionByName(edges.select(F.col("src").alias("id")))
+        .distinct()
+    )
+    return (
+        all_docs.join(labels, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce(F.col("label"), F.col("id")).alias("cluster_id"),
+            (F.coalesce(F.col("label"), F.col("id")) == F.col("id"))
+            .alias("keep"),
+        )
     )
 
 

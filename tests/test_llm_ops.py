@@ -102,6 +102,29 @@ def test_dedup_clusters_resolve_planted_pairs(spark):
         assert len(set(docs) & keeps) == 1
 
 
+def test_minhash_survives_short_documents(spark):
+    """Regression: a 1-token doc among doc_id<20 must be skipped, not
+    crash the planted-mutation slice (negative slice length) or the
+    shingle sequence (sequence(1,0) is [1,0], not empty)."""
+    import os
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [
+            (0, "tiny"),
+            (1, "two tokens"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "the quick brown fox jumps over the lazy dog tonight"),
+        ],
+        "doc_id long, text string",
+    )
+    tmp = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    out = registry.QUERIES["f2_minhash_dedup"](spark, tmp).collect()
+    assert all(r.doc_a not in (0, 1) and r.doc_b not in (100000, 100001)
+               for r in out)
+
+
 def test_exact_dedup_counts(spark):
     out = registry.QUERIES["f1_exact_dedup"](spark, SF_DIR)
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
