@@ -24,10 +24,17 @@ from ..streaming import (
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
-@query("d1_stream_source")  # rows-only: streaming execution, no SQL oracle
+@query(
+    "d1_stream_source",
+    # bounded replay in complete mode processes every row exactly once,
+    # so the streaming result is value-identical to the batch aggregate
+    oracle="SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1",
+)
 def d1_stream_source(spark, sf_dir):
     """D1: file-source stream replayed to completion (availableNow) —
-    counts per event type via a real streaming query."""
+    counts per event type via a real streaming query. Complete-mode
+    output over a bounded replay is deterministic, so even the streaming
+    execution path is value-checked against the batch oracle."""
     agg = (
         events_stream(spark, sf_dir)
         .groupBy("event_type")
