@@ -1,5 +1,9 @@
 """Query modules — importing this package registers every query key."""
 
-from . import etl, relational, advanced, funcs, streaming_q, udfs_q, llm  # noqa: F401
+from . import (  # noqa: F401
+    etl, relational, advanced, funcs, streaming_q, udfs_q, llm, tpch,
+)
 
-__all_modules__ = (etl, relational, advanced, funcs, streaming_q, udfs_q, llm)
+__all_modules__ = (
+    etl, relational, advanced, funcs, streaming_q, udfs_q, llm, tpch,
+)
