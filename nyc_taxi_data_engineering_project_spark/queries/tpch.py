@@ -10,8 +10,9 @@ Physical posture per query:
   aggregation, the pattern every engine benchmarks first.
 - Q3: fact⋈fact join (lineitem⋈orders) shuffled on orderkey with the
   customer dim broadcast; top-k via TakeOrderedAndProject.
-- Q5: the 6-table snowflake — two big joins shuffled, all three dims
-  broadcast, one hash aggregate.
+- Q5: the 6-table snowflake — big joins shuffled, the always-tiny dims
+  (nation/region) broadcast, customer/supplier strategy left to AQE,
+  one hash aggregate.
 - Q6: scan + predicate + single global agg; the predicates all push to
   the parquet scan.
 """
@@ -128,7 +129,10 @@ def tpch_q3(spark, sf_dir):
 )
 def tpch_q5(spark, sf_dir):
     """TPC-H Q5 local-supplier volume: the 6-table snowflake with the
-    local-supplier condition (customer and supplier share a nation)."""
+    local-supplier condition (customer and supplier share a nation).
+    Broadcast hints only on nation/region (always tiny); customer and
+    supplier scale with the fact tables, so their join strategy is left
+    to AQE — broadcast under the threshold at test SF, shuffle beyond."""
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(
@@ -141,9 +145,9 @@ def tpch_q5(spark, sf_dir):
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey)
             & (c.c_nationkey == s.s_nationkey),
         )
