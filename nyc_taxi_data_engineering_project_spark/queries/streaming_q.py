@@ -177,7 +177,12 @@ def d6_stream_dedup(spark, sf_dir):
 def d8_stateful(spark, sf_dir):
     """D8: arbitrary stateful processing — per-user running event count +
     max value maintained in explicit GroupState via
-    ``applyInPandasWithState`` over a real bounded stream."""
+    ``applyInPandasWithState`` over a real bounded stream.
+
+    (Spark 4's successor API, ``transformWithStateInPandas``, was
+    verified to exist here but its Python runner requires protobuf,
+    which this container lacks — the GroupState API is the supported
+    path in this environment.)"""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState
 
