@@ -377,7 +377,12 @@ def c11_approx_percentile(spark, sf_dir):
         SELECT o_custkey AS custkey, o_orderkey AS orderkey,
                ROW_NUMBER() OVER w AS rn,
                RANK() OVER w AS rnk,
-               DENSE_RANK() OVER w AS drnk
+               DENSE_RANK() OVER w AS drnk,
+               NTILE(4) OVER w AS tile4,
+               FLOOR(PERCENT_RANK() OVER w * 1000000.0 + 0.5) / 1000000.0
+                   AS pct_rank,
+               FLOOR(CUME_DIST() OVER w * 1000000.0 + 0.5) / 1000000.0
+                   AS cdist
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey
                      ORDER BY o_orderdate DESC, o_orderkey)
@@ -385,9 +390,10 @@ def c11_approx_percentile(spark, sf_dir):
     """,
 )
 def c12_rank(spark, sf_dir):
-    """Ranking windows — latest-3-orders-per-customer (top-k per group).
-    One shuffle on the partition key; tiebreak on orderkey keeps
-    row_number deterministic across engines."""
+    """Ranking windows — latest-3-orders-per-customer (top-k per group)
+    plus the full ranking family (ntile/percent_rank/cume_dist). One
+    shuffle on the partition key; the orderkey tiebreak makes the order
+    total, so every ranking function is deterministic across engines."""
     w = W.partitionBy("o_custkey").orderBy(
         F.col("o_orderdate").desc(), F.col("o_orderkey").asc()
     )
@@ -399,6 +405,9 @@ def c12_rank(spark, sf_dir):
             F.row_number().over(w).alias("rn"),
             F.rank().over(w).alias("rnk"),
             F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("tile4"),
+            fx.r6(F.percent_rank().over(w)).alias("pct_rank"),
+            fx.r6(F.cume_dist().over(w)).alias("cdist"),
         )
         .filter(F.col("rn") <= 3)
     )
