@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W, functions as F
 
 from .. import fx
-from ..catalog import table
+from ..catalog import register_views, table
 from ..registry import query
 
 
@@ -574,3 +574,46 @@ def c17_offset(spark, sf_dir):
         .limit(20)
         .select("o_orderkey", "o_totalprice")
     )
+
+
+@query(
+    "c32_recursive_cte",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+        SELECT DATE '1995-01-01'
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM months WHERE m < DATE '2001-08-01'
+    )
+    SELECT strftime(CAST(m AS DATE), '%Y-%m') AS month,
+           COALESCE(o.n, 0) AS n_orders
+    FROM months
+    LEFT JOIN (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mk,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1
+    ) o ON strftime(CAST(m AS DATE), '%Y-%m') = o.mk
+    """,
+)
+def c32_recursive_cte(spark, sf_dir):
+    """Recursive CTE (Spark 4) — a calendar month spine spanning the data
+    domain, left-joined to per-month order counts so gap months surface
+    as explicit zeros: the dense-time-series pattern Postgres users write
+    with generate_series or WITH RECURSIVE. The recursion is ~80 rows of
+    driver-side iteration (bounded, tiny); the join against it broadcasts
+    the spine."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        WITH RECURSIVE months(m) AS (
+            SELECT DATE '1995-01-01'
+            UNION ALL
+            SELECT add_months(m, 1) FROM months WHERE m < DATE '2001-08-01'
+        )
+        SELECT date_format(m, 'yyyy-MM') AS month,
+               COALESCE(o.n, CAST(0 AS BIGINT)) AS n_orders
+        FROM months
+        LEFT JOIN (
+            SELECT date_format(o_orderdate, 'yyyy-MM') AS mk,
+                   COUNT(*) AS n
+            FROM orders GROUP BY 1
+        ) o ON date_format(m, 'yyyy-MM') = o.mk
+    """)
