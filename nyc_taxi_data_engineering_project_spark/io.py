@@ -102,6 +102,28 @@ def ingest_trips(spark: SparkSession, source_path: str, target: str) -> int:
     )
 
 
+def write_bucketed(df: DataFrame, table_name: str, key: str,
+                   buckets: int = 16, path: str | None = None) -> None:
+    """A15 (scale option): hash-bucketed, per-bucket-sorted table layout.
+
+    Two tables bucketed on the same key with the same bucket count join
+    with ZERO shuffle (and, with ``sortBy``, zero sort) — the bucketing
+    is a persisted pre-shuffle, amortized across every subsequent join or
+    aggregation on that key. This is the Spark analog of the reference's
+    FK B-tree indexes for the repeated-join access path
+    (``sql/init.sql:46-47``) when the dim is too large to broadcast.
+    Asserted shuffle-free in tests/test_bucketing.py."""
+    writer = (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .format("parquet")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
 def surrogate_ids(df: DataFrame, order_cols: list[str] | None = None) -> DataFrame:
     """A13: surrogate key. Default: ``monotonically_increasing_id`` —
     distributed, collision-free, non-dense (like BIGSERIAL's ordering
