@@ -750,6 +750,49 @@ def f12_multimodal_decode(spark, sf_dir):
     )
 
 
+@query(
+    "f17_quality_filter",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(n_tokens BETWEEN 5 AND 1000 AS INTEGER) AS ok_length,
+           CAST(distinct_ratio > 0.2 AS INTEGER) AS ok_diversity,
+           CAST(avg_token_len BETWEEN 2 AND 12 AS INTEGER) AS ok_token_len,
+           CAST(n_tokens BETWEEN 5 AND 1000
+                AND distinct_ratio > 0.2
+                AND avg_token_len BETWEEN 2 AND 12 AS INTEGER) AS keep
+    FROM (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS distinct_ratio,
+               (length(text) - len(string_split(text, ' ')) + 1.0)
+                   / len(string_split(text, ' ')) AS avg_token_len
+        FROM documents
+    )
+    """,
+)
+def f17_quality_filter(spark, sf_dir):
+    """F17: corpus quality filter — threshold rules over the f6 text
+    statistics (length band, lexical diversity, mean token length), each
+    surfaced as its own flag so rejected documents carry the reason —
+    the auditable form a real pipeline needs (filter-rate monitoring per
+    rule, not a silent AND). Pure projection: fuses with the scan."""
+    toks = _tokens()
+    n_tok = F.size(toks).cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
+    avg_len = (F.length("text") - F.size(toks) + 1.0) / n_tok
+    ok_length = (F.size(toks) >= 5) & (F.size(toks) <= 1000)
+    ok_diversity = distinct_ratio > 0.2
+    ok_token_len = (avg_len >= 2) & (avg_len <= 12)
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        ok_length.cast("int").alias("ok_length"),
+        ok_diversity.cast("int").alias("ok_diversity"),
+        ok_token_len.cast("int").alias("ok_token_len"),
+        (ok_length & ok_diversity & ok_token_len).cast("int").alias("keep"),
+    )
+
+
 # ------------------------------------------------- F6-F9: text analysis
 @query(
     "f6_text_stats",
