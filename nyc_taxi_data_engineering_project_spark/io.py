@@ -19,11 +19,38 @@ Write-path design for 100 TB:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .conform import conform_trips
 
 MONTH_COL = "pickup_month"
+
+
+def download_if_missing(url: str, dest: str, min_bytes: int = 100,
+                        timeout: int = 60, chunk_bytes: int = 8192) -> bool:
+    """A1: driver-side prefetch of a remote file
+    (``python/ingest_data.py:69-85``): skip when ``dest`` already exists
+    above the size guard, else stream-download in bounded chunks to a
+    temp name and rename atomically (a crashed download never leaves a
+    plausible-looking partial file). Returns True when a download
+    happened. Driver-side by design — on a cluster the executors read
+    object storage directly and this step disappears."""
+    import urllib.request
+
+    if os.path.exists(dest) and os.path.getsize(dest) > min_bytes:
+        return False
+    tmp = dest + ".part"
+    with urllib.request.urlopen(url, timeout=timeout) as resp, \
+            open(tmp, "wb") as out:
+        while True:
+            chunk = resp.read(chunk_bytes)
+            if not chunk:
+                break
+            out.write(chunk)
+    os.replace(tmp, dest)
+    return True
 
 
 def read_trips(spark: SparkSession, path: str) -> DataFrame:

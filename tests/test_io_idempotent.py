@@ -94,3 +94,46 @@ def test_surrogate_ids(spark):
     det = surrogate_ids(df, order_cols=["x"])
     rows = det.orderBy("x").select("trip_id").collect()
     assert [r.trip_id for r in rows] == list(range(1, 101))
+
+
+def test_download_if_missing_file_url(tmp_path):
+    """A1 prefetch semantics via a file:// URL (no network in CI): a
+    fresh download streams and renames atomically; a present file above
+    the size guard is skipped; an undersized file re-downloads."""
+    from nyc_taxi_data_engineering_project_spark.io import download_if_missing
+
+    src = tmp_path / "src.parquet"
+    src.write_bytes(b"x" * 500)
+    dest = tmp_path / "dest.parquet"
+    url = src.as_uri()
+
+    assert download_if_missing(url, str(dest)) is True
+    assert dest.read_bytes() == b"x" * 500
+    # skip-if-present (size > guard)
+    assert download_if_missing(url, str(dest)) is False
+    # undersized file is treated as a failed previous download
+    dest.write_bytes(b"x" * 10)
+    assert download_if_missing(url, str(dest)) is True
+    assert dest.read_bytes() == b"x" * 500
+    assert not (tmp_path / "dest.parquet.part").exists()
+
+
+def test_zones_csv_roundtrip(spark, tmp_path):
+    """A3+A4+A8: header CSV → read → conform to the zones contract."""
+    from nyc_taxi_data_engineering_project_spark.conform import conform_zones
+    from nyc_taxi_data_engineering_project_spark.io import read_zones_csv
+    from nyc_taxi_data_engineering_project_spark.schemas import ZONES_SCHEMA
+
+    csv = tmp_path / "zones.csv"
+    csv.write_text(
+        '"LocationID","Borough","Zone","service_zone"\n'
+        '1,"EWR","Newark Airport","EWR"\n'
+        '74,"Manhattan","East Harlem North","Boro Zone"\n'
+    )
+    out = conform_zones(read_zones_csv(spark, str(csv)))
+    assert [f.name for f in out.schema.fields] == [
+        f.name for f in ZONES_SCHEMA.fields
+    ]
+    rows = {r.location_id: r for r in out.collect()}
+    assert rows[74].borough == "Manhattan"
+    assert rows[1].zone == "Newark Airport"
