@@ -793,6 +793,51 @@ def f17_quality_filter(spark, sf_dir):
     )
 
 
+@query(
+    "f18_pii_scrub",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(aug, '[a-z0-9._]+@[a-z0-9.]+[a-z]')) AS n_emails,
+           len(regexp_extract_all(aug, 'https?://[^ ]+')) AS n_urls,
+           md5(regexp_replace(regexp_replace(aug,
+                   '[a-z0-9._]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+                   'https?://[^ ]+', '<URL>', 'g')) AS scrubbed_md5
+    FROM (
+        SELECT doc_id,
+               text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com see http://site.example/'
+                    || CAST(doc_id AS VARCHAR) AS aug
+        FROM documents
+    )
+    """,
+)
+def f18_pii_scrub(spark, sf_dir):
+    """F18: PII scrubbing — mask emails and URLs with typed placeholders
+    and report per-document match counts (the redaction-rate signal a
+    compliance pipeline monitors). The corpus is augmented with planted
+    synthetic PII derived from the doc id so the mechanism is actually
+    exercised (the word-soup testdata contains none). Pure regex
+    projections, codegen'd, no shuffle; the patterns are RE2-compatible
+    so Spark (Java regex) and DuckDB (RE2) agree."""
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com see http://site.example/"),
+        F.col("doc_id").cast("string"),
+    )
+    email_re = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+    url_re = "https?://[^ ]+"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(aug, email_re, "<EMAIL>"), url_re, "<URL>"
+    )
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(email_re)).cast("long").alias("n_emails"),
+        F.regexp_count(aug, F.lit(url_re)).cast("long").alias("n_urls"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
 # ------------------------------------------------- F6-F9: text analysis
 @query(
     "f6_text_stats",
