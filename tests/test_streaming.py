@@ -97,3 +97,27 @@ def test_watermark_drops_nothing_in_ordered_replay(spark):
     # (max-ts) window may be unemitted, everything else must be
     assert emitted >= total_events - 60  # < one window's worth withheld
     assert emitted <= total_events
+
+
+def test_foreachbatch_restart_is_exactly_once(spark, tmp_path):
+    """D10's exactly-once claim, concretely: re-running the sink with the
+    SAME checkpoint must not duplicate a single row — the checkpoint
+    knows every epoch already committed, and the per-epoch overwrite
+    makes any replayed epoch converge rather than append."""
+    from nyc_taxi_data_engineering_project_spark.streaming import (
+        foreach_batch_idempotent_sink,
+    )
+
+    target, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    cols = ["event_id", "user_id", "value"]
+
+    sdf = events_stream(spark, SF_DIR).select(*cols)
+    foreach_batch_idempotent_sink(sdf, target, ckpt)
+    n1 = spark.read.parquet(target).count()
+
+    sdf2 = events_stream(spark, SF_DIR).select(*cols)
+    foreach_batch_idempotent_sink(sdf2, target, ckpt)
+    n2 = spark.read.parquet(target).count()
+
+    expected = table(spark, SF_DIR, "events").count()
+    assert n1 == n2 == expected
