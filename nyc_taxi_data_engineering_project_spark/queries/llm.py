@@ -665,6 +665,55 @@ def f4_tfidf(spark, sf_dir):
     )
 
 
+@query("f19_ml_tfidf_pipeline")  # rows-only: ml vectors, no SQL twin
+def f19_ml_tfidf_pipeline(spark, sf_dir):
+    """F19: the pyspark.ml form of TF-IDF (SURVEY.md §2 F4's named
+    primitives): Tokenizer → HashingTF → IDF as a fitted Pipeline. The
+    estimator/transformer surface matters for interop with ML tooling;
+    the expression-only form (f4) remains the engine-native path. Output
+    reduces the vector to deterministic scalars (active term count,
+    L2 norm) — hashing and IDF are seed-free and data-deterministic.
+    Scale: fit() is one aggregation over the corpus (document
+    frequencies); transform() is a map-only pass."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    pipe = Pipeline(stages=[
+        Tokenizer(inputCol="text", outputCol="toks"),
+        HashingTF(inputCol="toks", outputCol="tf", numFeatures=1 << 12),
+        IDF(inputCol="tf", outputCol="tfidf"),
+    ])
+    from pyspark.ml.functions import vector_to_array
+
+    fitted = pipe.fit(docs)
+    # VectorUDT is not Arrow-native; vector_to_array exposes it as a
+    # plain double array so the reductions run vectorized per batch
+    out = fitted.transform(docs).withColumn(
+        "arr", vector_to_array("tfidf")
+    )
+
+    @F.pandas_udf("double")
+    def vec_norm(v):
+        import numpy as np
+        import pandas as pd
+
+        return pd.Series(np.sqrt((np.stack(v.values) ** 2).sum(axis=1)))
+
+    @F.pandas_udf("int")
+    def vec_active(v):
+        import numpy as np
+        import pandas as pd
+
+        return pd.Series((np.stack(v.values) != 0).sum(axis=1).astype("int32"))
+
+    return out.select(
+        "doc_id",
+        vec_active("arr").alias("n_active_terms"),
+        fx.r6(vec_norm("arr")).alias("tfidf_l2"),
+    )
+
+
 # ------------------------------------------------- F5/F12: multimodal
 @query(
     "f5_binary_cols",

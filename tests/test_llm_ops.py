@@ -133,3 +133,28 @@ def test_exact_dedup_counts(spark):
     ).collect()[0]
     assert agg.total == n_docs  # every doc accounted for exactly once
     assert agg.n_groups <= n_docs
+
+
+def test_ml_tfidf_pipeline_consistency(spark):
+    """The ml-pipeline TF-IDF must agree with first principles: per doc,
+    0 < active tfidf terms <= distinct tokens (ubiquitous terms get IDF 0
+    and drop out; hash collisions can only merge terms, never add)."""
+    out = {
+        r.doc_id: r
+        for r in registry.QUERIES["f19_ml_tfidf_pipeline"](
+            spark, SF_DIR
+        ).collect()
+    }
+    distinct = {
+        r.doc_id: r.n_distinct
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .selectExpr(
+            "doc_id",
+            "size(array_distinct(split(lower(text), ' '))) AS n_distinct",
+        )
+        .collect()
+    }
+    assert set(out) == set(distinct)
+    for doc_id, r in out.items():
+        assert 0 < r.n_active_terms <= distinct[doc_id]
+        assert r.tfidf_l2 > 0
