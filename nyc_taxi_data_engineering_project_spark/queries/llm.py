@@ -298,6 +298,49 @@ def f2_minhash_dedup(spark, sf_dir):
     return verified.select("doc_a", "doc_b", fx.r4(F.col("jaccard")).alias("jaccard"))
 
 
+@query("f20_ml_minhash_lsh")  # rows-only: library LSH, no SQL twin
+def f20_ml_minhash_lsh(spark, sf_dir):
+    """F20: the pyspark.ml form of near-dup detection (SURVEY.md §2 F2's
+    named primitives): shingles → binary HashingTF vectors → MinHashLSH →
+    ``approxSimilarityJoin`` at Jaccard distance ≤ 0.4, over the same
+    planted-duplicate corpus as f2. The from-scratch pipeline (f2)
+    remains the engine-native path — it exposes the banding/cap knobs the
+    library hides — while this key proves library interop. Same planted
+    pairs must surface (asserted in tests)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toked = docs.select("doc_id", _tokens().alias("toks"))
+    mutated = toked.filter(
+        (F.col("doc_id") < 20) & (F.size("toks") >= 3)
+    ).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.slice("toks", 1, F.size("toks") - 2).alias("toks"),
+    )
+    corpus = toked.unionByName(mutated).filter(F.size("toks") >= 3)
+    shingled = corpus.select(
+        "doc_id", _shingles(F.col("toks")).alias("grams")
+    )
+    tf = HashingTF(inputCol="grams", outputCol="features",
+                   numFeatures=1 << 14, binary=True)
+    feat = tf.transform(shingled).select("doc_id", "features")
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
+                     numHashTables=8, seed=42)
+    model = lsh.fit(feat)
+    joined = model.approxSimilarityJoin(feat, feat, 0.4,
+                                        distCol="jaccard_dist")
+    return (
+        joined.filter(
+            F.col("datasetA.doc_id") < F.col("datasetB.doc_id")
+        )
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            fx.r4(1 - F.col("jaccard_dist")).alias("jaccard"),
+        )
+    )
+
+
 # ------------------------------------------- F3: similarity search (ANN)
 @query(
     "f3_cosine_topk",

@@ -158,3 +158,15 @@ def test_ml_tfidf_pipeline_consistency(spark):
     for doc_id, r in out.items():
         assert 0 < r.n_active_terms <= distinct[doc_id]
         assert r.tfidf_l2 > 0
+
+
+def test_ml_minhash_lsh_finds_planted_neardups(spark):
+    """The library-form LSH must surface the same planted duplicates the
+    from-scratch pipeline (f2) finds."""
+    out = registry.QUERIES["f20_ml_minhash_lsh"](spark, SF_DIR).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in out}
+    planted = {(i, i + 100000) for i in range(20)}
+    assert len(planted & pairs) >= 15
+    for r in out:
+        if (r.doc_a, r.doc_b) in planted:
+            assert r.jaccard >= 0.6
