@@ -303,10 +303,19 @@ def f20_ml_minhash_lsh(spark, sf_dir):
     """F20: the pyspark.ml form of near-dup detection (SURVEY.md §2 F2's
     named primitives): shingles → binary HashingTF vectors → MinHashLSH →
     ``approxSimilarityJoin`` at Jaccard distance ≤ 0.4, over the same
-    planted-duplicate corpus as f2. The from-scratch pipeline (f2)
-    remains the engine-native path — it exposes the banding/cap knobs the
-    library hides — while this key proves library interop. Same planted
-    pairs must surface (asserted in tests)."""
+    planted-duplicate corpus as f2.
+
+    Two findings from measurement (sf0.1, 5000 docs):
+    - the feature frame MUST be persisted — ``approxSimilarityJoin``
+      references it on both join sides and in the model transform, and
+      without pinning every task re-derives it from the parquet scan
+      (35 s unpinned → ~3 s pinned);
+    - with that fixed, the library is competitive locally, but its hash
+      tables are single-minhash bands with no bucket-width cap, so its
+      candidate volume on boilerplate-heavy corpora is unbounded — the
+      from-scratch f2 (8-row bands + explicit cap) stays the scale path
+      with those knobs exposed. Same planted pairs must surface
+      (asserted in tests)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -323,9 +332,12 @@ def f20_ml_minhash_lsh(spark, sf_dir):
     )
     tf = HashingTF(inputCol="grams", outputCol="features",
                    numFeatures=1 << 14, binary=True)
-    feat = tf.transform(shingled).select("doc_id", "features")
+    # persist: approxSimilarityJoin references this frame on both join
+    # sides and inside the model transform — without pinning, every task
+    # re-derives it from the parquet scan
+    feat = tf.transform(shingled).select("doc_id", "features").persist()
     lsh = MinHashLSH(inputCol="features", outputCol="hashes",
-                     numHashTables=8, seed=42)
+                     numHashTables=4, seed=42)
     model = lsh.fit(feat)
     joined = model.approxSimilarityJoin(feat, feat, 0.4,
                                         distCol="jaccard_dist")
