@@ -62,9 +62,11 @@ def read_trips(spark: SparkSession, path: str) -> DataFrame:
 
 def read_zones_csv(spark: SparkSession, path: str) -> DataFrame:
     """A3: header CSV scan for the zones lookup
-    (``python/ingest_data.py:95``). Schema inference is acceptable for a
-    265-row dim; real pipelines pass an explicit schema."""
-    return spark.read.csv(path, header=True)
+    (``python/ingest_data.py:95``). Schema inference (one extra pass) is
+    acceptable for a 265-row dim — without it every column reads as
+    string; real pipelines pass an explicit schema. ``conform_zones``
+    enforces the contract types either way."""
+    return spark.read.csv(path, header=True, inferSchema=True)
 
 
 def with_month(df: DataFrame) -> DataFrame:
@@ -116,12 +118,20 @@ def ingest_trips(spark: SparkSession, source_path: str, target: str) -> int:
     Returns rows written BY THIS BATCH (the reference's logged row count,
     ``:183``) — counted on the target restricted to the months this batch
     replaced, so pre-existing untouched months never inflate the number."""
-    conformed = conform_trips(read_trips(spark, source_path))
-    write_trips_month_idempotent(conformed, target)
-    months = [
-        r[0]
-        for r in with_month(conformed).select(MONTH_COL).distinct().collect()
-    ]
+    # persist so the batch is scanned+conformed once: the write
+    # materializes the cache, the month list reads it, and the pin is
+    # released before returning (this function owns the materialization,
+    # unlike the lazy query builders)
+    conformed = conform_trips(read_trips(spark, source_path)).persist()
+    try:
+        write_trips_month_idempotent(conformed, target)
+        months = [
+            r[0]
+            for r in with_month(conformed)
+            .select(MONTH_COL).distinct().collect()
+        ]
+    finally:
+        conformed.unpersist()
     return (
         spark.read.parquet(target)
         .filter(F.col(MONTH_COL).isin(months))

@@ -77,6 +77,34 @@ def _hashed_shingles(docs, n=3):
     )
 
 
+def planted_offset(docs) -> int:
+    """Id offset for planted synthetic near-duplicates: max(doc_id)+1,
+    so planted ids can NEVER collide with a real document at any corpus
+    size (a fixed +100000 offset corrupts clustering once the corpus
+    passes 100k docs). Served from parquet column stats — no data scan.
+    Tests derive expected planted ids through this same function."""
+    row = docs.agg(F.max("doc_id").alias("m")).first()
+    return int(row.m) + 1 if row.m is not None else 1
+
+
+def _planted_corpus(docs):
+    """documents ∪ planted near-duplicates (docs 0-19 with the last two
+    tokens dropped, id shifted by ``planted_offset``) — the shared
+    deterministic corpus for the near-dup operators (f2, f20), tokenized.
+
+    Size guard BEFORE the slice: slice() with a negative length throws,
+    so a 1-token doc among doc_id<20 must be excluded, not sliced."""
+    offset = planted_offset(docs)
+    toked = docs.select("doc_id", _tokens().alias("toks"))
+    mutated = toked.filter(
+        (F.col("doc_id") < 20) & (F.size("toks") >= 3)
+    ).select(
+        (F.col("doc_id") + offset).alias("doc_id"),
+        F.slice("toks", 1, F.size("toks") - 2).alias("toks"),
+    )
+    return toked.unionByName(mutated).filter(F.size("toks") >= 3)
+
+
 def _dot(a, b):
     """Sequential double dot product — same accumulation order as the
     oracle's loop, so results are bit-identical."""
@@ -150,6 +178,20 @@ def _embeddings(spark, sf_dir) -> DataFrame:
                     _norm(emb).alias("nrm"))
 
 
+def _hyperplane_bucket(planes, emb_col):
+    """Sign-bit LSH bucket id for ``emb_col`` against ``planes`` —
+    the single definition of the bucket rule shared by every
+    random-hyperplane path (f3_lsh_ann, f13), so the boundary and bit
+    order cannot silently diverge between them."""
+    out = F.lit(0)
+    for i, plane in enumerate(planes):
+        bit = (
+            _dot(emb_col, F.array(*[F.lit(v) for v in plane])) > 0
+        ).cast("int")
+        out = out + bit * (2 ** i)
+    return out
+
+
 # ------------------------------------------------------------ F1: dedup
 @query(
     "f1_exact_dedup",
@@ -182,9 +224,10 @@ def f2_minhash_dedup(spark, sf_dir):
     DataFrame ops (shingle → 32 minhashes → 4 bands of 8 → hot-bucket cap
     → band-bucket join → exact-Jaccard verify ≥ 0.6).
 
-    The corpus is documents ∪ planted near-duplicates (docs 0-19 with the
-    last two tokens dropped, id+100000) so the operator's output is
-    deterministic and non-empty on synthetic data.
+    The corpus is documents ∪ planted near-duplicates (docs 0-19 with
+    the last two tokens dropped, ids shifted past max(doc_id) — see
+    ``planted_offset``) so the operator's output is deterministic and
+    non-empty on synthetic data.
 
     Scale posture: candidate generation is an equi self-join on
     (band_id, band_hash) — shuffle-partitioned by bucket, never all-pairs.
@@ -200,16 +243,7 @@ def f2_minhash_dedup(spark, sf_dir):
     rejoins shingle sets by doc id (broadcast-size here; bucketed join at
     scale)."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    toked = docs.select("doc_id", _tokens().alias("toks"))
-    # size guard BEFORE the slice: slice() with a negative length throws,
-    # so a 1-token doc among doc_id<20 must be excluded, not sliced
-    mutated = toked.filter(
-        (F.col("doc_id") < 20) & (F.size("toks") >= 3)
-    ).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.slice("toks", 1, F.size("toks") - 2).alias("toks"),
-    )
-    corpus = toked.unionByName(mutated).filter(F.size("toks") >= 3)
+    corpus = _planted_corpus(docs)
     # Two materialization decisions, both measured (see BASELINE.md):
     # - the repartition barrier stops projection collapse from
     #   substituting the shingle transform into all 32 minhash lambdas
@@ -319,14 +353,7 @@ def f20_ml_minhash_lsh(spark, sf_dir):
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    toked = docs.select("doc_id", _tokens().alias("toks"))
-    mutated = toked.filter(
-        (F.col("doc_id") < 20) & (F.size("toks") >= 3)
-    ).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.slice("toks", 1, F.size("toks") - 2).alias("toks"),
-    )
-    corpus = toked.unionByName(mutated).filter(F.size("toks") >= 3)
+    corpus = _planted_corpus(docs)
     shingled = corpus.select(
         "doc_id", _shingles(F.col("toks")).alias("grams")
     )
@@ -426,24 +453,9 @@ def f3_lsh_ann(spark, sf_dir):
     n_planes = _N_LSH_PLANES
     planes = LSH_PLANES
     emb = _embeddings(spark, sf_dir)
-
-    def bucket_of(emb_col):
-        bits = [
-            (
-                _dot(
-                    emb_col,
-                    F.array(*[F.lit(v) for v in plane]),
-                )
-                > 0
-            ).cast("int")
-            for plane in planes
-        ]
-        out = F.lit(0)
-        for i, b in enumerate(bits):
-            out = out + b * (2**i)
-        return out
-
-    tagged = emb.withColumn("bucket", bucket_of(F.col("emb")))
+    tagged = emb.withColumn(
+        "bucket", _hyperplane_bucket(planes, F.col("emb"))
+    )
     probes = F.array(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
@@ -492,19 +504,20 @@ def f13_embedding_neardup(spark, sf_dir):
     pairs, and a vectorized kernel beats the interpreted higher-order
     fold by ~4× there; the JVM `_dot` stays in the exact-baseline ops
     where bit-identical accumulation against the oracle matters."""
-    emb = _embeddings(spark, sf_dir)
-    n = emb.count()
+    # size from raw-table count (metadata-served: no norm/bucket exprs
+    # evaluate), then pin the tagged frame — the self-join consumes it on
+    # both sides, and unpinned each side re-derives every hyperplane dot
+    # product from the scan (the multi-consumer pathology of SCALE.md §5)
+    n = table(spark, sf_dir, "embeddings").count()
     n_planes = max(2, round(math.log2(max(n, 1) / 64 + 1)))
     rng = random.Random(42)
     planes = [[rng.uniform(-1.0, 1.0) for _ in range(64)]
               for _ in range(n_planes)]
-    bits = None
-    for i, plane in enumerate(planes):
-        bit = (
-            _dot(F.col("emb"), F.array(*[F.lit(v) for v in plane])) > 0
-        ).cast("int") * (2**i)
-        bits = bit if bits is None else bits + bit
-    tagged = emb.withColumn("bucket", bits)
+    tagged = (
+        _embeddings(spark, sf_dir)
+        .withColumn("bucket", _hyperplane_bucket(planes, F.col("emb")))
+        .persist()
+    )
     a = tagged.select(F.col("vec_id").alias("id_a"),
                       F.col("emb").alias("emb_a"), "bucket")
     b = tagged.select(F.col("vec_id").alias("id_b"),

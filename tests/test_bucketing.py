@@ -10,7 +10,6 @@ from __future__ import annotations
 import contextlib
 import io as _io
 import os
-import tempfile
 
 from conftest import SF_DIR
 from nyc_taxi_data_engineering_project_spark.io import write_bucketed
@@ -23,11 +22,11 @@ def _plan(df) -> str:
     return buf.getvalue()
 
 
-def test_bucketed_join_is_shuffle_free(spark):
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
     lineitem = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
 
-    tmp = tempfile.mkdtemp()
+    tmp = str(tmp_path)
     write_bucketed(orders, "b_orders", "o_orderkey", buckets=8,
                    path=os.path.join(tmp, "o"))
     write_bucketed(lineitem, "b_lineitem", "l_orderkey", buckets=8,
@@ -54,10 +53,13 @@ def test_bucketed_join_is_shuffle_free(spark):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
-def test_bucketed_aggregation_is_shuffle_free(spark):
-    """A groupBy on the bucket key also reuses the layout: no exchange."""
+def test_bucketed_aggregation_is_shuffle_free(spark, tmp_path):
+    """A groupBy on the bucket key also reuses the layout: no exchange.
+
+    tmp_path (not mkdtemp) so the external tables' data is cleaned up —
+    DROP TABLE removes only catalog metadata for path-backed tables."""
     lineitem = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
-    tmp = tempfile.mkdtemp()
+    tmp = str(tmp_path)
     write_bucketed(lineitem, "b_li_agg", "l_orderkey", buckets=8,
                    path=os.path.join(tmp, "l"))
     try:

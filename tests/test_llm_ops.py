@@ -8,14 +8,22 @@ from pyspark.sql import functions as F
 
 from conftest import SF_DIR
 from nyc_taxi_data_engineering_project_spark import registry
+from nyc_taxi_data_engineering_project_spark.queries.llm import planted_offset
 
 registry.load_all()
+
+
+def _offset(spark):
+    return planted_offset(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    )
 
 
 def test_minhash_finds_planted_neardups(spark):
     out = registry.QUERIES["f2_minhash_dedup"](spark, SF_DIR).collect()
     pairs = {(r.doc_a, r.doc_b) for r in out}
-    planted = {(i, i + 100000) for i in range(20)}
+    off = _offset(spark)
+    planted = {(i, i + off) for i in range(20)}
     found = planted & pairs
     # dropping 2 trailing tokens keeps Jaccard high; LSH with 4 bands of 4
     # must surface the large majority of planted pairs
@@ -84,13 +92,14 @@ def test_dedup_clusters_resolve_planted_pairs(spark):
     out = registry.QUERIES["f14_dedup_clusters"](spark, SF_DIR).collect()
     cluster_of = {r.doc_id: r.cluster_id for r in out}
     keeps = {r.doc_id for r in out if r.keep}
+    off = _offset(spark)
     planted_found = [
         i for i in range(20)
-        if i in cluster_of and (i + 100000) in cluster_of
+        if i in cluster_of and (i + off) in cluster_of
     ]
     assert len(planted_found) >= 15
     for i in planted_found:
-        assert cluster_of[i + 100000] == cluster_of[i]
+        assert cluster_of[i + off] == cluster_of[i]
     # exactly one keeper per cluster, and it is the minimum member
     import collections
 
@@ -121,7 +130,9 @@ def test_minhash_survives_short_documents(spark):
     tmp = tempfile.mkdtemp()
     docs.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
     out = registry.QUERIES["f2_minhash_dedup"](spark, tmp).collect()
-    assert all(r.doc_a not in (0, 1) and r.doc_b not in (100000, 100001)
+    # offset for this 4-doc corpus is max_id+1 = 4; short docs 0 and 1
+    # (planted ids 4, 5) must be absent entirely
+    assert all(r.doc_a not in (0, 1) and r.doc_b not in (4, 5)
                for r in out)
 
 
@@ -165,7 +176,8 @@ def test_ml_minhash_lsh_finds_planted_neardups(spark):
     from-scratch pipeline (f2) finds."""
     out = registry.QUERIES["f20_ml_minhash_lsh"](spark, SF_DIR).collect()
     pairs = {(r.doc_a, r.doc_b) for r in out}
-    planted = {(i, i + 100000) for i in range(20)}
+    off = _offset(spark)
+    planted = {(i, i + off) for i in range(20)}
     assert len(planted & pairs) >= 15
     for r in out:
         if (r.doc_a, r.doc_b) in planted:
