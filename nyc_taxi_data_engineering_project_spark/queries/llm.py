@@ -747,9 +747,12 @@ def f19_ml_tfidf_pipeline(spark, sf_dir):
     from pyspark.ml.feature import IDF, HashingTF, Tokenizer
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # 1024 features: the vector_to_array bridge densifies, so width sets
+    # the Arrow transfer volume (4096-wide measured ~2x slower end-to-end
+    # for no demo value — the 31-word test vocab fills nothing either way)
     pipe = Pipeline(stages=[
         Tokenizer(inputCol="text", outputCol="toks"),
-        HashingTF(inputCol="toks", outputCol="tf", numFeatures=1 << 12),
+        HashingTF(inputCol="toks", outputCol="tf", numFeatures=1 << 10),
         IDF(inputCol="tf", outputCol="tfidf"),
     ])
     from pyspark.ml.functions import vector_to_array
