@@ -577,13 +577,18 @@ def f14_dedup_clusters(spark, sf_dir):
         )
         .persist()
     )
+    # round 1 fused into initialization: with labels starting equal to
+    # ids, the first propagation is exactly min(id, min neighbor id) —
+    # one aggregation instead of a full join+aggregate+checkpoint round
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("_mn"))
+        .select(
+            "id", F.least(F.col("id"), F.col("_mn")).alias("label")
+        )
         .localCheckpoint(eager=False)
     )
-    for _ in range(10):
+    for _ in range(9):
         nbr_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
