@@ -1,4 +1,4 @@
-"""Classic TPC-H query shapes (Q1, Q3, Q5, Q6) over the driver testdata.
+"""Classic TPC-H query shapes (Q1, Q3, Q5, Q6, Q10, Q14) over the driver testdata.
 
 These are the canonical analytics workloads for this star schema —
 showcase keys proving the engine runs the textbook warehouse queries,
@@ -184,4 +184,88 @@ def tpch_q6(spark, sf_dir):
         )
         .agg(fx.r2(F.sum(F.col("l_extendedprice") * F.col("l_discount")))
              .alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q10",
+    oracle=f"""
+    SELECT c.c_custkey AS custkey, c.c_name AS name, n.n_name AS nation,
+           FLOOR(SUM({_REV.replace('l_', 'l.l_')}) * 100.0 + 0.5) / 100.0
+               AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10(spark, sf_dir):
+    """TPC-H Q10 returned-item reporting (adapted: no address/phone/
+    comment columns in the testdata): top-20 customers by revenue lost to
+    returns in a quarter. lineitem⋈orders shuffles on orderkey; customer
+    joins AQE-decided; nation broadcast; top-k via
+    TakeOrderedAndProject."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(fx.r2(F.sum(rev)).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q14",
+    oracle="""
+    SELECT FLOOR(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount))
+                 * 10000.0 + 0.5) / 10000.0 AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+)
+def tpch_q14(spark, sf_dir):
+    """TPC-H Q14 promotion effect (adapted: testdata p_type is a flat
+    category, so equality instead of LIKE 'PROMO%'): share of monthly
+    revenue from promo parts. The date filter prunes lineitem at the
+    scan; part joins on partkey (broadcast under threshold at test SF,
+    shuffle at scale via AQE); one global aggregate."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    p = table(spark, sf_dir, "part")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            fx.r4(100.0 * F.sum(promo) / F.sum(rev))
+            .alias("promo_revenue_pct")
+        )
     )
