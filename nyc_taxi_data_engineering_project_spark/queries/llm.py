@@ -489,6 +489,84 @@ def f3_lsh_ann(spark, sf_dir):
     )
 
 
+@query("f21_ivf_ann")  # rows-only: trained index, no SQL twin
+def f21_ivf_ann(spark, sf_dir):
+    """F21: IVF (inverted-file) ANN — the second of the two scale
+    structures the training-pipeline mandate names (LSH is f3_lsh_ann).
+    A k-means coarse quantizer (pyspark.ml, seeded) partitions the
+    corpus into cells; every vector is assigned to its nearest centroid
+    (one JVM transform pass); each query probes its nprobe=4 nearest
+    cells and runs exact cosine top-k inside them only.
+
+    Scale posture: the index build is a sampled k-means fit (centroids
+    are tiny driver state, broadcast as literals); assignment is
+    map-only; the probe join is equi on cell id, shuffle-partitionable;
+    recall/cost is tuned by k and nprobe. Unlike LSH, cells adapt to the
+    data distribution — the standard choice when embeddings cluster.
+    Recall vs the exact baseline is asserted in tests/test_llm_ops.py."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    k, nprobe = 16, 4
+    emb = _embeddings(spark, sf_dir)
+    with_vec = emb.withColumn("fv", array_to_vector("emb"))
+    model = KMeans(k=k, seed=42, featuresCol="fv",
+                   predictionCol="cell").fit(with_vec)
+    # cells: one map-only pass; pinned — the probe join reads it per side
+    tagged = (
+        model.transform(with_vec)
+        .select("vec_id", "emb", "nrm", "cell")
+        .persist()
+    )
+    centers = [c.tolist() for c in model.clusterCenters()]
+    # nearest-cell ranking for the query side: argmin ||q-c||² ranks by
+    # (c·c - 2 q·c), with c·c folded to a literal per centroid
+    cell_scores = F.array(
+        *[
+            F.struct(
+                (
+                    F.lit(sum(v * v for v in c))
+                    - 2.0 * _dot(F.col("emb"),
+                                 F.array(*[F.lit(v) for v in c]))
+                ).alias("score"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centers)
+        ]
+    )
+    q = (
+        tagged.filter(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm"),
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(cell_scores), 1, nprobe),
+                    lambda s: s["cell"],
+                )
+            ).alias("cell"),
+        )
+    )
+    c = tagged.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("c_emb"), F.col("nrm").alias("c_nrm"), "cell",
+    )
+    cos = (_dot(F.col("q_emb"), F.col("c_emb"))
+           / (F.col("q_nrm") * F.col("c_nrm")))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        q.join(c, ["cell"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("_cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id",
+                fx.r6(F.col("_cos")).alias("cosine"), "rk")
+    )
+
+
 @query("f13_embedding_neardup")  # rows-only: threshold pairs via LSH
 def f13_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup: pairs above a cosine threshold found

