@@ -1252,3 +1252,93 @@ def f11_ngram_jaccard(spark, sf_dir):
         a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
         .select("doc_a", "doc_b", fx.r6(jac).alias("jaccard"))
     )
+
+
+@query(
+    "f22_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY md5(text), doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    )
+    WHERE rn <= CEIL(n * 0.1)
+    """,
+)
+def f22_stratified_sample(spark, sf_dir):
+    """F22: deterministic stratified sampling — exactly ceil(10%) of each
+    language stratum, selected by content-hash order (md5(text), doc_id
+    tiebreak). Unlike ``df.sample``/``sampleBy`` (per-row Bernoulli:
+    nondeterministic across partitionings, only *expected* fractions),
+    hash-rank selection is reproducible on any engine/sharding and hits
+    the stratum size exactly — what a training-mix spec needs. One
+    shuffle: both windows share the lang partitioning. At 100 TB the
+    stratum rank uses (lang, shard) sub-strata so no single partition
+    serializes a whole language."""
+    w_rank = W.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
+    w_all = W.partitionBy("lang")
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "lang",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count(F.lit(1)).over(w_all).alias("n"),
+        )
+        .filter(F.col("rn") <= F.ceil(F.col("n") * 0.1))
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "f23_repetition_ratio",
+    oracle="""
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           FLOOR((1.0 - n_distinct / n_tokens) * 10000.0 + 0.5) / 10000.0
+               AS dup_ratio,
+           FLOOR((top_count / n_tokens) * 10000.0 + 0.5) / 10000.0
+               AS top_token_share
+    FROM (
+        SELECT doc_id,
+               CAST(SUM(cnt) AS DOUBLE) AS n_tokens,
+               CAST(COUNT(*) AS DOUBLE) AS n_distinct,
+               CAST(MAX(cnt) AS DOUBLE) AS top_count
+        FROM (
+            SELECT doc_id, tok, COUNT(*) AS cnt
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY 1, 2
+        )
+        GROUP BY 1
+    )
+    """,
+)
+def f23_repetition_ratio(spark, sf_dir):
+    """F23: within-document repetition signals — duplicate-token fraction
+    (1 - distinct/total) and most-common-token share. The standard cheap
+    boilerplate/spam detector a corpus quality pipeline runs before
+    training (characteristically high on templated/spam pages). Explode → two-level
+    hash aggregate, both keyed by doc_id so the exploded shuffle
+    co-partitions with the per-doc rollup; no Python in the row path.
+    At 100 TB the explode width is bounded by document length, and the
+    (doc_id, tok) partial agg combines map-side before the shuffle."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.sum("cnt").cast("double").alias("nt"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.max("cnt").cast("double").alias("tc"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("nt").cast("long").alias("n_tokens"),
+        fx.r4(1.0 - F.col("nd") / F.col("nt")).alias("dup_ratio"),
+        fx.r4(F.col("tc") / F.col("nt")).alias("top_token_share"),
+    )
