@@ -173,3 +173,67 @@ def surrogate_ids(df: DataFrame, order_cols: list[str] | None = None) -> DataFra
         w = W.orderBy(*order_cols)
         return df.withColumn("trip_id", F.row_number().over(w))
     return df.withColumn("trip_id", F.monotonically_increasing_id())
+
+
+# --------------------------------------------------- generic format surface
+# The reference's I/O universe is parquet in, CSV in, Postgres out
+# (``python/ingest_data.py:95,169-181``) plus the cloud tier its Terraform
+# provisions (GCS objects + BigQuery, ``terraform/main.tf:193-208``). The
+# engine generalizes that to the format matrix Spark ships natively; one
+# reader/writer pair so every format goes through the same schema and
+# layout policy.
+
+_FORMATS = ("parquet", "csv", "json", "orc")
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet",
+                mode: str = "overwrite",
+                partition_by: list[str] | None = None) -> None:
+    """Write ``df`` in any supported format with the engine's defaults.
+
+    CSV carries a header; JSON/CSV keep timestamps ISO-8601 so a
+    round-trip re-infers them. Partition columns apply uniformly — the
+    layout policy (month partitions, bucketing) is format-independent.
+    """
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if fmt == "csv":
+        w = w.option("header", True)
+    w.format(fmt).save(path)
+
+
+def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
+               schema=None) -> DataFrame:
+    """Read any supported format; pass ``schema`` to skip inference.
+
+    Self-describing formats (parquet/orc) carry their types; csv/json
+    without an explicit schema pay one inference pass — fine for dims,
+    wrong for 100 TB facts, so the fact path always passes the contract
+    ``StructType`` (schemas.py)."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    elif fmt in ("csv", "json"):
+        r = r.option("inferSchema", True)
+    if fmt == "csv":
+        r = r.option("header", True)
+    return r.format(fmt).load(path)
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",
+               batch_size: int = 10_000, **properties: str) -> None:
+    """A12 exact-parity sink: chunked append into an RDBMS over JDBC —
+    the Spark spelling of the reference's ``to_sql(if_exists="append",
+    chunksize=INGEST_CHUNK_SIZE)`` loop (``python/ingest_data.py:177-181``,
+    chunk default ``:44``). Each executor partition writes its own batched
+    connection, so the chunk loop the reference hand-rolls is the task
+    graph here. Untestable in this container (no JDBC driver/server) —
+    exercised only through its option plumbing."""
+    (df.write.mode(mode)
+       .option("batchsize", int(batch_size))
+       .jdbc(url, table, properties=dict(properties)))
