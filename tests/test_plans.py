@@ -107,3 +107,22 @@ def test_lsh_paths_join_equi_on_bucket(spark):
         p = plan_of(registry.QUERIES[key](spark, SF_DIR), mode="simple")
         assert "CartesianProduct" not in p, key
         assert "BroadcastNestedLoopJoin" not in p, key
+
+
+def test_exists_and_in_subqueries_plan_as_semi_joins(spark):
+    """Q4's EXISTS and Q18's IN-over-HAVING must compile to LeftSemi —
+    one probe per outer row, no multi-match row duplication. The build
+    side may be broadcast or shuffled (AQE decides by size); the join
+    *type* is the scale-critical property."""
+    for key in ("tpch_q4", "tpch_q18"):
+        p = plan_of(registry.QUERIES[key](spark, SF_DIR), mode="simple")
+        assert "LeftSemi" in p, f"{key} lost the semi-join shape"
+
+
+def test_q17_decorrelates_to_preaggregate(spark):
+    """Q17's correlated per-part AVG must run as one pre-aggregate joined
+    back on partkey — a per-row subquery re-execution would show up as a
+    Subquery/CartesianProduct node and is quadratic at scale."""
+    p = plan_of(registry.QUERIES["tpch_q17"](spark, SF_DIR), mode="simple")
+    assert p.count("HashAggregate") >= 2  # partial+final of the avg
+    assert "CartesianProduct" not in p
