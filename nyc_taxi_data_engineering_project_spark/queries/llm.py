@@ -1342,3 +1342,39 @@ def f23_repetition_ratio(spark, sf_dir):
         fx.r4(1.0 - F.col("nd") / F.col("nt")).alias("dup_ratio"),
         fx.r4(F.col("tc") / F.col("nt")).alias("top_token_share"),
     )
+
+
+@query(
+    "f24_decontaminate",
+    oracle="""
+    WITH bench AS (
+        SELECT DISTINCT md5(lower(trim(text))) AS fp
+        FROM documents WHERE doc_id % 97 = 0
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d
+    LEFT JOIN bench b ON md5(lower(trim(d.text))) = b.fp
+    WHERE b.fp IS NULL
+    """,
+)
+def f24_decontaminate(spark, sf_dir):
+    """F24: benchmark decontamination — drop training documents whose
+    normalized content hash appears in an eval/benchmark set (here a
+    planted subset, doc_id % 97, standing in for the external benchmark
+    corpus). The shape is the one that matters at 100 TB: the
+    contamination list is a *small* distinct-fingerprint set, so the
+    anti join broadcasts it and the corpus never shuffles; normalization
+    (trim/lower) runs inside codegen before the hash. Near-dup
+    contamination composes f2's MinHash candidates with the same
+    anti-join tail."""
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    docs = table(spark, sf_dir, "documents")
+    bench = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(fp.alias("fp"))
+        .distinct()
+    )
+    return (
+        docs.join(F.broadcast(bench), fp == bench.fp, "left_anti")
+        .select("doc_id", "lang")
+    )
