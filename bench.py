@@ -65,6 +65,10 @@ def main() -> None:
         except Exception as exc:  # a failing key must not hide the others
             timings[key] = -1.0
             print(f"# BENCH ERROR {key}: {exc}", file=sys.stderr)
+        # each key is measured independently: drop frames persisted inside
+        # the query builders so later keys (the iterative/ml ones run last
+        # alphabetically) aren't taxed by 100 keys of accumulated cache
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
