@@ -71,17 +71,54 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_of(SF_DIR),
-            }
-        )
+    sf = _sf_of(SF_DIR)
+
+    # Full per-key detail → repo file (the driver's stdout tail capture is
+    # ~2 KB; a 104-key JSON line is ~2.7 KB and gets decapitated, r01).
+    detail = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"# BENCH DETAIL WRITE ERROR: {exc}", file=sys.stderr)
+
+    # Final stdout line: headline keys first (flagship + TPC-H), then the
+    # most expensive remaining keys, greedily until the line would exceed
+    # the capture budget — always parseable, never truncated.
+    budget = 1800
+    headline = ["flagship_daily_region_revenue"] + sorted(
+        k for k in timings if k.startswith("tpch_")
     )
+    rest = sorted(
+        (k for k in timings if k not in headline),
+        key=lambda k: -timings[k],
+    )
+    out: dict[str, float] = {}
+
+    def _line(qs: dict[str, float]) -> str:
+        return json.dumps(
+            {"metric": "total_query_wall_clock", "value": total,
+             "unit": "sec", "queries": qs, "sf": sf,
+             "n_queries": len(timings), "detail": "BENCH_DETAIL.json"},
+            separators=(",", ":"),
+        )
+
+    for key in headline + rest:
+        trial = dict(out)
+        trial[key] = timings[key]
+        if len(_line(trial)) > budget:
+            break
+        out = trial
+    print(_line(out))
     spark.stop()
 
 

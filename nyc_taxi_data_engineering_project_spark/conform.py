@@ -29,7 +29,10 @@ from .schemas import CANDIDATES, TRIPS_SCHEMA, ZONES_RENAMES, ZONES_SCHEMA
 def _resolve(df_columns: list[str], candidates: list[str]) -> str | None:
     """First candidate present in ``df_columns`` (case-insensitive), the
     ``pick()`` of ``python/ingest_data.py:119-124``."""
-    index = {c.lower(): c for c in reversed(df_columns)}
+    # later columns overwrite earlier ones so the LAST duplicate-cased
+    # column wins — the dict-comprehension tie-break of the reference's
+    # src_cols index (python/ingest_data.py:117)
+    index = {c.lower(): c for c in df_columns}
     for cand in candidates:
         hit = index.get(cand.lower())
         if hit is not None:

@@ -359,13 +359,22 @@ def c11_percentiles(spark, sf_dir):
 
 @query("c11_approx_percentile")  # rows-only: t-digest/GK sketch differs
 def c11_approx_percentile(spark, sf_dir):
-    """approx_percentile — mergeable quantile sketch; the 100 TB path."""
+    """approx_percentile — mergeable quantile sketch; the 100 TB path.
+
+    One sketch per group computes all three quartiles; `element_at`
+    projects them as SCALAR columns (an array-typed result column breaks
+    order-insensitive canonicalizers that sort multi-column frames —
+    pandas lexsort can't factorize lists; bit r01)."""
+    q = F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000)
     return (
         table(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_returnflag").alias("returnflag"))
-        .agg(
-            F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000)
-            .alias("price_quartiles"),
+        .agg(q.alias("qs"))
+        .select(
+            "returnflag",
+            F.element_at("qs", 1).alias("p25_price"),
+            F.element_at("qs", 2).alias("p50_price"),
+            F.element_at("qs", 3).alias("p75_price"),
         )
     )
 

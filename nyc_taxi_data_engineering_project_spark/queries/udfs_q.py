@@ -36,6 +36,8 @@ def e1_py_udf(spark, sf_dir):
 
     @F.udf("string")
     def band(d: float) -> str:
+        if d is None:  # NULL-safe like the CASE expression twin
+            return None
         if d < 0.03:
             return "low"
         if d < 0.07:

@@ -56,15 +56,17 @@ CANDIDATES: dict[str, list[str]] = {
                         "tpep_pickup_datetime"],
     "dropoff_datetime": ["lpep_dropoff_datetime", "dropoff_datetime",
                          "tpep_dropoff_datetime"],
-    "store_and_fwd_flag": ["store_and_fwd_flag"],
-    "rate_code_id": ["ratecodeid", "rate_code_id"],
-    "pickup_location_id": ["pulocationid", "pickup_location_id"],
-    "dropoff_location_id": ["dolocationid", "dropoff_location_id"],
-    "passenger_count": ["passenger_count"],
+    "store_and_fwd_flag": ["store_and_fwd_flag", "store_and_fwd"],
+    "rate_code_id": ["ratecodeid", "rate_code_id", "ratecode"],
+    "pickup_location_id": ["pulocationid", "pu_location_id",
+                           "pickup_location_id"],
+    "dropoff_location_id": ["dolocationid", "do_location_id",
+                            "dropoff_location_id"],
+    "passenger_count": ["passengercount", "passenger_count"],
     "trip_distance": ["trip_distance"],
     "fare_amount": ["fare_amount"],
     "extra": ["extra"],
-    "mta_tax": ["mta_tax"],
+    "mta_tax": ["mta_tax", "mtatax"],
     "tip_amount": ["tip_amount"],
     "tolls_amount": ["tolls_amount"],
     "improvement_surcharge": ["improvement_surcharge"],

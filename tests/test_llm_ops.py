@@ -25,8 +25,9 @@ def test_minhash_finds_planted_neardups(spark):
     off = _offset(spark)
     planted = {(i, i + off) for i in range(20)}
     found = planted & pairs
-    # dropping 2 trailing tokens keeps Jaccard high; LSH with 4 bands of 4
-    # must surface the large majority of planted pairs
+    # dropping 2 trailing tokens keeps Jaccard high; LSH with 4 bands of 8
+    # (n_hashes=32, rows_per_band=8 in llm.py) must surface the large
+    # majority of planted pairs
     assert len(found) >= 15, f"only {len(found)}/20 planted pairs found"
     for r in out:
         if (r.doc_a, r.doc_b) in planted:
