@@ -10,8 +10,14 @@ Runs every registered query key (SURVEY.md §2 inventory) at
 Timing methodology: each query's DataFrame is materialized with a
 ``count()``-free full-evaluation action (``write.format("noop")``) so the
 measured cost is plan + shuffle + compute — not driver collection or disk.
-A single warm-up pass of the flagship query absorbs JVM/codegen startup so
-per-query numbers reflect steady-state execution.
+A single warm-up pass of the flagship query absorbs JVM/codegen startup.
+Each key is then measured REPS (2) times — cache cleared between
+repetitions so every rep is cold — and the MINIMUM is reported: in a
+single shared JVM, per-run noise (GC pauses, Janino compiles, Python
+worker spawns) is strictly additive, so min-of-N estimates the true
+steady-state cost (the standard JMH/hyperfine posture). Round-1 runs
+measured single-shot and the same keys swung 4-10× between runs purely
+by which of them absorbed the pauses.
 """
 
 from __future__ import annotations
@@ -55,20 +61,24 @@ def main() -> None:
     except Exception as exc:
         print(f"# BENCH WARMUP ERROR: {exc}", file=sys.stderr)
 
+    REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for key in sorted(registry.QUERIES):
         fn = registry.QUERIES[key]
-        t0 = time.perf_counter()
-        try:
-            _materialize(fn(spark, SF_DIR))
-            timings[key] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # a failing key must not hide the others
-            timings[key] = -1.0
-            print(f"# BENCH ERROR {key}: {exc}", file=sys.stderr)
-        # each key is measured independently: drop frames persisted inside
-        # the query builders so later keys (the iterative/ml ones run last
-        # alphabetically) aren't taxed by 100 keys of accumulated cache
-        spark.catalog.clearCache()
+        best = -1.0
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            try:
+                _materialize(fn(spark, SF_DIR))
+                t = round(time.perf_counter() - t0, 3)
+                best = t if best < 0 else min(best, t)
+            except Exception as exc:  # a failing key must not hide others
+                print(f"# BENCH ERROR {key}: {exc}", file=sys.stderr)
+                break
+            # clear between reps as well as keys: rep 2 must re-run the
+            # whole plan cold, not read rep 1's pinned frames
+            spark.catalog.clearCache()
+        timings[key] = best
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = _sf_of(SF_DIR)

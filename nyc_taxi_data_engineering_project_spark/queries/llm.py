@@ -245,16 +245,22 @@ def f2_minhash_dedup(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = _planted_corpus(docs)
     # Two materialization decisions, both measured (see BASELINE.md):
-    # - the repartition barrier stops projection collapse from
-    #   substituting the shingle transform into all 32 minhash lambdas
-    #   (14× recompute without it);
-    # - persist() pins the shingled frame, which three plan branches
-    #   consume (band generation + both sides of the verify join) and
-    #   which Spark would otherwise re-evaluate per branch — exchange
-    #   reuse does not fire across differently-aliased subtrees. At
-    #   100 TB this is persist(DISK_ONLY) or a checkpoint table; the
-    #   payload is only doc_id + hashed-gram arrays (~8·|grams| B/doc),
-    #   far smaller than the text it derives from.
+    # - the repartition barrier spreads the (possibly few-file) scan
+    #   across the cluster before the expensive minhash stage, and stops
+    #   projection collapse from substituting the shingle transform into
+    #   all 32 minhash lambdas (14× recompute without it);
+    # - localCheckpoint(eager=True) pins the shingled frame, which three
+    #   plan branches consume (band generation + both sides of the verify
+    #   join) and which Spark would otherwise re-evaluate per branch —
+    #   exchange reuse does not fire across differently-aliased subtrees.
+    #   Unlike persist(), whose CacheManager entry lives for the session
+    #   unless explicitly unpersisted, checkpoint blocks are owned by the
+    #   returned plan and released by the ContextCleaner once the caller
+    #   drops the result — no cross-query cache accumulation. At 100 TB
+    #   this is persist(DISK_ONLY) or a checkpoint table (localCheckpoint
+    #   trades executor-loss tolerance for speed); the payload is only
+    #   doc_id + hashed-gram arrays (~8·|grams| B/doc), far smaller than
+    #   the text it derives from.
     # NB: no filter on size(sh) here — the toks-size filter above already
     # guarantees ≥1 gram, and a post-projection filter on `sh` would be
     # pushed below the projection, re-evaluating the entire shingle
@@ -266,7 +272,7 @@ def f2_minhash_dedup(spark, sf_dir):
             .alias("sh"),
         )
         .repartition(F.col("doc_id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     n_hashes, n_bands, max_bucket = 32, 4, 64
@@ -359,10 +365,13 @@ def f20_ml_minhash_lsh(spark, sf_dir):
     )
     tf = HashingTF(inputCol="grams", outputCol="features",
                    numFeatures=1 << 14, binary=True)
-    # persist: approxSimilarityJoin references this frame on both join
-    # sides and inside the model transform — without pinning, every task
-    # re-derives it from the parquet scan
-    feat = tf.transform(shingled).select("doc_id", "features").persist()
+    # pin: approxSimilarityJoin references this frame on both join sides
+    # and inside the model transform — without pinning, every task
+    # re-derives it from the parquet scan. localCheckpoint (not persist):
+    # blocks die with the result frame instead of holding a session-wide
+    # CacheManager entry.
+    feat = (tf.transform(shingled).select("doc_id", "features")
+            .localCheckpoint(eager=True))
     lsh = MinHashLSH(inputCol="features", outputCol="hashes",
                      numHashTables=4, seed=42)
     model = lsh.fit(feat)
@@ -513,10 +522,11 @@ def f21_ivf_ann(spark, sf_dir):
     model = KMeans(k=k, seed=42, featuresCol="fv",
                    predictionCol="cell").fit(with_vec)
     # cells: one map-only pass; pinned — the probe join reads it per side
+    # (localCheckpoint: released with the result, no session cache entry)
     tagged = (
         model.transform(with_vec)
         .select("vec_id", "emb", "nrm", "cell")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     centers = [c.tolist() for c in model.clusterCenters()]
     # nearest-cell ranking for the query side: argmin ||q-c||² ranks by
@@ -585,7 +595,8 @@ def f13_embedding_neardup(spark, sf_dir):
     # size from raw-table count (metadata-served: no norm/bucket exprs
     # evaluate), then pin the tagged frame — the self-join consumes it on
     # both sides, and unpinned each side re-derives every hyperplane dot
-    # product from the scan (the multi-consumer pathology of SCALE.md §5)
+    # product from the scan (the multi-consumer pathology of SCALE.md §5).
+    # localCheckpoint, not persist: blocks are freed with the result.
     n = table(spark, sf_dir, "embeddings").count()
     n_planes = max(2, round(math.log2(max(n, 1) / 64 + 1)))
     rng = random.Random(42)
@@ -594,7 +605,7 @@ def f13_embedding_neardup(spark, sf_dir):
     tagged = (
         _embeddings(spark, sf_dir)
         .withColumn("bucket", _hyperplane_bucket(planes, F.col("emb")))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     a = tagged.select(F.col("vec_id").alias("id_a"),
                       F.col("emb").alias("emb_a"), "bucket")
@@ -653,7 +664,9 @@ def f14_dedup_clusters(spark, sf_dir):
             pairs.select(F.col("doc_b").alias("src"),
                          F.col("doc_a").alias("dst"))
         )
-        .persist()
+        # consumed every propagation round + the final corpus union;
+        # localCheckpoint also cuts the f2 lineage out of the loop plans
+        .localCheckpoint(eager=True)
     )
     # round 1 fused into initialization: with labels starting equal to
     # ids, the first propagation is exactly min(id, min neighbor id) —

@@ -51,9 +51,13 @@ def run_available_now(sdf: DataFrame, name: str,
     spark = sdf.sparkSession
     # state-store partition count is frozen from shuffle.partitions at
     # query start and AQE does not apply to streaming state — pin it to a
-    # sane bound for the bounded replay, then restore the session value
+    # sane bound for the bounded replay, then restore the session value.
+    # 8 partitions: each state partition costs a store + (for pandas
+    # state ops) a Python worker per micro-batch, a fixed overhead that
+    # dwarfs the per-row work at replay scale. A production stream sizes
+    # this to peak key cardinality / state volume, not CPU count.
     old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         q = (
             sdf.writeStream.format("memory")
