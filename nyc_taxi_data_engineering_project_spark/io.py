@@ -232,8 +232,9 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",
     chunksize=INGEST_CHUNK_SIZE)`` loop (``python/ingest_data.py:177-181``,
     chunk default ``:44``). Each executor partition writes its own batched
     connection, so the chunk loop the reference hand-rolls is the task
-    graph here. Untestable in this container (no JDBC driver/server) —
-    exercised only through its option plumbing."""
+    graph here. Round-tripped in tests/test_jdbc.py against embedded
+    Apache Derby (the JDBC database Spark ships for its metastore) — no
+    server needed; a networked RDBMS only changes the url/driver pair."""
     (df.write.mode(mode)
        .option("batchsize", int(batch_size))
        .jdbc(url, table, properties=dict(properties)))

@@ -519,7 +519,11 @@ def f21_ivf_ann(spark, sf_dir):
     k, nprobe = 16, 4
     emb = _embeddings(spark, sf_dir)
     with_vec = emb.withColumn("fv", array_to_vector("emb"))
-    model = KMeans(k=k, seed=42, featuresCol="fv",
+    # maxIter=8 (default 20): a coarse quantizer needs balanced cells,
+    # not converged centroids — recall is governed by nprobe, and each
+    # extra iteration is a full pass over the corpus (at 100 TB the fit
+    # runs on a sample; here it halves the dominant fixed cost)
+    model = KMeans(k=k, seed=42, maxIter=8, featuresCol="fv",
                    predictionCol="cell").fit(with_vec)
     # cells: one map-only pass; pinned — the probe join reads it per side
     # (localCheckpoint: released with the result, no session cache entry)

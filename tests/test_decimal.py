@@ -1,0 +1,102 @@
+"""Decimal-at-rest semantics (SURVEY.md §7.4 hard-point 1).
+
+The reference declares money as ``NUMERIC`` in Postgres
+(``sql/init.sql:26-35``) while its pandas layer carries float64 — the
+engine's contract (schemas.py) makes DecimalType(18,2) the at-rest type.
+These tests exercise the full conform → write → read → aggregate path on
+the taxi schema and pin the three behaviors double money silently gets
+wrong: exact at-rest scale, drift-free summation, and Spark's documented
+precision-widening rules for decimal aggregates.
+"""
+
+import decimal
+
+import pytest
+
+from pyspark.sql import Row, types as T
+
+from nyc_taxi_data_engineering_project_spark.conform import conform_trips
+from nyc_taxi_data_engineering_project_spark.io import read_table, write_table
+
+D = decimal.Decimal
+
+
+@pytest.fixture(scope="module")
+def conformed_path(spark, tmp_path_factory):
+    """A green-cab-spelled frame with adversarial money values, conformed
+    and written to parquet — the at-rest tier every aggregate reads."""
+    rows = [
+        Row(
+            VendorID=1,
+            lpep_pickup_datetime=f"2024-01-01 10:{i:02d}:00",
+            lpep_dropoff_datetime=f"2024-01-01 10:{i+1:02d}:00",
+            PULocationID=i % 5,
+            DOLocationID=(i + 1) % 5,
+            # 0.10 is inexact in binary floating point: 10k additions
+            # drift (sum(0.1 × 10k) = 999.9999999999062 in float64)
+            fare_amount=0.10,
+            # 2.675 is the classic rounding trap: binary 2.675 is
+            # 2.67499999…, yet Spark's double→decimal cast goes through
+            # the double's SHORTEST decimal repr ("2.675") and HALF_UP →
+            # 2.68 — unlike C/numpy round() on the raw binary (2.67)
+            tip_amount=2.675,
+            total_amount=0.10 + 2.675,
+        )
+        for i in range(10_000)
+    ]
+    df = spark.createDataFrame(rows)
+    out = str(tmp_path_factory.mktemp("decimal") / "trips")
+    write_table(conform_trips(df, drop_null_pickup=False), out)
+    return out
+
+
+def test_decimal_survives_parquet_roundtrip(spark, conformed_path):
+    back = read_table(spark, conformed_path)
+    money_cols = ["fare_amount", "tip_amount", "total_amount"]
+    for c in money_cols:
+        assert back.schema[c].dataType == T.DecimalType(18, 2), c
+
+
+def test_decimal_sum_is_exact_not_drifted(spark, conformed_path):
+    """10 000 × 0.10 must be exactly 1000.00 — the float64 path the
+    reference's pandas layer takes yields 999.9999999999062."""
+    back = read_table(spark, conformed_path)
+    row = back.selectExpr("sum(fare_amount) AS s").first()
+    assert row.s == D("1000.00")
+
+
+def test_decimal_cast_rounds_shortest_repr_half_up(spark, conformed_path):
+    """Pin the cast rule: Spark converts a double through its shortest
+    decimal representation then rounds HALF_UP — so 2.675 (binary
+    2.674999…) lands at 2.68 on every row, deterministically. Engines
+    that round the raw binary value (C round(), numpy) give 2.67; a
+    migration between the two silently moves money."""
+    back = read_table(spark, conformed_path)
+    distinct = [r.tip_amount for r in
+                back.select("tip_amount").distinct().collect()]
+    assert distinct == [D("2.68")]
+
+
+def test_decimal_aggregate_widening(spark, conformed_path):
+    """Spark's decimal aggregate typing: SUM(decimal(18,2)) widens
+    precision by 10 → decimal(28,2) (no overflow at 100 TB row counts);
+    AVG yields scale 6 (decimal(22,6)). Both stay decimal — an engine
+    that silently falls back to double here re-introduces drift."""
+    back = read_table(spark, conformed_path)
+    agg = back.selectExpr(
+        "sum(fare_amount) AS s", "avg(fare_amount) AS a"
+    )
+    assert agg.schema["s"].dataType == T.DecimalType(28, 2)
+    assert agg.schema["a"].dataType == T.DecimalType(22, 6)
+    got = agg.first()
+    assert got.a == D("0.100000")
+
+
+def test_decimal_arithmetic_stays_exact(spark, conformed_path):
+    """fare + tip must equal the conformed total on every row — in
+    decimal this is an exact equality, no epsilon."""
+    back = read_table(spark, conformed_path)
+    mismatched = back.filter(
+        "fare_amount + tip_amount <> total_amount"
+    ).count()
+    assert mismatched == 0

@@ -63,3 +63,24 @@ def test_unknown_format_rejected(spark, frame, tmp_path):
         io.write_table(frame, str(tmp_path / "x"), fmt="avro")
     with pytest.raises(ValueError, match="unsupported format"):
         io.read_table(spark, str(tmp_path / "x"), fmt="xml")
+
+
+def test_lake_tier_uri_write(spark, frame, tmp_path):
+    """A19: the cloud lake tier (terraform/main.tf:193-208 provisions GCS
+    objects) is a URI-scheme swap on the same write path — every
+    write_table/read_table call goes through Hadoop's FileSystem
+    abstraction, so an explicit ``file://`` URI exercises the identical
+    resolve-scheme → commit-protocol code path a ``gs://``/``s3a://``
+    URI takes (only the FileSystem impl behind the scheme differs).
+    Asserts scheme-qualified URIs resolve and the partitioned layout
+    lands under the URI. (No _SUCCESS assertion: the session's dynamic
+    partition-overwrite committer finalizes per-partition and skips the
+    job-level marker.)"""
+    uri = f"file://{tmp_path}/lake/trips"
+    part = frame.withColumn("part_key", F.col("n_nationkey") % 2)
+    io.write_table(part, uri, fmt="parquet", partition_by=["part_key"])
+    assert (tmp_path / "lake" / "trips" / "part_key=0").is_dir()
+    assert (tmp_path / "lake" / "trips" / "part_key=1").is_dir()
+    back = io.read_table(spark, uri)
+    assert back.count() == frame.count()
+    assert set(back.columns) == set(part.columns)
