@@ -1,9 +1,12 @@
-"""Classic TPC-H query shapes (Q1, Q3-Q6, Q10, Q13-Q15, Q17-Q19) over the driver testdata.
+"""The complete TPC-H suite (Q1-Q22) over the driver testdata.
 
 These are the canonical analytics workloads for this star schema —
 showcase keys proving the engine runs the textbook warehouse queries,
 adapted only where the pared-down testdata lacks a column (Q3 has no
-``o_shippriority``). Dates follow the testdata's 1995-2001 domain.
+``o_shippriority``; the queries that consume partsupp / commit-receipt
+dates / shipmode / phone derive the same query shapes from lineitem and
+equivalent columns — see the round-2 section below). Dates follow the
+testdata's 1995-2001 domain.
 
 Physical posture per query:
 - Q1: single scan + 4-group hash aggregate — pure map-side partial
@@ -22,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .. import fx
-from ..catalog import table
+from ..catalog import register_views, table
 from ..registry import query
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -497,3 +500,576 @@ def tpch_q19(spark, sf_dir):
         .filter(arm)
         .agg(fx.r2(F.sum(rev)).alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 2: the remaining 10 TPC-H queries, completing the 22-query suite.
+# The testdata has no partsupp table and lacks l_commitdate / l_receiptdate
+# / l_shipmode / c_phone, so Q2/Q9/Q11/Q12/Q16/Q20/Q21/Q22 keep their
+# canonical query SHAPE (correlated min-subquery, nested-aggregate HAVING,
+# conditional counts, NOT-IN exclusion, dominant-supplier semi-join chain,
+# exists/not-exists self-join, anti-join against the fact) with the
+# part-supplier relationship derived from lineitem and equivalent columns
+# substituted — each adaptation is documented on the query. Same precedent
+# as Q3/Q4 above (SURVEY.md §2 "adapted where the testdata lacks a column").
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q2",
+    oracle="""
+    WITH cost AS (
+        SELECT l.l_partkey AS partkey, l.l_suppkey AS suppkey,
+               FLOOR(MIN(l.l_extendedprice / l.l_quantity) * 1000000.0 + 0.5)
+                   / 1000000.0 AS supply_cost
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+        GROUP BY 1, 2
+    )
+    SELECT FLOOR(s.s_acctbal * 100.0 + 0.5) / 100.0 AS acctbal,
+           s.s_name AS supp_name, n.n_name AS nation,
+           p.p_partkey AS partkey, p.p_name AS part_name,
+           c.supply_cost
+    FROM part p
+    JOIN cost c     ON p.p_partkey = c.partkey
+    JOIN supplier s ON c.suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
+      AND c.supply_cost = (SELECT MIN(c2.supply_cost) FROM cost c2
+                           WHERE c2.partkey = p.p_partkey)
+    ORDER BY acctbal DESC, nation, supp_name, partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark, sf_dir):
+    """TPC-H Q2 minimum-cost supplier (adapted: no partsupp table —
+    supply cost is MIN(l_extendedprice/l_quantity) over each supplier's
+    lineitems, keeping the correlated-min-subquery shape).
+
+    Decorrelation: the per-part minimum is a second aggregate over the
+    same `cost` frame, joined back on (partkey, cost = min) — the
+    correlated scalar subquery never re-executes per row. Cost is
+    floor-rounded to 6 dp BEFORE the equality (the q15 rule: raw double
+    aggregates differ across engines in the last ulp). Dims broadcast;
+    the only big shuffle is the lineitem cost aggregation."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cost = (
+        table(spark, sf_dir, "lineitem")
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            fx.r6(F.min(F.col("l_extendedprice") / F.col("l_quantity")))
+            .alias("supply_cost")
+        )
+    )
+    min_cost = cost.groupBy(F.col("partkey").alias("mc_partkey")).agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    # fresh aliased projections for the output joins — `s`/`n` already
+    # feed the cost subtree, and reusing the same Dataset objects makes
+    # the join columns ambiguous (Spark self-join resolution)
+    s_out = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("out_suppkey"), "s_name", "s_acctbal",
+        F.col("s_nationkey").alias("out_natkey"),
+    )
+    n_out = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("out_nkey"), "n_name"
+    )
+    return (
+        cost.join(
+            min_cost,
+            (cost.partkey == min_cost.mc_partkey)
+            & (cost.supply_cost == min_cost.min_cost),
+        )
+        .join(F.broadcast(p), F.col("partkey") == p.p_partkey)
+        .join(s_out, F.col("suppkey") == F.col("out_suppkey"))
+        .join(F.broadcast(n_out), F.col("out_natkey") == F.col("out_nkey"))
+        .select(
+            fx.r2(F.col("s_acctbal")).alias("acctbal"),
+            F.col("s_name").alias("supp_name"),
+            F.col("n_name").alias("nation"),
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_name").alias("part_name"),
+            "supply_cost",
+        )
+        .orderBy(
+            F.desc("acctbal"), F.asc("nation"), F.asc("supp_name"),
+            F.asc("partkey"),
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q7",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           FLOOR(SUM({_REV.replace('l_', 'l.l_')}) * 100.0 + 0.5) / 100.0
+               AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q7(spark, sf_dir):
+    """TPC-H Q7 volume shipping: revenue between two trading nations by
+    direction and year. Both nation dims broadcast (pre-filtered to the
+    two trading partners, so the fact rows that survive the join are cut
+    before the aggregate); the date predicate pushes to the scan."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair = ["NATION_1", "NATION_2"]
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n1 = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(pair)
+    ).select(F.col("n_nationkey").alias("n1_key"),
+             F.col("n_name").alias("supp_nation"))
+    n2 = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(pair)
+    ).select(F.col("n_nationkey").alias("n2_key"),
+             F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(fx.r2(F.sum(rev)).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q8",
+    oracle=f"""
+    SELECT o_year,
+           FLOOR(SUM(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END)
+                 / SUM(volume) * 1000000.0 + 0.5) / 1000000.0 AS mkt_share
+    FROM (
+        SELECT year(o.o_orderdate) AS o_year,
+               {_REV.replace('l_', 'l.l_')} AS volume,
+               n2.n_name AS nation
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+        JOIN region r   ON n1.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def tpch_q8(spark, sf_dir):
+    """TPC-H Q8 national market share: NATION_1's share of ECONOMY-part
+    revenue sold into AMERICA, by order year. The share is a conditional
+    sum over the same aggregate rows — one pass, no second join. Part is
+    pre-filtered then broadcast; nation/region always broadcast."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_regionkey").alias("n1_region"),
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("nation"),
+    )
+    vol = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            rev.alias("volume"), "nation",
+        )
+    )
+    return vol.groupBy("o_year").agg(
+        fx.r6(
+            F.sum(F.when(F.col("nation") == "NATION_1",
+                         F.col("volume")).otherwise(0.0))
+            / F.sum("volume")
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "tpch_q9",
+    oracle=f"""
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           FLOOR(CAST(SUM(CAST({_REV.replace('l_', 'l.l_')}
+                               - 0.5 * p.p_retailprice * l.l_quantity
+                               AS DECIMAL(18, 4))) AS DOUBLE)
+                 * 100.0 + 0.5) / 100.0 AS sum_profit
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9(spark, sf_dir):
+    """TPC-H Q9 product-type profit (adapted: no partsupp, so supply
+    cost is 0.5·p_retailprice per unit instead of ps_supplycost — the
+    profit expression keeps its rev-minus-cost shape). Grouped by
+    supplier nation × order year; part pre-filtered on the name pattern
+    and broadcast; one fact-fact shuffle on orderkey.
+
+    Decimal-stable aggregate: every per-row profit is an exact 4-dp
+    decimal (2-dp money × 2-dp discount factors), so casting rows to
+    DECIMAL(18,4) is lossless in both engines and the SUM becomes exact
+    decimal addition — order-independent, immune to the floor-boundary
+    ulp flips a double sum hits when the true total lands on a .005
+    rounding boundary (observed at sf0.001: 219973.625)."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    profit = (
+        rev - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    n = table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(fx.r2(F.sum(profit).cast("double")).alias("sum_profit"))
+    )
+
+
+_Q11_SQL = f"""
+WITH pv AS (
+    SELECT l.l_partkey AS partkey,
+           SUM({_REV.replace('l_', 'l.l_')}) AS value
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_5'
+    GROUP BY 1
+)
+SELECT partkey, CAST(FLOOR(value * 100.0 + 0.5) / 100.0 AS DOUBLE) AS value
+FROM pv
+WHERE value > 0.001 * (SELECT SUM(value) FROM pv)
+"""
+
+
+@query("tpch_q11", oracle=_Q11_SQL)
+def tpch_q11(spark, sf_dir):
+    """TPC-H Q11 important stock (adapted: no partsupp — part value is
+    NATION_5-supplied revenue from lineitem instead of
+    ps_supplycost·ps_availqty, keeping the nested-aggregate HAVING
+    against a fraction of the global scalar).
+
+    One SQL text serves both engines (the c30/q22 pattern): the global
+    total is a true scalar subquery — Catalyst executes it once and
+    embeds the result as a literal in the HAVING filter, no join
+    operator at all. Every DataFrame spelling of a scalar threshold
+    (bare crossJoin, and even an equi join on a constant key, which the
+    optimizer folds) physically plans as BroadcastNestedLoopJoin, which
+    the plan sweep bans outside justified non-equi keys. The per-part
+    aggregate is one partial-agg shuffle; the subquery's re-aggregate
+    runs over the same tiny grouped frame."""
+    register_views(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    return spark.sql(_Q11_SQL)
+
+
+@query(
+    "tpch_q12",
+    oracle="""
+    SELECT l.l_returnflag AS returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shipping-mode priority (adapted: no l_shipmode /
+    commit/receipt dates — lines shipped in 1997 grouped by returnflag,
+    keeping the conditional high/low priority line counts). The CASE
+    sums are codegen'd conditional aggregates, one pass after the
+    orderkey join."""
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q16",
+    oracle="""
+    SELECT p.p_brand AS brand, p.p_type AS type, p.p_size AS size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#3' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q16(spark, sf_dir):
+    """TPC-H Q16 parts/supplier relationship (adapted: the part-supplier
+    relation comes from lineitem, and the excluded-supplier subquery is
+    the negative-balance set instead of complaint comments — keeping the
+    NOT-IN exclusion + COUNT DISTINCT shape). The exclusion compiles to
+    a broadcast ANTI join (tiny set); part is pre-filtered then
+    broadcast; the distinct count shuffles once on the group key."""
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    bad = table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+              "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q20",
+    oracle="""
+    WITH shipped AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               SUM(l_quantity) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT partkey, SUM(qty) AS total_qty FROM shipped GROUP BY 1
+    )
+    SELECT DISTINCT s.s_name AS supp_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_7'
+      AND s.s_suppkey IN (
+          SELECT sh.suppkey
+          FROM shipped sh
+          JOIN tot t ON sh.partkey = t.partkey
+          JOIN part p ON sh.partkey = p.p_partkey
+          WHERE p.p_name LIKE 'small%' AND sh.qty > 0.3 * t.total_qty
+      )
+    """,
+)
+def tpch_q20(spark, sf_dir):
+    """TPC-H Q20 potential part promotion (adapted: no ps_availqty —
+    a supplier qualifies by having shipped >30% of a small-part's 1997
+    volume, keeping the semi-join chain over nested aggregates).
+    Both aggregates are over the same pre-aggregated `shipped` frame
+    (partial-agg shuffle on (part, supp), then a re-agg on part);
+    qualification is an equi join partkey-to-partkey; the supplier
+    filter is a broadcast SEMI join — no row explosion anywhere.
+    l_quantity is integral so the 0.3·total comparison is exact in
+    double on any summation order."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    shipped = li.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+    ).agg(F.sum("l_quantity").alias("qty"))
+    tot = shipped.groupBy(F.col("partkey").alias("t_partkey")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    qualifying = (
+        shipped.join(tot, F.col("partkey") == F.col("t_partkey"))
+        .join(F.broadcast(p), F.col("partkey") == p.p_partkey)
+        .filter(F.col("qty") > 0.3 * F.col("total_qty"))
+        .select("suppkey")
+    )
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    return (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(qualifying, F.col("s_suppkey") == F.col("suppkey"),
+              "left_semi")
+        .select(F.col("s_name").alias("supp_name"))
+        .distinct()
+    )
+
+
+@query(
+    "tpch_q21",
+    oracle="""
+    WITH order_stats AS (
+        SELECT l_orderkey,
+               COUNT(DISTINCT l_suppkey) AS n_supp,
+               COUNT(DISTINCT CASE WHEN l_returnflag = 'R'
+                                   THEN l_suppkey END) AS n_ret
+        FROM lineitem GROUP BY 1
+    )
+    SELECT s.s_name AS supp_name, COUNT(*) AS numwait
+    FROM (
+        SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F' AND l.l_returnflag = 'R'
+    ) ret
+    JOIN order_stats os ON ret.l_orderkey = os.l_orderkey
+    JOIN supplier s ON ret.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE os.n_supp > 1 AND os.n_ret = 1 AND n.n_name = 'NATION_2'
+    GROUP BY 1
+    ORDER BY numwait DESC, supp_name
+    LIMIT 100
+    """,
+)
+def tpch_q21(spark, sf_dir):
+    """TPC-H Q21 suppliers who kept orders waiting (adapted: no
+    commit/receipt dates — "late" is a returned line, so the query
+    finds suppliers who were the ONLY supplier with returned lines on a
+    multi-supplier finalized order). The canonical EXISTS (another
+    supplier on the order) + NOT EXISTS (another supplier also late) is
+    decorrelated into ONE aggregate over lineitem producing both
+    distinct-supplier counts — the self-join-twice form re-scans the
+    fact twice and re-shuffles it per EXISTS; the aggregate form is one
+    shuffle on orderkey, then equi joins."""
+    order_stats = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).alias("n_ret"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_ret") == 1))
+    )
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    ret = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+    )
+    return (
+        ret.join(order_stats, "l_orderkey")
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .groupBy(F.col("s_name").alias("supp_name"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("supp_name"))
+        .limit(100)
+    )
+
+
+_Q22_SQL = """
+SELECT c.c_nationkey AS cntrycode, COUNT(*) AS numcust,
+       CAST(FLOOR(SUM(c.c_acctbal) * 100.0 + 0.5) / 100.0 AS DOUBLE)
+           AS totacctbal
+FROM customer c
+WHERE c.c_nationkey IN (10, 11, 12, 13, 14, 15)
+  AND c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                     WHERE c_acctbal > 0.0
+                       AND c_nationkey IN (10, 11, 12, 13, 14, 15))
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY 1
+"""
+
+
+@query("tpch_q22", oracle=_Q22_SQL)
+def tpch_q22(spark, sf_dir):
+    """TPC-H Q22 global sales opportunity (adapted: no c_phone — the
+    country code is c_nationkey; and because every testdata customer has
+    at least one order, "has never ordered" becomes "dormant since
+    2001" — keeping the scalar-average subquery + NOT EXISTS anti join).
+
+    One SQL text serves both engines (the c30 pattern): Catalyst plans
+    the threshold as a true scalar subquery — executed once, its result
+    embedded as a literal in the main plan's filter, NO join operator
+    (a DataFrame crossJoin spelling of the same scalar compiles to
+    BroadcastNestedLoopJoin, which the plan sweep bans) — and rewrites
+    the NOT EXISTS to a left ANTI join on custkey against the
+    date-pruned orders scan."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_Q22_SQL)

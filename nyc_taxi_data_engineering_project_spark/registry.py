@@ -62,18 +62,30 @@ _R01_VERIFIED: frozenset[str] = frozenset({
 })
 
 
+# Keys added AFTER round 1 (not part of the 104-key surface the r01
+# verdict asked to get through the gate) — they sweep after every
+# existing-unverified key so they never displace the r01 gap.
+_R02_NEW: frozenset[str] = frozenset({
+    "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12",
+    "tpch_q16", "tpch_q20", "tpch_q21", "tpch_q22",
+})
+
+
 def _priority(key: str) -> tuple[int, int]:
     """Sweep-order rank; ties keep registration order (sort is stable).
 
     0: the one key that ERRORED in r01 (array-output fix must re-verify)
-    1: TPC-H showcase (unverified in r01, highest judge priority)
-    2: all other unverified keys, oracle-checked before rows-only
-    3: keys already driver-verified green in r01
+    1: r01 TPC-H showcase (unverified in r01, highest judge priority)
+    2: all other r01-unverified keys, oracle-checked before rows-only
+    3: keys new in round 2 (never part of the r01 gap)
+    4: keys already driver-verified green in r01
     """
     if key == "c11_approx_percentile":
         return (0, 0)
+    if key in _R02_NEW:
+        return (3, 0 if key in ORACLES else 1)
     if key in _R01_VERIFIED:
-        return (3, 0)
+        return (4, 0)
     if key.startswith("tpch_"):
         return (1, 0)
     return (2, 0 if key in ORACLES else 1)
