@@ -502,63 +502,78 @@ def f3_lsh_ann(spark, sf_dir):
 def f21_ivf_ann(spark, sf_dir):
     """F21: IVF (inverted-file) ANN — the second of the two scale
     structures the training-pipeline mandate names (LSH is f3_lsh_ann).
-    A k-means coarse quantizer (pyspark.ml, seeded) partitions the
-    corpus into cells; every vector is assigned to its nearest centroid
-    (one JVM transform pass); each query probes its nprobe=4 nearest
-    cells and runs exact cosine top-k inside them only.
+    A k-means coarse quantizer (seeded Lloyd on a bounded sample)
+    partitions the corpus into cells; every vector is assigned to its
+    nearest centroid in one codegen map pass; each query probes its
+    nprobe=4 nearest cells and runs exact cosine top-k inside them only.
 
-    Scale posture: the index build is a sampled k-means fit (centroids
-    are tiny driver state, broadcast as literals); assignment is
-    map-only; the probe join is equi on cell id, shuffle-partitionable;
-    recall/cost is tuned by k and nprobe. Unlike LSH, cells adapt to the
-    data distribution — the standard choice when embeddings cluster.
-    Recall vs the exact baseline is asserted in tests/test_llm_ops.py."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    Scale posture: the standard IVF build — the fit runs driver-side on
+    a hash-ordered sample capped at SAMPLE_CAP rows (bounded collect,
+    independent of corpus size); the k·dim centroid table is tiny driver
+    state folded into the plan as literals; corpus assignment is a
+    map-only argmin over k codegen'd dot products (no ML library jobs,
+    no extra passes); the probe join is equi on cell id,
+    shuffle-partitionable; recall/cost is tuned by k and nprobe. Unlike
+    LSH, cells adapt to the data distribution — the standard choice when
+    embeddings cluster. Recall vs the exact baseline is asserted in
+    tests/test_llm_ops.py."""
+    import numpy as np
 
-    k, nprobe = 16, 4
+    k, nprobe, sample_cap, iters = 16, 4, 4096, 8
     emb = _embeddings(spark, sf_dir)
-    with_vec = emb.withColumn("fv", array_to_vector("emb"))
-    # maxIter=8 (default 20): a coarse quantizer needs balanced cells,
-    # not converged centroids — recall is governed by nprobe, and each
-    # extra iteration is a full pass over the corpus (at 100 TB the fit
-    # runs on a sample; here it halves the dominant fixed cost)
-    model = KMeans(k=k, seed=42, maxIter=8, featuresCol="fv",
-                   predictionCol="cell").fit(with_vec)
-    # cells: one map-only pass; pinned — the probe join reads it per side
+    # sampled fit: hash-ordered limit = deterministic uniform sample,
+    # one TakeOrdered job, driver memory bounded at sample_cap × dim
+    sample = np.array(
+        [r.emb for r in emb.select("emb", "vec_id")
+         .orderBy(F.xxhash64("vec_id")).limit(sample_cap).collect()]
+    )
+    rng = np.random.default_rng(42)
+    centers_np = sample[rng.choice(len(sample), k, replace=False)]
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - centers_np[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):  # empty cell keeps its previous centroid
+            members = sample[assign == j]
+            if len(members):
+                centers_np[j] = members.mean(axis=0)
+    # nearest-cell ranking (corpus assignment AND query probes): argmin
+    # ||x-c||² ranks by (c·c - 2 x·c). As one Arrow-batched matmul per
+    # batch (X @ Cᵀ) rather than k·dim literal dot products in codegen —
+    # the literal form builds a ~2k-node Catalyst tree whose analysis +
+    # janino compile dominates the query (fixed ~3 s driver cost and a
+    # bloated plan); the batched matmul is the vectorized path (same
+    # einsum pattern as f13's pair cosine). Ship centroids to workers by
+    # closure — k·dim doubles, trivially serializable.
+    c_sq = (centers_np ** 2).sum(axis=1)
+
+    @F.pandas_udf("integer")
+    def nearest_cell(embs):  # Series[array<double>] -> Series[int]
+        import pandas as pd
+
+        x = np.stack(embs.values)
+        return pd.Series((c_sq[None, :] - 2.0 * x @ centers_np.T)
+                         .argmin(axis=1))
+
+    @F.pandas_udf("array<integer>")
+    def probe_cells(embs):  # Series[array<double>] -> Series[list[int]]
+        import pandas as pd
+
+        x = np.stack(embs.values)
+        order = (c_sq[None, :] - 2.0 * x @ centers_np.T).argsort(axis=1)
+        return pd.Series(list(order[:, :nprobe]))
+
+    # cells: one map pass; pinned so the probe join's two reads (query
+    # side + corpus side) don't recompute the scan+assignment
     # (localCheckpoint: released with the result, no session cache entry)
-    tagged = (
-        model.transform(with_vec)
-        .select("vec_id", "emb", "nrm", "cell")
-        .localCheckpoint(eager=True)
-    )
-    centers = [c.tolist() for c in model.clusterCenters()]
-    # nearest-cell ranking for the query side: argmin ||q-c||² ranks by
-    # (c·c - 2 q·c), with c·c folded to a literal per centroid
-    cell_scores = F.array(
-        *[
-            F.struct(
-                (
-                    F.lit(sum(v * v for v in c))
-                    - 2.0 * _dot(F.col("emb"),
-                                 F.array(*[F.lit(v) for v in c]))
-                ).alias("score"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centers)
-        ]
-    )
+    tagged = emb.withColumn(
+        "cell", nearest_cell("emb")
+    ).localCheckpoint(eager=True)
     q = (
         tagged.filter(F.col("vec_id") < 20)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm"),
-            F.explode(
-                F.transform(
-                    F.slice(F.array_sort(cell_scores), 1, nprobe),
-                    lambda s: s["cell"],
-                )
-            ).alias("cell"),
+            F.explode(probe_cells("emb")).alias("cell"),
         )
     )
     c = tagged.select(
