@@ -178,6 +178,55 @@ def _embeddings(spark, sf_dir) -> DataFrame:
                     _norm(emb).alias("nrm"))
 
 
+def _sampled_kmeans(emb, k, sample_cap=4096, iters=8, seed=42):
+    """Seeded Lloyd k-means fit on a bounded sample of ``emb.emb`` —
+    the coarse-structure build shared by f21 (IVF quantizer) and f28
+    (topic clustering). Hash-ordered ``limit`` = deterministic uniform
+    sample in one TakeOrdered job; driver memory is bounded at
+    sample_cap × dim regardless of corpus size (the standard big-data
+    k-means posture: the fit sees a sample, the full corpus only ever
+    gets a map-only assignment pass). Returns the k×dim centroid array —
+    tiny driver state shipped to workers by closure."""
+    import numpy as np
+
+    sample = np.array(
+        [r.emb for r in emb.select("emb", "vec_id")
+         .orderBy(F.xxhash64("vec_id")).limit(sample_cap).collect()]
+    )
+    rng = np.random.default_rng(seed)
+    centers = sample[rng.choice(len(sample), k, replace=False)]
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):  # empty cell keeps its previous centroid
+            members = sample[assign == j]
+            if len(members):
+                centers[j] = members.mean(axis=0)
+    return centers
+
+
+def _nearest_center_udf(centers_np):
+    """Arrow-batched nearest-centroid assignment: one matmul per batch
+    (X @ Cᵀ) rather than k·dim literal dot products in codegen — the
+    literal form builds a ~2k-node Catalyst tree whose analysis + janino
+    compile dominates at interactive scale (measured ~3 s fixed driver
+    cost); the batched matmul is the vectorized path (same einsum
+    pattern as f13's pair cosine)."""
+    import numpy as np
+
+    c_sq = (centers_np ** 2).sum(axis=1)
+
+    @F.pandas_udf("integer")
+    def nearest_center(embs):  # Series[array<double>] -> Series[int]
+        import pandas as pd
+
+        x = np.stack(embs.values)
+        return pd.Series((c_sq[None, :] - 2.0 * x @ centers_np.T)
+                         .argmin(axis=1))
+
+    return nearest_center
+
+
 def _hyperplane_bucket(planes, emb_col):
     """Sign-bit LSH bucket id for ``emb_col`` against ``planes`` —
     the single definition of the bucket rule shared by every
@@ -502,57 +551,26 @@ def f3_lsh_ann(spark, sf_dir):
 def f21_ivf_ann(spark, sf_dir):
     """F21: IVF (inverted-file) ANN — the second of the two scale
     structures the training-pipeline mandate names (LSH is f3_lsh_ann).
-    A k-means coarse quantizer (seeded Lloyd on a bounded sample)
-    partitions the corpus into cells; every vector is assigned to its
-    nearest centroid in one codegen map pass; each query probes its
-    nprobe=4 nearest cells and runs exact cosine top-k inside them only.
+    A k-means coarse quantizer (seeded Lloyd on a bounded sample, see
+    ``_sampled_kmeans``) partitions the corpus into cells; every vector
+    is assigned to its nearest centroid in one Arrow-batched map pass
+    (``_nearest_center_udf``); each query probes its nprobe=4 nearest
+    cells and runs exact cosine top-k inside them only.
 
-    Scale posture: the standard IVF build — the fit runs driver-side on
-    a hash-ordered sample capped at SAMPLE_CAP rows (bounded collect,
-    independent of corpus size); the k·dim centroid table is tiny driver
-    state folded into the plan as literals; corpus assignment is a
-    map-only argmin over k codegen'd dot products (no ML library jobs,
-    no extra passes); the probe join is equi on cell id,
-    shuffle-partitionable; recall/cost is tuned by k and nprobe. Unlike
-    LSH, cells adapt to the data distribution — the standard choice when
-    embeddings cluster. Recall vs the exact baseline is asserted in
-    tests/test_llm_ops.py."""
+    Scale posture: the standard IVF build — the fit sees a bounded
+    sample (driver state independent of corpus size); assignment is
+    map-only, one matmul per Arrow batch; the probe join is equi on
+    cell id, shuffle-partitionable; recall/cost is tuned by k and
+    nprobe. Unlike LSH, cells adapt to the data distribution — the
+    standard choice when embeddings cluster. Recall vs the exact
+    baseline is asserted in tests/test_llm_ops.py."""
     import numpy as np
 
-    k, nprobe, sample_cap, iters = 16, 4, 4096, 8
+    k, nprobe = 16, 4
     emb = _embeddings(spark, sf_dir)
-    # sampled fit: hash-ordered limit = deterministic uniform sample,
-    # one TakeOrdered job, driver memory bounded at sample_cap × dim
-    sample = np.array(
-        [r.emb for r in emb.select("emb", "vec_id")
-         .orderBy(F.xxhash64("vec_id")).limit(sample_cap).collect()]
-    )
-    rng = np.random.default_rng(42)
-    centers_np = sample[rng.choice(len(sample), k, replace=False)]
-    for _ in range(iters):
-        d2 = ((sample[:, None, :] - centers_np[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for j in range(k):  # empty cell keeps its previous centroid
-            members = sample[assign == j]
-            if len(members):
-                centers_np[j] = members.mean(axis=0)
-    # nearest-cell ranking (corpus assignment AND query probes): argmin
-    # ||x-c||² ranks by (c·c - 2 x·c). As one Arrow-batched matmul per
-    # batch (X @ Cᵀ) rather than k·dim literal dot products in codegen —
-    # the literal form builds a ~2k-node Catalyst tree whose analysis +
-    # janino compile dominates the query (fixed ~3 s driver cost and a
-    # bloated plan); the batched matmul is the vectorized path (same
-    # einsum pattern as f13's pair cosine). Ship centroids to workers by
-    # closure — k·dim doubles, trivially serializable.
+    centers_np = _sampled_kmeans(emb, k=k)
+    nearest_cell = _nearest_center_udf(centers_np)
     c_sq = (centers_np ** 2).sum(axis=1)
-
-    @F.pandas_udf("integer")
-    def nearest_cell(embs):  # Series[array<double>] -> Series[int]
-        import pandas as pd
-
-        x = np.stack(embs.values)
-        return pd.Series((c_sq[None, :] - 2.0 * x @ centers_np.T)
-                         .argmin(axis=1))
 
     @F.pandas_udf("array<integer>")
     def probe_cells(embs):  # Series[array<double>] -> Series[list[int]]
@@ -1409,4 +1427,296 @@ def f24_decontaminate(spark, sf_dir):
     return (
         docs.join(F.broadcast(bench), fp == bench.fp, "left_anti")
         .select("doc_id", "lang")
+    )
+
+
+# ------------------------------------------- F25-F27: passage-level ops
+def _word_blocks(tok_col, width):
+    """Non-overlapping ``width``-word blocks of a token array, joined
+    back to strings (the last block may be shorter). The corpus has no
+    line structure (single-space word streams), so fixed word blocks are
+    the passage unit for line/passage-level ops — the same role
+    newline-split lines play in C4-style pipelines. Pure expressions:
+    fuses with the scan, no shuffle."""
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(tok_col) - 1, F.lit(0)), F.lit(width)
+    )
+    return F.transform(
+        starts, lambda s: F.array_join(F.slice(tok_col, s + 1, width), " ")
+    )
+
+
+_BOILERPLATE_W = 8
+
+
+@query(
+    "f25_boilerplate_removal",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), b AS (
+        SELECT doc_id, start // {_BOILERPLATE_W} AS pos,
+               array_to_string(
+                   toks[start + 1 : start + {_BOILERPLATE_W}], ' ') AS block
+        FROM (SELECT doc_id, toks,
+                     unnest(range(0, len(toks), {_BOILERPLATE_W})) AS start
+              FROM t)
+    ), bp AS (
+        SELECT block FROM b GROUP BY block
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_blocks,
+           COUNT(*) FILTER (WHERE block IN (SELECT block FROM bp))
+               AS n_removed,
+           COALESCE(string_agg(block, ' ' ORDER BY pos)
+                    FILTER (WHERE block NOT IN (SELECT block FROM bp)), '')
+               AS clean_text
+    FROM b GROUP BY doc_id
+    """,
+)
+def f25_boilerplate_removal(spark, sf_dir):
+    """F25: boilerplate removal — drop passages that recur across
+    documents (the C4/RefinedWeb line-frequency rule: a passage appearing
+    in >= 2 distinct docs is template/boilerplate, not content), then
+    reassemble each document from its surviving passages in order.
+
+    Scale posture: passage frequency is one map-side-combined groupBy on
+    the block text (count distinct docs per block); the boilerplate set
+    it yields is *small* relative to the corpus (by definition — these
+    are the few templates shared by many pages), so flagging broadcasts
+    it and the corpus never shuffles for the join; reassembly is one
+    groupBy(doc_id) whose collect_list carries (pos, block) so the
+    order-restoring sort is per-row array_sort, not a global sort."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("toks")
+    )
+    blocks = docs.select(
+        "doc_id",
+        F.posexplode(_word_blocks(F.col("toks"), _BOILERPLATE_W))
+        .alias("pos", "block"),
+    )
+    boiler = (
+        blocks.groupBy("block")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("block", F.lit(True).alias("bp"))
+    )
+    flagged = blocks.join(F.broadcast(boiler), "block", "left")
+    kept = F.when(
+        ~F.coalesce(F.col("bp"), F.lit(False)), F.struct("pos", "block")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.when(F.col("bp"), 1).otherwise(0)).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept)), lambda x: x["block"]
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+_PASSAGE_W = 16
+
+
+@query(
+    "f26_passage_dedup",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), b AS (
+        SELECT doc_id, start // {_PASSAGE_W} AS pos,
+               array_to_string(
+                   toks[start + 1 : start + {_PASSAGE_W}], ' ') AS block
+        FROM (SELECT doc_id, toks,
+                     unnest(range(0, len(toks), {_PASSAGE_W})) AS start
+              FROM t)
+    ), k AS (
+        SELECT doc_id, pos, block,
+               row_number() OVER (
+                   PARTITION BY block ORDER BY doc_id, pos) AS rn
+        FROM b
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_blocks,
+           COUNT(*) FILTER (WHERE rn > 1) AS n_dropped,
+           COALESCE(string_agg(block, ' ' ORDER BY pos)
+                    FILTER (WHERE rn = 1), '') AS clean_text
+    FROM k GROUP BY doc_id
+    """,
+)
+def f26_passage_dedup(spark, sf_dir):
+    """F26: repeated-passage dedup — every duplicated passage keeps only
+    its globally first occurrence (ordered by doc_id, then position) and
+    is dropped everywhere else; documents are reassembled from surviving
+    passages. This is passage-granular exact dedup (vs f1's whole-doc
+    hash): the unit that catches quoted/syndicated spans whole-doc
+    hashing misses.
+
+    Scale posture: first-occurrence is ``min(struct(doc_id, pos))`` per
+    block — a map-side-combinable aggregate (no per-key sort, no window
+    materialization; a row_number window over block would sort every
+    group). The winners table is block-keyed and corpus-sized, so it
+    joins back by shuffle on the block hash — equi, AQE-skew-splittable;
+    reassembly is the same per-doc collect_list + array_sort as f25."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("toks")
+    )
+    blocks = docs.select(
+        "doc_id",
+        F.posexplode(_word_blocks(F.col("toks"), _PASSAGE_W))
+        .alias("pos", "block"),
+    )
+    first = blocks.groupBy("block").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    flagged = blocks.join(first, "block").withColumn(
+        "keep",
+        (F.col("doc_id") == F.col("first.doc_id"))
+        & (F.col("pos") == F.col("first.pos")),
+    )
+    kept = F.when(F.col("keep"), F.struct("pos", "block"))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept)), lambda x: x["block"]
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+_CHUNK, _STRIDE = 32, 24
+
+
+@query(
+    "f27_chunk_rag",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ), s AS (
+        SELECT doc_id, toks, n,
+               unnest(range(0,
+                   CAST(ceil(greatest(n - {_CHUNK}, 0) / {_STRIDE}.0)
+                        AS BIGINT) * {_STRIDE} + 1,
+                   {_STRIDE})) AS start
+        FROM t
+    )
+    SELECT doc_id, start // {_STRIDE} AS chunk_id,
+           array_to_string(toks[start + 1 : start + {_CHUNK}], ' ')
+               AS chunk_text,
+           least({_CHUNK}, n - start) AS n_tokens
+    FROM s
+    """,
+)
+def f27_chunk_rag(spark, sf_dir):
+    """F27: overlapping token-window chunking (size 32, stride 24 — the
+    retrieval/context-window prep step: every document becomes a set of
+    fixed-budget chunks with 8 tokens of overlap so no span falls on a
+    boundary). Token unit = whitespace word, consistent with f9.
+
+    Scale posture: pure per-row expression work — sequence() builds the
+    start offsets, posexplode fans out (rows × ~n/stride, the inherent
+    output size), slice/array_join cut each window; no shuffle at all,
+    the whole op fuses with the parquet scan and pushes column pruning
+    (only doc_id, text read)."""
+    toked = table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("toks")
+    )
+    n = F.size("toks")
+    last = (
+        F.ceil(F.greatest(n - _CHUNK, F.lit(0)) / F.lit(float(_STRIDE)))
+        * _STRIDE
+    ).cast("int")
+    chunked = toked.select(
+        "doc_id", "toks",
+        F.posexplode(F.sequence(F.lit(0), last, F.lit(_STRIDE)))
+        .alias("chunk_id", "start"),
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join(F.slice("toks", F.col("start") + 1, F.lit(_CHUNK)), " ")
+        .alias("chunk_text"),
+        F.least(F.lit(_CHUNK), F.size("toks") - F.col("start"))
+        .cast("long").alias("n_tokens"),
+    )
+
+
+@query("f28_doc_clustering")  # rows-only: trained centroids, no SQL twin
+def f28_doc_clustering(spark, sf_dir):
+    """F28: corpus topic clustering — k-means over the embedding column
+    (the domain-mixture / data-curation view: cluster sizes and purity
+    drive up/down-sampling decisions in training-data pipelines).
+    Reuses f21's machinery: ``_sampled_kmeans`` bounded-sample fit,
+    ``_nearest_center_udf`` Arrow-batched assignment.
+
+    Scale posture: fit cost is constant in corpus size (bounded sample);
+    assignment is one map-only matmul pass; the per-cluster profile is a
+    single map-side-combined groupBy on k keys. Output: one row per
+    non-empty cluster with its size and label mix."""
+    k = 8
+    emb = _embeddings(spark, sf_dir)
+    centers_np = _sampled_kmeans(emb, k=k)
+    assign = _nearest_center_udf(centers_np)
+    return (
+        emb.withColumn("cluster_id", assign("emb"))
+        .groupBy(F.col("cluster_id").cast("long").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count_distinct("label").alias("n_labels"),
+            fx.r6(F.avg("nrm")).alias("avg_norm"),
+        )
+    )
+
+
+@query(
+    "f29_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), cnt AS (
+        SELECT term, COUNT(*) AS c FROM tok GROUP BY 1
+    ), tot AS (SELECT SUM(c) AS t FROM cnt)
+    SELECT doc_id,
+           FLOOR(AVG(-ln(c / (SELECT t FROM tot))) * 10000.0 + 0.5)
+               / 10000.0 AS xent
+    FROM tok JOIN cnt USING (term)
+    GROUP BY doc_id
+    """,
+)
+def f29_unigram_logprob(spark, sf_dir):
+    """F29: unigram cross-entropy score — each document's mean negative
+    log-probability under the corpus's own unigram distribution, the
+    cheapest member of the perplexity-filter family (documents that
+    score far from the corpus mean are outliers: boilerplate, noise,
+    wrong-language). A real pipeline swaps the unigram model for a
+    KenLM/BPE model scored in the same per-token join shape.
+
+    Scale posture: the model IS a small aggregate (vocab counts — Zipf
+    makes the distinct-term table tiny relative to the corpus), so the
+    token→probability lookup broadcasts and the corpus never shuffles
+    for it; the hot-term skew that would poison a shuffle join is
+    irrelevant under a broadcast map-side hash lookup. The vocab total
+    is a metadata-cheap scalar (same pattern as f13's sizing count)."""
+    tok = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_tokens()).alias("term"))
+    )
+    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = cnt.agg(F.sum("c")).collect()[0][0]
+    return (
+        tok.join(F.broadcast(cnt), "term")
+        .groupBy("doc_id")
+        .agg(
+            fx.r4(F.avg(-F.log(F.col("c") / F.lit(float(total)))))
+            .alias("xent")
+        )
     )

@@ -246,3 +246,66 @@ def d10_foreachbatch(spark, sf_dir):
     sdf = events_stream(spark, sf_dir).select("event_id", "user_id", "value")
     foreach_batch_idempotent_sink(sdf, target, checkpoint)
     return spark.read.parquet(target).select("event_id", "user_id", "value")
+
+
+@query(
+    "d11_stream_stream_join",
+    # inner stream-stream join emits each match exactly once; a bounded
+    # availableNow replay therefore produces the full batch-join result
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS user_id,
+           date_diff('second', c.ts, p.ts) AS secs_to_purchase
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def d11_stream_stream_join(spark, sf_dir):
+    """D11: watermarked stream-stream interval join — clicks joined to
+    the purchases that follow them within 30 minutes, as a real
+    Structured Streaming query (two file-source streams, event-time
+    watermarks on both sides, availableNow replay). The watermark +
+    interval condition is what lets Spark BOUND the join state: click
+    rows older than watermark - 30min can never match a future purchase
+    and are evicted, so state stays proportional to the time window, not
+    the stream length — the property that makes the op viable on an
+    unbounded 100 TB/day stream. State shuffles by user_id (the equi
+    part); the range part evaluates post-match.
+
+    ``date_diff('second')`` counts second-boundary crossings =
+    floor(epoch(p)) - floor(epoch(c)), which is exactly the long-cast
+    subtraction on the Spark side."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "click_id", "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (F.col("p_ts").cast("long") - F.col("c_ts").cast("long"))
+        .alias("secs_to_purchase"),
+    )
+    return run_available_now(joined, "d11_ss_join", output_mode="append")

@@ -68,6 +68,8 @@ _R01_VERIFIED: frozenset[str] = frozenset({
 _R02_NEW: frozenset[str] = frozenset({
     "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12",
     "tpch_q16", "tpch_q20", "tpch_q21", "tpch_q22",
+    "f25_boilerplate_removal", "f26_passage_dedup", "f27_chunk_rag",
+    "f28_doc_clustering", "f29_unigram_logprob", "d11_stream_stream_join",
 })
 
 

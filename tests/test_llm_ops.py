@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 
 from conftest import SF_DIR
 from nyc_taxi_data_engineering_project_spark import registry
+from nyc_taxi_data_engineering_project_spark.catalog import table
+from nyc_taxi_data_engineering_project_spark.queries import llm
 from nyc_taxi_data_engineering_project_spark.queries.llm import planted_offset
 
 registry.load_all()
@@ -205,3 +207,64 @@ def test_ivf_ann_recall_vs_bruteforce(spark):
     for r in approx:
         if (r.query_id, r.neighbor_id) in exact_cos:
             assert abs(exact_cos[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
+
+
+def test_boilerplate_removal_reassembly(spark):
+    """f25: docs with nothing removed must reassemble to their original
+    text exactly (blocks are a disjoint cover of the token stream), and
+    the corpus must contain SOME cross-doc boilerplate (planted repeats
+    exist at every SF)."""
+    out = {r.doc_id: r for r in
+           registry.QUERIES["f25_boilerplate_removal"](spark, SF_DIR).collect()}
+    docs = {r.doc_id: r.text
+            for r in table(spark, SF_DIR, "documents").collect()}
+    assert sum(r.n_removed for r in out.values()) > 0
+    untouched = [d for d, r in out.items() if r.n_removed == 0]
+    assert untouched, "expected some documents without boilerplate"
+    for d in untouched:
+        assert out[d].clean_text == docs[d]
+
+
+def test_passage_dedup_keeps_one_occurrence_per_block(spark):
+    """f26: global invariant — dropped = total blocks - distinct blocks
+    (each distinct passage survives exactly once)."""
+    rows = registry.QUERIES["f26_passage_dedup"](spark, SF_DIR).collect()
+    total = sum(r.n_blocks for r in rows)
+    dropped = sum(r.n_dropped for r in rows)
+    docs = table(spark, SF_DIR, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks"))
+    distinct_blocks = (
+        docs.select(F.explode(
+            llm._word_blocks(F.col("toks"), llm._PASSAGE_W)).alias("b"))
+        .distinct().count()
+    )
+    assert dropped == total - distinct_blocks
+
+
+def test_chunking_covers_documents(spark):
+    """f27: chunk 0 is the first 32 tokens; the last chunk ends exactly
+    at the document end; consecutive chunks overlap by 8 tokens."""
+    chunks = {}
+    for r in registry.QUERIES["f27_chunk_rag"](spark, SF_DIR).collect():
+        chunks.setdefault(r.doc_id, {})[r.chunk_id] = r
+    docs = {r.doc_id: r.text.split(" ")
+            for r in table(spark, SF_DIR, "documents").collect()}
+    assert set(chunks) == set(docs)
+    for d, toks in docs.items():
+        got = chunks[d]
+        n = len(toks)
+        expect_chunks = -(-max(n - 32, 0) // 24) + 1
+        assert len(got) == expect_chunks
+        assert got[0].chunk_text == " ".join(toks[:32])
+        last = got[len(got) - 1]
+        assert last.n_tokens == n - 24 * (len(got) - 1)
+
+
+def test_doc_clustering_partitions_corpus(spark):
+    """f28: cluster sizes must sum to the corpus size with at most k
+    non-empty clusters."""
+    rows = registry.QUERIES["f28_doc_clustering"](spark, SF_DIR).collect()
+    n = table(spark, SF_DIR, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == n
+    assert 1 <= len(rows) <= 8
+    assert all(0 <= r.cluster_id < 8 for r in rows)
