@@ -119,6 +119,44 @@ def test_exists_and_in_subqueries_plan_as_semi_joins(spark):
         assert "LeftSemi" in p, f"{key} lost the semi-join shape"
 
 
+def test_f25_boilerplate_set_broadcasts(spark):
+    """The boilerplate block set is small by construction (templates
+    shared across many docs); flagging must broadcast it so the exploded
+    corpus never shuffles for the join."""
+    p = plan_of(registry.QUERIES["f25_boilerplate_removal"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_f26_first_occurrence_is_partial_aggregate(spark):
+    """First-occurrence winner must be min(struct) — map-side-combinable
+    partial aggregate — not a row_number window (which sorts every block
+    group and cannot combine map-side)."""
+    p = plan_of(registry.QUERIES["f26_passage_dedup"](spark, SF_DIR))
+    assert p.count("HashAggregate") >= 2 or "partial_min" in p
+    assert "Window" not in p
+
+
+def test_f27_chunking_has_no_shuffle(spark):
+    """Chunking is pure per-row expression work — sequence/posexplode/
+    slice must fuse with the scan; any Exchange means a rewrite broke the
+    map-only property."""
+    p = plan_of(registry.QUERIES["f27_chunk_rag"](spark, SF_DIR))
+    assert "Exchange" not in p
+    # column pruning: only doc_id + text read
+    read = p.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "lang" not in read and "quality" not in read
+
+
+def test_f29_vocab_lookup_broadcasts(spark):
+    """The unigram model (vocab counts) is a Zipf-small aggregate; the
+    token->prob lookup must broadcast so the exploded corpus never
+    shuffles for it — hot-term skew is irrelevant under a map-side hash
+    lookup."""
+    p = plan_of(registry.QUERIES["f29_unigram_logprob"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+
+
 def test_q17_decorrelates_to_preaggregate(spark):
     """Q17's correlated per-part AVG must run as one pre-aggregate joined
     back on partkey — a per-row subquery re-execution would show up as a
