@@ -626,3 +626,43 @@ def c32_recursive_cte(spark, sf_dir):
             FROM orders GROUP BY 1
         ) o ON date_format(m, 'yyyy-MM') = o.mk
     """)
+
+
+@query(
+    "c33_salted_join",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n_items,
+           FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5)
+               / 100.0 AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def c33_salted_join(spark, sf_dir):
+    """C33: skew-mitigated shuffle join via explicit salting
+    (``skew.salted_join``). Semantically identical to the plain equi
+    join the oracle runs — the salt only changes the *partitioning*:
+    each hot l_orderkey spreads over 16 reducers instead of landing on
+    one, at the cost of shuffling the orders side 16×. The technique a
+    1000-executor job reaches for when the dim is too big to broadcast
+    and AQE's skew split doesn't apply (shuffled-hash path, aggregation
+    keyed on the hot key downstream). Plan shape (salt in the join keys,
+    shuffle join not broadcast) is asserted in tests/test_plans.py."""
+    from ..skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, orders, on=["l_orderkey"], n_salt=16)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            fx.r2(F.sum(F.col("l_extendedprice")
+                        * (1 - F.col("l_discount")))).alias("revenue"),
+        )
+    )

@@ -309,3 +309,30 @@ def d11_stream_stream_join(spark, sf_dir):
         .alias("secs_to_purchase"),
     )
     return run_available_now(joined, "d11_ss_join", output_mode="append")
+
+
+@query(
+    "d12_dedup_within_watermark",
+    # keys-only projection after dedup → output is exactly DISTINCT keys
+    # regardless of which physical row survived per key
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def d12_dedup_within_watermark(spark, sf_dir):
+    """D12: ``dropDuplicatesWithinWatermark`` — dedup whose state is
+    EVICTABLE: a key's dedup record is dropped once the watermark passes
+    its event time + delay, so state is proportional to the watermark
+    window, not the stream's lifetime. d6's plain ``dropDuplicates``
+    keeps every key forever (exact, but unbounded state); this is the
+    form an unbounded 100 TB/day stream actually runs, trading re-admit
+    of duplicates that arrive further apart than the delay. In the
+    bounded availableNow replay every duplicate falls inside one
+    watermark window, so the result equals exact DISTINCT — which is
+    what makes the key oracle-checkable."""
+    deduped = (
+        events_stream(spark, sf_dir)
+        .select("user_id", "event_type", "ts")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_available_now(deduped, "d12_dedup_wm", output_mode="append")

@@ -70,6 +70,7 @@ _R02_NEW: frozenset[str] = frozenset({
     "tpch_q16", "tpch_q20", "tpch_q21", "tpch_q22",
     "f25_boilerplate_removal", "f26_passage_dedup", "f27_chunk_rag",
     "f28_doc_clustering", "f29_unigram_logprob", "d11_stream_stream_join",
+    "c33_salted_join", "d12_dedup_within_watermark",
 })
 
 

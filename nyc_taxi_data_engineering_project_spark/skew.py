@@ -1,0 +1,61 @@
+"""Skew-mitigated joins — explicit salting (SCALE.md §5c).
+
+A shuffle join hashes each key to exactly one reducer, so one hot key
+(a celebrity user, an empty-string default, a null-like sentinel) lands
+its entire row volume on a single task and the stage runs at the speed
+of that straggler. AQE's skew-join split handles the *sort-merge* case
+adaptively at runtime; salting is the plan-level form that also covers
+shuffled-hash joins and makes the fan-out explicit and testable.
+
+Mechanics: the fact side gets a deterministic salt in ``[0, n_salt)``;
+the dim side is replicated ``n_salt`` times (one copy per salt value);
+the join runs equi on ``(key, salt)``, so a hot key's rows spread over
+``n_salt`` reducers while every fact row still meets its dim match.
+Cost: the dim side shuffles ``n_salt``× its size — worth it exactly
+when the dim is too big to broadcast and the fact is skewed (a
+broadcast join is always the first choice when the dim fits;
+``relational.py`` b2/flagship assert that path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_SALT = "_salt"
+
+# join types whose semantics survive dim-side replication: every fact row
+# carries exactly one salt, so it meets exactly one dim copy (inner/left/
+# semi) or confirms absence against the one copy holding its salt (anti).
+# right/full would emit each UNMATCHED dim row once per replica — wrong.
+_SALTABLE = {"inner", "left", "leftouter", "left_outer", "semi",
+             "leftsemi", "left_semi", "anti", "leftanti", "left_anti"}
+
+
+def salted_join(fact: DataFrame, dim: DataFrame, on: list[str],
+                n_salt: int = 16, how: str = "inner") -> DataFrame:
+    """Equi join ``fact ⋈ dim`` on ``on``, salted ``n_salt`` ways.
+
+    The salt is ``xxhash64`` of the full fact row (mod n_salt) —
+    deterministic across retries/replans (a ``rand()`` salt is also
+    correct but makes task retries non-idempotent under speculative
+    execution). The dim replication is an inline ``explode`` of a
+    literal salt array — map-side, no extra job.
+    """
+    if how.lower() not in _SALTABLE:
+        raise ValueError(
+            f"salted_join supports {sorted(_SALTABLE)}, not {how!r}: "
+            "replicating the dim side breaks unmatched-dim-row semantics"
+        )
+    salted_fact = fact.withColumn(
+        _SALT, F.pmod(F.xxhash64(*fact.columns), F.lit(n_salt)).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    # shuffle_hash hint: the whole point is the shuffle-join case (dim too
+    # big to broadcast); without it Spark would just broadcast a small dim
+    # and the salt would be dead weight
+    joined = salted_fact.join(
+        salted_dim.hint("shuffle_hash"), on=[*on, _SALT], how=how
+    )
+    return joined.drop(_SALT)

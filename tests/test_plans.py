@@ -157,6 +157,17 @@ def test_f29_vocab_lookup_broadcasts(spark):
     assert "BroadcastHashJoin" in p
 
 
+def test_c33_salt_reaches_join_keys_and_join_is_shuffled(spark):
+    """The salted join must (a) carry the salt in its join keys — that IS
+    the skew fan-out — and (b) run as a shuffle join, since salting a
+    broadcast join would be dead weight (broadcast never partitions by
+    key at all)."""
+    p = plan_of(registry.QUERIES["c33_salted_join"](spark, SF_DIR))
+    assert "_salt" in p, "salt column never reached the physical plan"
+    assert ("ShuffledHashJoin" in p) or ("SortMergeJoin" in p)
+    assert "BroadcastHashJoin" not in p
+
+
 def test_q17_decorrelates_to_preaggregate(spark):
     """Q17's correlated per-part AVG must run as one pre-aggregate joined
     back on partkey — a per-row subquery re-execution would show up as a
