@@ -69,6 +69,23 @@ def read_zones_csv(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.csv(path, header=True, inferSchema=True)
 
 
+def read_binary_files(spark: SparkSession, path: str,
+                      glob: str | None = None) -> DataFrame:
+    """Multimodal file ingestion: the ``binaryFile`` source reads raw
+    image/audio/video files as rows of (path, modificationTime, length,
+    content binary) — the entry point that turns an object-store prefix
+    of media files into the opaque-binary-column model f5/f12 process.
+    Each file is one row read by the executor that owns the split, so a
+    million-file prefix parallelizes by file without driver listing cost
+    beyond the initial index. Decode/resize happens downstream in
+    Arrow-batched ``mapInPandas`` (f12), never here — the source's only
+    job is bytes + metadata."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 def with_month(df: DataFrame) -> DataFrame:
     """Derive the partition column from pickup_datetime."""
     return df.withColumn(

@@ -84,3 +84,24 @@ def test_lake_tier_uri_write(spark, frame, tmp_path):
     back = io.read_table(spark, uri)
     assert back.count() == frame.count()
     assert set(back.columns) == set(part.columns)
+
+
+def test_binary_file_source_reads_bytes_and_metadata(spark, tmp_path):
+    """binaryFile source (io.read_binary_files): raw media files become
+    (path, length, content) rows with bytes intact — the ingestion edge
+    of the multimodal pipeline (f5/f12 consume the binary column)."""
+    payloads = {
+        "a.jpg": b"\xff\xd8\xff\xe0" + bytes(range(64)),
+        "b.jpg": b"\xff\xd8\xff\xe1" + bytes(100),
+        "notes.txt": b"not an image",
+    }
+    for name, blob in payloads.items():
+        (tmp_path / name).write_bytes(blob)
+
+    jpgs = io.read_binary_files(spark, str(tmp_path), glob="*.jpg")
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in jpgs.collect()}
+    assert set(rows) == {"a.jpg", "b.jpg"}  # glob filtered the .txt
+    for name, r in rows.items():
+        assert bytes(r.content) == payloads[name]
+        assert r.length == len(payloads[name])
+    assert dict(jpgs.dtypes)["content"] == "binary"
