@@ -48,3 +48,49 @@ def test_salted_join_rejects_dim_preserving_types(frames):
     for how in ("right", "full", "outer"):
         with pytest.raises(ValueError):
             salted_join(li, orders, on=["l_orderkey"], how=how)
+
+
+def test_aqe_splits_skewed_sort_merge_join(spark):
+    """AQE's runtime skew split — the engine-native mitigation salting
+    complements. A fact frame with one hot key (>90% of rows) joined
+    sort-merge must come out of adaptive execution with the hot
+    partition split (``skew=true`` on the SMJ node), given thresholds
+    scaled down to test data volume. This is the observable form of the
+    'AQE for runtime re-plan' posture in SCALE.md §3b."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        from pyspark.sql import functions as F
+
+        # 200k rows on one key + 10k spread over 1k keys
+        fact = spark.range(210_000).select(
+            F.when(F.col("id") < 200_000, 1)
+            .otherwise(F.col("id") % 1_000).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(1_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+        )
+        joined = fact.join(dim.hint("merge"), "k")
+        # collect() drives THIS Dataset's QueryExecution to its final
+        # adaptive plan (count() would plan a separate aggregate query)
+        assert len(joined.collect()) == 210_000
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, (
+            "AQE did not split the hot partition:\n" + final_plan[:2000]
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
