@@ -1,0 +1,97 @@
+"""Scale-up smoke: run headline keys at K× the largest local testdata.
+
+The driver testdata stops at sf0.1 (~600 k lineitem rows); this script
+materializes a K×-replicated copy (re-keyed so join/group cardinalities
+scale realistically: each copy shifts its key space, so orders/lineitem
+keep 1:N integrity and dedup/doc ops see K× distinct documents) and runs
+the headline keys on it. The point is not the absolute numbers — it is
+that wall-clock grows ~linearly and no key falls off a cliff
+(hot-bucket blowup, driver collect, state explosion) between sf0.1 and
+~sf1. Run: ``python scripts/stress.py [K] [workdir]``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from nyc_taxi_data_engineering_project_spark import registry  # noqa: E402
+from nyc_taxi_data_engineering_project_spark.session import get_session  # noqa: E402
+
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_stress"
+
+# key-shift per replica: keeps referential integrity (orders.o_orderkey ↔
+# lineitem.l_orderkey shift together) while scaling distinct-key counts
+_SHIFT = 100_000_000
+_REKEY: dict[str, list[str]] = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+_SMALL = ("region", "nation")  # dims copied as-is (fixed domain)
+
+HEADLINE = [
+    "flagship_daily_region_revenue", "tpch_q1", "tpch_q3", "tpch_q5",
+    "tpch_q9", "tpch_q18", "tpch_q21", "c33_salted_join", "c11_percentiles",
+    "f1_exact_dedup", "f2_minhash_dedup", "f10_simhash", "f11_ngram_jaccard",
+    "f25_boilerplate_removal", "f26_passage_dedup", "f29_unigram_logprob",
+    "f3_lsh_ann",
+]
+
+
+def main() -> None:
+    registry.load_all()
+    spark = get_session("stress")
+
+    if os.path.isdir(WORK):
+        shutil.rmtree(WORK)
+    os.makedirs(WORK)
+
+    t0 = time.time()
+    for name in _SMALL:
+        shutil.copy(f"{SRC}/{name}.parquet", f"{WORK}/{name}.parquet")
+    for name, keys in _REKEY.items():
+        df = spark.read.parquet(f"{SRC}/{name}.parquet")
+        copies = None
+        for i in range(K):
+            c = df
+            for kcol in keys:
+                if kcol in df.columns:
+                    c = c.withColumn(kcol, F.col(kcol) + F.lit(i * _SHIFT))
+            copies = c if copies is None else copies.unionAll(c)
+        copies.write.mode("overwrite").parquet(f"{WORK}/{name}.parquet")
+    print(f"materialized {K}x testdata in {time.time()-t0:.0f}s -> {WORK}")
+
+    results: dict[str, float] = {}
+    for key in HEADLINE:
+        t0 = time.time()
+        try:
+            registry.QUERIES[key](spark, WORK).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            results[key] = round(time.time() - t0, 2)
+            print(f"  {key}: {results[key]}s")
+        except Exception as exc:  # noqa: BLE001
+            print(f"  {key}: ERROR {exc}")
+            results[key] = -1.0
+        spark.catalog.clearCache()
+    total = sum(t for t in results.values() if t > 0)
+    print(f"TOTAL {total:.1f}s for {len(results)} keys at {K}x sf "
+          f"({SRC})")
+
+
+if __name__ == "__main__":
+    main()
