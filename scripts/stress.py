@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from nyc_taxi_data_engineering_project_spark import registry  # noqa: E402
+from nyc_taxi_data_engineering_project_spark import catalog, registry  # noqa: E402
 from nyc_taxi_data_engineering_project_spark.session import get_session  # noqa: E402
 
 K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
@@ -64,7 +64,9 @@ def main() -> None:
     for name in _SMALL:
         shutil.copy(f"{SRC}/{name}.parquet", f"{WORK}/{name}.parquet")
     for name, keys in _REKEY.items():
-        df = spark.read.parquet(f"{SRC}/{name}.parquet")
+        # catalog.table handles events' TIMESTAMP(NANOS) → micros; the
+        # replica then persists micro timestamps, which read back plainly
+        df = catalog.table(spark, SRC, name)
         copies = None
         for i in range(K):
             c = df
