@@ -666,3 +666,136 @@ def c33_salted_join(spark, sf_dir):
                         * (1 - F.col("l_discount")))).alias("revenue"),
         )
     )
+
+
+@query(
+    "c34_grouping_sets",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n,
+           FLOOR(SUM(l_quantity) * 100.0 + 0.5) / 100.0 AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    """,
+)
+def c34_grouping_sets(spark, sf_dir):
+    """C34: explicit GROUPING SETS — the general form c9's rollup/cube
+    are shorthands for: exactly the (flag, status), (flag), () grains,
+    no others. One pass over the fact, each partial aggregate combined
+    map-side per grain (Spark expands to a union of aggregates over one
+    shuffle of the Expand output). COALESCE markers instead of
+    grouping_id keep the output engine-portable (both columns are
+    non-null in the data, so 'ALL' is unambiguous)."""
+    register_views(spark, sf_dir, ("lineitem",))
+    # 100.0D: in Spark SQL text a bare 100.0 is a DECIMAL literal (the
+    # DataFrame API's lit(100.0) is a double) and would drag the whole
+    # rounding expression into decimal arithmetic, breaking float parity
+    return spark.sql("""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n,
+               FLOOR(SUM(l_quantity) * 100.0D + 0.5D) / 100.0D AS qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+    """)
+
+
+@query(
+    "c35_range_frame",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           date_diff('day', TIMESTAMP '1990-01-01', o_orderdate) AS d,
+           FLOOR(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY date_diff('day', TIMESTAMP '1990-01-01', o_orderdate)
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ) * 100.0 + 0.5) / 100.0 AS spend_30d
+    FROM orders
+    """,
+)
+def c35_range_frame(spark, sf_dir):
+    """C35: value-RANGE window frame — per-customer rolling 30-day spend.
+    c14's running sum is a ROWS frame (physical offsets); RANGE frames
+    bound by the ORDER key's *value*, so same-day orders aggregate
+    together and gaps in the calendar matter — the form rolling-window
+    analytics actually needs. Order key is integer days-since-epoch
+    (both engines compute the identical integer, keeping frame
+    boundaries bit-identical). One shuffle on custkey; frames evaluate
+    in a single per-partition sorted pass."""
+    days = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-30, 0)
+    )
+    return table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        days.cast("long").alias("d"),
+        fx.r2(F.sum("o_totalprice").over(w)).alias("spend_30d"),
+    )
+
+
+_SESSION_GAP_S = 1800
+
+
+@query(
+    "c36_sessionize",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN date_diff('second',
+                        lag(ts) OVER w, ts) <= {_SESSION_GAP_S}
+                    THEN 0 ELSE 1 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           date_diff('second', MIN(ts), MAX(ts)) AS duration_s,
+           FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS total_value
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def c36_sessionize(spark, sf_dir):
+    """C36: batch sessionization — events split into sessions at >30 min
+    inactivity gaps (lag + running sum of session starts), then per-
+    session profiles. The batch twin of d5's streaming session window —
+    the form backfills and offline feature pipelines run.
+
+    Scale posture: ONE shuffle on user_id serves both windows and the
+    final aggregate (same partitioning, Catalyst reuses the exchange);
+    everything after is per-partition sorted passes. The lag tie-break
+    (ts, event_id) makes same-timestamp ordering deterministic across
+    engines."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = W.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(W.unboundedPreceding, 0)
+    ev = table(spark, sf_dir, "events")
+    marked = ev.select(
+        "user_id", "ts", "value", "event_id",
+        F.when(
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts")).over(w).cast("long") <= _SESSION_GAP_S,
+            0,
+        ).otherwise(1).alias("is_new"),
+    )
+    sess = marked.select(
+        "user_id", "ts", "value",
+        F.sum("is_new").over(w_run).alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
+        .alias("duration_s"),
+        fx.r2(F.sum("value")).alias("total_value"),
+    )

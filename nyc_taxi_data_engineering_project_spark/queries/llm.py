@@ -1720,3 +1720,127 @@ def f29_unigram_logprob(spark, sf_dir):
             .alias("xent")
         )
     )
+
+
+_DECON_W = 5  # gram width for overlap decontamination
+
+
+@query(
+    "f30_ngram_decontaminate",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), g AS (
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(toks[i : i + {_DECON_W - 1}], ' ')) AS gh
+        FROM (SELECT doc_id, toks,
+                     unnest(range(1, len(toks) - {_DECON_W - 2})) AS i
+              FROM t)
+    ), e AS (
+        SELECT DISTINCT gh FROM g WHERE doc_id % 89 = 0
+    )
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(*) FILTER (WHERE e.gh IS NOT NULL) AS n_hit,
+           (COUNT(*) FILTER (WHERE e.gh IS NOT NULL)) * 10 >= COUNT(*)
+               AS contaminated
+    FROM g LEFT JOIN e ON g.gh = e.gh
+    GROUP BY 1
+    """,
+)
+def f30_ngram_decontaminate(spark, sf_dir):
+    """F30: n-gram-overlap decontamination — the stronger form of f24's
+    exact-hash check: a training document is contaminated when ≥10% of
+    its distinct 5-gram shingles appear in the eval set (planted here as
+    doc_id % 89), catching partial/quoted contamination whole-doc
+    hashing misses (the GPT-3/PaLM-style overlap rule).
+
+    Scale posture: grams materialize as md5 keys (16 bytes, not gram
+    strings) map-side; the eval gram set is small (eval suites are MBs
+    against a 100 TB corpus) so membership is a broadcast left join —
+    the corpus gram stream never shuffles for it; the per-doc overlap
+    count is one map-side-combinable aggregate. Gram explosion is the
+    inherent output size (rows × ~n_tokens) and fuses with the scan."""
+    toked = table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("toks")
+    )
+    grams = (
+        toked.filter(F.size("toks") >= _DECON_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (_DECON_W - 1)),
+                    lambda i: F.md5(F.array_join(
+                        F.slice("toks", i, _DECON_W), " ")),
+                )
+            ).alias("gh"),
+        )
+        .distinct()
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % 89 == 0).select("gh").distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        grams.join(F.broadcast(eval_grams), "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("n_hit"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_hit",
+            (F.col("n_hit") * 10 >= F.col("n_grams")).alias("contaminated"),
+        )
+    )
+
+
+@query(
+    "f31_training_order",
+    oracle="""
+    SELECT doc_id, source,
+           row_number() OVER (
+               ORDER BY md5('seed42:' || CAST(doc_id AS VARCHAR))
+           ) AS ord
+    FROM documents
+    """,
+)
+def f31_training_order(spark, sf_dir):
+    """F31: deterministic global training-data shuffle — every document
+    gets a stable pseudo-random position (rank by keyed md5 of its id),
+    the order a training run consumes shards in. Seeded hash order, not
+    ``rand()``: reproducible across engines, retries, and reshardings.
+
+    Scale posture: a naive ``row_number() OVER (ORDER BY hash)`` plans a
+    SINGLE-partition window — the whole corpus through one task. The
+    distributed form splits on the hash's most-significant byte (256
+    buckets; md5 is uniform so buckets are balanced by construction):
+    global order ≡ (bucket, hash-within-bucket), so the global rank is
+    the bucket's cumulative offset (a 256-row metadata aggregate,
+    broadcast back) plus the within-bucket row_number (a partitioned
+    window — parallel). Same two-phase zipWithIndex pattern
+    ``io.surrogate_ids`` uses for key assignment."""
+    docs = table(spark, sf_dir, "documents")
+    hkey = F.md5(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string")))
+    keyed = docs.select(
+        "doc_id", "source", hkey.alias("hk"),
+        F.substring(hkey, 1, 2).alias("bk"),
+    )
+    # 256-row frame: the single-partition window here is metadata-sized
+    offsets = (
+        keyed.groupBy("bk").agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bk",
+            (F.sum("n").over(W.orderBy("bk")) - F.col("n")).alias("off"),
+        )
+    )
+    w_in_bucket = W.partitionBy("bk").orderBy("hk")
+    return (
+        keyed.join(F.broadcast(offsets), "bk")
+        .select(
+            "doc_id", "source",
+            (F.row_number().over(w_in_bucket) + F.col("off"))
+            .cast("long").alias("ord"),
+        )
+    )

@@ -71,6 +71,8 @@ _R02_NEW: frozenset[str] = frozenset({
     "f25_boilerplate_removal", "f26_passage_dedup", "f27_chunk_rag",
     "f28_doc_clustering", "f29_unigram_logprob", "d11_stream_stream_join",
     "c33_salted_join", "d12_dedup_within_watermark",
+    "c34_grouping_sets", "c35_range_frame", "c36_sessionize",
+    "f30_ngram_decontaminate", "f31_training_order",
 })
 
 

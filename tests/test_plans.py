@@ -168,6 +168,35 @@ def test_c33_salt_reaches_join_keys_and_join_is_shuffled(spark):
     assert "BroadcastHashJoin" not in p
 
 
+def test_f30_eval_gram_membership_broadcasts(spark):
+    """The eval-set gram table is small (eval suites vs a 100 TB corpus);
+    membership must broadcast so the corpus gram stream never shuffles."""
+    p = plan_of(registry.QUERIES["f30_ngram_decontaminate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+
+
+def test_f31_rank_avoids_corpus_sized_global_window(spark):
+    """Global training order must come from the two-phase rank: the only
+    unpartitioned window runs over the 256-row bucket-offset frame, and
+    the corpus-sized window is partitioned by bucket. A naive global
+    row_number would put the whole corpus through one task."""
+    df = registry.QUERIES["f31_training_order"](spark, SF_DIR)
+    p = plan_of(df)
+    # the row_number window spec must carry the bucket partition key
+    rn = [ln for ln in p.splitlines() if "row_number()" in ln]
+    assert rn, "no row_number window found"
+    assert all("bk" in ln for ln in rn), (
+        "within-bucket window lost its partition key:\n" + "\n".join(rn)
+    )
+
+
+def test_c36_windows_and_agg_share_one_exchange(spark):
+    """Sessionization must shuffle ONCE on user_id: both windows and the
+    final per-session aggregate reuse the same hash partitioning."""
+    p = plan_of(registry.QUERIES["c36_sessionize"](spark, SF_DIR), mode="simple")
+    assert p.count("Exchange") == 1, p[:1500]
+
+
 def test_q17_decorrelates_to_preaggregate(spark):
     """Q17's correlated per-part AVG must run as one pre-aggregate joined
     back on partkey — a per-row subquery re-execution would show up as a
