@@ -60,3 +60,30 @@ def a16_validation_count(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "a21_python_datasource",
+    oracle="""
+    SELECT i AS id,
+           md5('42:' || CAST(i AS VARCHAR)) AS fp,
+           CAST(('0x' || substr(md5('42:' || CAST(i AS VARCHAR)), 1, 2))
+                AS INTEGER) AS bucket
+    FROM range(2000) t(i)
+    """,
+)
+def a21_python_datasource(spark, sf_dir):
+    """A21: custom Python DataSource (Spark 4 ``pyspark.sql.datasource``)
+    — ``pysource.RangeDocsSource`` registered as format 'rangedocs',
+    planned into 8 InputPartitions read executor-side in parallel. The
+    deterministic seeded-md5 payload is what makes a *custom source*
+    oracle-checkable at all: DuckDB rebuilds the identical rows from
+    range()+md5. See pysource.py for the production shape this demos."""
+    from ..pysource import register
+
+    register(spark)
+    return (
+        spark.read.format("rangedocs")
+        .option("n", 2000).option("partitions", 8)
+        .load()
+    )
