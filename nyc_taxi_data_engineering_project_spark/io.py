@@ -255,3 +255,27 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",
     (df.write.mode(mode)
        .option("batchsize", int(batch_size))
        .jdbc(url, table, properties=dict(properties)))
+
+
+def merge_upsert(target: DataFrame, updates: DataFrame,
+                 keys: list[str]) -> DataFrame:
+    """MERGE-INTO semantics on plain parquet frames (updates win):
+    matched rows take the update's values, unmatched target rows stay,
+    update-only rows insert — the SCD-Type-1 upsert ANSI MERGE expresses,
+    computed as ONE full-outer equi join + per-column coalesce.
+
+    Scale posture: the join shuffles on the merge key (AQE broadcasts a
+    small update batch automatically); at rest the pattern pairs with
+    dynamic partition overwrite (`write_trips_month_idempotent`) so only
+    partitions containing merged keys rewrite — Spark-on-parquet's
+    answer to a transactional MERGE, with the rewrite scope as the
+    transaction granule."""
+    cols = target.columns
+    u = updates.select(*cols)
+    t_a, u_a = target.alias("t"), u.alias("u")
+    merged = t_a.join(u_a, on=keys, how="full_outer")
+    return merged.select(*[
+        (F.col(c) if c in keys  # name-based join pre-coalesces key cols
+         else F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}"))).alias(c)
+        for c in cols
+    ])

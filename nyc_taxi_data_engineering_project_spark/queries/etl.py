@@ -87,3 +87,104 @@ def a21_python_datasource(spark, sf_dir):
         .option("n", 2000).option("partitions", 8)
         .load()
     )
+
+
+@query(
+    "a22_merge_upsert",
+    # target = snapshot missing doc_id%7 rows; updates = doc_id%3 rows
+    # re-tagged. MERGE semantics: updates win, unmatched target stays,
+    # update-only rows (the %21 overlap of "missing" and "updated") insert.
+    oracle="""
+    WITH target AS (
+        SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 7 != 0
+    ), updates AS (
+        SELECT doc_id, 'xx' AS lang, n_chars + 1 AS n_chars
+        FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT COALESCE(u.doc_id, t.doc_id) AS doc_id,
+           COALESCE(u.lang, t.lang) AS lang,
+           COALESCE(u.n_chars, t.n_chars) AS n_chars
+    FROM target t FULL OUTER JOIN updates u ON t.doc_id = u.doc_id
+    """,
+)
+def a22_merge_upsert(spark, sf_dir):
+    """A22: MERGE-INTO semantics on parquet (``io.merge_upsert``) — the
+    upsert the reference would write as ON CONFLICT DO UPDATE: one
+    full-outer join on the key, update values win per column, unmatched
+    rows from either side survive. The planted shapes exercise all three
+    MERGE branches (matched-update, not-matched-by-source keep,
+    not-matched-by-target insert)."""
+    from ..io import merge_upsert
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    target = docs.filter(F.col("doc_id") % 7 != 0)
+    updates = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.lit("xx").alias("lang"),
+        (F.col("n_chars") + 1).alias("n_chars"),
+    )
+    return merge_upsert(target, updates, keys=["doc_id"])
+
+
+@query(
+    "a23_snapshot_diff",
+    # CDC between two snapshots: %5 rows deleted, %4 rows edited
+    oracle="""
+    WITH old AS (
+        SELECT doc_id, lang, n_chars FROM documents
+    ), new AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 4 = 0 THEN n_chars + 10
+                    ELSE n_chars END AS n_chars
+        FROM documents WHERE doc_id % 5 != 0
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'insert'
+                WHEN n.doc_id IS NULL THEN 'delete'
+                ELSE 'update' END AS change
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+       OR o.lang != n.lang OR o.n_chars != n.n_chars
+    """,
+)
+def a23_snapshot_diff(spark, sf_dir):
+    """A23: snapshot CDC diff — the change feed between two table
+    versions (insert/update/delete per key), the op that turns periodic
+    full snapshots into an incremental feed. One full-outer equi join on
+    the key; unchanged rows are filtered by column comparison (at width,
+    a payload hash per side compares once instead of per column —
+    same join shape).
+
+    Scale posture: shuffle equi join on the key, AQE-skew-splittable;
+    the change feed is usually a small fraction of the snapshot, so
+    everything downstream of the filter is cheap."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    old = docs.withColumn("_o", F.lit(1))
+    new = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .select(
+            "doc_id", "lang",
+            F.when(F.col("doc_id") % 4 == 0, F.col("n_chars") + 10)
+            .otherwise(F.col("n_chars")).alias("n_chars"),
+        )
+        .withColumn("_n", F.lit(1))
+    )
+    j = old.alias("o").join(new.alias("n"), "doc_id", "full_outer")
+    return (
+        j.select(
+            F.col("doc_id"),
+            F.when(F.col("o._o").isNull(), "insert")
+            .when(F.col("n._n").isNull(), "delete")
+            .otherwise("update").alias("change"),
+            F.col("o.lang").alias("ol"), F.col("n.lang").alias("nl"),
+            F.col("o.n_chars").alias("oc"), F.col("n.n_chars").alias("nc"),
+        )
+        .filter(
+            F.col("ol").isNull() | F.col("nl").isNull()
+            | (F.col("ol") != F.col("nl")) | (F.col("oc") != F.col("nc"))
+        )
+        .select("doc_id", "change")
+    )

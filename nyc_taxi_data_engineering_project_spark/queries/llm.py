@@ -1844,3 +1844,49 @@ def f31_training_order(spark, sf_dir):
             .cast("long").alias("ord"),
         )
     )
+
+
+@query(
+    "f32_keep_best_dedup",
+    # packed arg-min: (max n_chars, then min doc_id) per content group,
+    # decoded from one BIGINT — identical int64 arithmetic both engines
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, n_chars, md5(lower(trim(text))) AS fp,
+               (100000 - n_chars) * 10000000000 + doc_id AS pack
+        FROM documents
+    )
+    SELECT fp, COUNT(*) AS n_dups,
+           MIN(pack) % 10000000000 AS keep_doc_id
+    FROM keyed GROUP BY fp
+    """,
+)
+def f32_keep_best_dedup(spark, sf_dir):
+    """F32: canonical-selection dedup — per exact-content group (f1's
+    normalized hash), keep the BEST representative (longest doc, ties to
+    the smallest doc_id) instead of an arbitrary first. The selection
+    rule real pipelines need when duplicates differ in truncation or
+    metadata quality.
+
+    Scale posture: the two-level preference (max length, then min id)
+    packs into one BIGINT ((1e5 - n_chars)·1e10 + doc_id), so the winner
+    is a plain ``min`` — map-side-combinable partial aggregate, no
+    per-group sort, no window, one shuffle on the content hash (same
+    discipline as f26's min(struct); the packed form also survives
+    engines without struct-ordered aggregates)."""
+    docs = table(spark, sf_dir, "documents")
+    pack = (
+        (F.lit(100000) - F.col("n_chars")) * F.lit(10000000000)
+        + F.col("doc_id")
+    )
+    return (
+        docs.select(
+            F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+            pack.alias("pack"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            (F.min("pack") % 10000000000).alias("keep_doc_id"),
+        )
+    )

@@ -73,7 +73,8 @@ _R02_NEW: frozenset[str] = frozenset({
     "c33_salted_join", "d12_dedup_within_watermark",
     "c34_grouping_sets", "c35_range_frame", "c36_sessionize",
     "f30_ngram_decontaminate", "f31_training_order",
-    "a21_python_datasource",
+    "a21_python_datasource", "a22_merge_upsert", "a23_snapshot_diff",
+    "f32_keep_best_dedup",
 })
 
 
