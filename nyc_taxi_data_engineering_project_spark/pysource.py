@@ -18,7 +18,12 @@ throughput is bounded by the payload, not per-row Python dispatch.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class RangeDocsPartition(InputPartition):
@@ -68,3 +73,63 @@ class RangeDocsSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration of the custom format on a session."""
     spark.dataSource.register(RangeDocsSource)
+
+
+class RangeDocsStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked incremental reader: each ``read(start)`` emits the
+    next ``batch`` rows and advances the offset dict; ``readBetweenOffsets``
+    replays a committed range deterministically (the replay contract that
+    makes the source exactly-once under checkpoint recovery).
+
+    Note: Spark's Python micro-batch runtime does not implement
+    Trigger.AvailableNow (it falls back to single-batch execution), so a
+    bounded run processes min(batch, n) rows — the registered query key
+    sets batch = n; the incremental path (many micro-batches with a
+    processingTime trigger) is exercised in tests/test_pysource.py."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.batch = int(options.get("batch", 100))
+        self.seed = options.get("seed", "42")
+
+    def _rows(self, lo: int, hi: int):
+        import hashlib
+
+        # a LIST's iterator, not a generator: the runtime's prefetch
+        # cache shallow-copies the returned iterator between the driver
+        # and the planner, and generators are neither copyable nor
+        # picklable (list iterators are both)
+        return iter([
+            (i, hashlib.md5(f"{self.seed}:{i}".encode()).hexdigest())
+            for i in range(lo, hi)
+        ])
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        pos = start["pos"]
+        end = min(pos + self.batch, self.n)
+        return self._rows(pos, end), {"pos": end}
+
+    def readBetweenOffsets(self, start, end):
+        return self._rows(start["pos"], end["pos"])
+
+
+class RangeDocsStreamSource(DataSource):
+    """``spark.readStream.format("rangedocs_stream")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "rangedocs_stream"
+
+    def schema(self) -> str:
+        return "id bigint, fp string"
+
+    def simpleStreamReader(self, schema) -> RangeDocsStreamReader:
+        return RangeDocsStreamReader(self.options)
+
+
+def register_stream(spark) -> None:
+    """Idempotent registration of the streaming format on a session."""
+    spark.dataSource.register(RangeDocsStreamSource)

@@ -336,3 +336,32 @@ def d12_dedup_within_watermark(spark, sf_dir):
         .select("user_id", "event_type")
     )
     return run_available_now(deduped, "d12_dedup_wm", output_mode="append")
+
+
+@query(
+    "d13_python_stream_source",
+    oracle="""
+    SELECT i AS id, md5('42:' || CAST(i AS VARCHAR)) AS fp
+    FROM range(1500) t(i)
+    """,
+)
+def d13_python_stream_source(spark, sf_dir):
+    """D13: custom Python STREAMING source (Spark 4
+    ``SimpleDataSourceStreamReader``) — the streaming half of A21's
+    extension point: offset-tracked incremental reads with a
+    deterministic replay contract (``readBetweenOffsets``), which is
+    what lets checkpoint recovery re-emit a committed range instead of
+    losing or duplicating it. Bounded here (n rows, single batch — the
+    Python micro-batch runtime has no AvailableNow support, see
+    pysource.py); the multi-micro-batch path runs in
+    tests/test_pysource.py. Oracle: the seeded-md5 payload rebuilt by
+    DuckDB, as a21."""
+    from ..pysource import register_stream
+
+    register_stream(spark)
+    sdf = (
+        spark.readStream.format("rangedocs_stream")
+        .option("n", 1500).option("batch", 1500)
+        .load()
+    )
+    return run_available_now(sdf, "d13_pysrc_stream", output_mode="append")

@@ -74,7 +74,7 @@ _R02_NEW: frozenset[str] = frozenset({
     "c34_grouping_sets", "c35_range_frame", "c36_sessionize",
     "f30_ngram_decontaminate", "f31_training_order",
     "a21_python_datasource", "a22_merge_upsert", "a23_snapshot_diff",
-    "f32_keep_best_dedup",
+    "f32_keep_best_dedup", "d13_python_stream_source",
 })
 
 

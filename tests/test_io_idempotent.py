@@ -137,3 +137,24 @@ def test_zones_csv_roundtrip(spark, tmp_path):
     rows = {r.location_id: r for r in out.collect()}
     assert rows[74].borough == "Manhattan"
     assert rows[1].zone == "Newark Airport"
+
+
+def test_merge_upsert_round_trip(spark, tmp_path):
+    """MERGE at rest: write a target snapshot, upsert a batch, rewrite,
+    re-read — matched rows updated, unmatched kept, new keys inserted
+    (io.merge_upsert's three MERGE branches surviving the parquet
+    round-trip)."""
+    from nyc_taxi_data_engineering_project_spark.io import merge_upsert
+
+    target_path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, s string, v long"
+    ).write.parquet(target_path)
+    updates = spark.createDataFrame(
+        [(2, "B", 200), (4, "d", 40)], "id long, s string, v long"
+    )
+    merged = merge_upsert(spark.read.parquet(target_path), updates, ["id"])
+    out = str(tmp_path / "t2")
+    merged.write.parquet(out)
+    got = {r.id: (r.s, r.v) for r in spark.read.parquet(out).collect()}
+    assert got == {1: ("a", 10), 2: ("B", 200), 3: ("c", 30), 4: ("d", 40)}
