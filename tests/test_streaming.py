@@ -121,3 +121,55 @@ def test_foreachbatch_restart_is_exactly_once(spark, tmp_path):
 
     expected = table(spark, SF_DIR, "events").count()
     assert n1 == n2 == expected
+
+
+def test_stateful_counts_match_batch_aggregation(spark):
+    """d8's applyInPandasWithState per-user running (count, max) must,
+    after a bounded replay, equal the plain batch aggregate — the
+    batch-equivalence oracle for arbitrary stateful processing (the
+    final state IS the aggregate when every event has been consumed)."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_engineering_project_spark import registry
+    from nyc_taxi_data_engineering_project_spark.catalog import table
+
+    registry.load_all()
+    out = registry.QUERIES["d8_stateful"](spark, SF_DIR)
+    # update-mode memory sink emits one row per user per micro-batch;
+    # the LAST update per user is its final state
+    w = __import__("pyspark").sql.Window.partitionBy("user_id")
+    final = (
+        out.withColumn("_max_n", F.max("n_events").over(w))
+        .filter(F.col("n_events") == F.col("_max_n"))
+        .select("user_id", "n_events", "max_value")
+        .dropDuplicates(["user_id"])
+    )
+    batch = (
+        table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.max("value").alias("max_value"))
+    )
+    got = {r.user_id: (r.n_events, round(r.max_value, 6))
+           for r in final.collect()}
+    want = {r.user_id: (r.n_events, round(r.max_value, 6))
+            for r in batch.collect()}
+    assert got == want
+
+
+def test_approx_distinct_within_hll_error(spark):
+    """c10's HLL estimate must land within 5% of the exact distinct
+    count (rsd=0.05 is the registered sketch's accuracy bound) — the
+    behavioral oracle for a key whose exact value is engine-specific."""
+    from nyc_taxi_data_engineering_project_spark import registry
+
+    registry.load_all()
+    approx = {r[0]: r[1] for r in
+              registry.QUERIES["c10_approx_distinct"](spark, SF_DIR).collect()}
+    exact = {r[0]: r[1] for r in
+             registry.QUERIES["c10_count_distinct"](spark, SF_DIR).collect()}
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]) * 3, (
+            k, est, exact[k]
+        )
