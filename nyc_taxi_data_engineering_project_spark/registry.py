@@ -91,6 +91,7 @@ _COST_HINT: dict[str, float] = {
     "d10_foreachbatch": 2.0, "d2_watermark": 1.8, "f21_ivf_ann": 1.8,
     "f2_minhash_dedup": 1.6, "tpch_q2": 1.6, "f20_ml_minhash_lsh": 1.5,
     "e2_pandas_udf": 1.5, "tpch_q21": 1.4,
+    "d13_python_stream_source": 2.0, "d12_dedup_within_watermark": 1.5,
 }
 
 
