@@ -799,3 +799,66 @@ def c36_sessionize(spark, sf_dir):
         .alias("duration_s"),
         fx.r2(F.sum("value")).alias("total_value"),
     )
+
+
+@query(
+    "c37_bitmap_distinct_rollup",
+    # the oracle recomputes month-distinct from raw rows; the Spark side
+    # MERGES per-day bitmaps — same numbers proves merge-correctness
+    oracle="""
+    SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+           COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days,
+           COUNT(DISTINCT user_id) AS distinct_users
+    FROM events GROUP BY 1
+    """,
+)
+def c37_bitmap_distinct_rollup(spark, sf_dir):
+    """C37: mergeable EXACT distinct via bitmap aggregates — per-day
+    (and per 32k-id bucket) user bitmaps built once, then OR-merged to
+    month grain without ever rescanning the fact. The pattern that makes
+    exact distinct-user rollups incremental at 100 TB: daily jobs emit
+    tiny bitmap partials; any later grain (week/month/arbitrary window)
+    is a bitmap_or_agg + bitmap_count over partials. The oracle
+    recomputes month-distinct from raw rows — matching it proves the
+    merge path is lossless (what HLL's c10/c38 trade away)."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql("""
+        WITH day_partials AS (      -- the incremental daily-job output
+            SELECT date_format(ts, 'yyyy-MM') AS month,
+                   date_format(ts, 'yyyy-MM-dd') AS day,
+                   bitmap_bucket_number(user_id) AS bkt,
+                   bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
+            FROM events GROUP BY 1, 2, 3
+        ), month_buckets AS (       -- rollup: merge partials, no rescan
+            SELECT month, bkt, bitmap_count(bitmap_or_agg(bm)) AS c,
+                   count(DISTINCT day) AS nd
+            FROM day_partials GROUP BY month, bkt
+        )
+        SELECT month, MAX(nd) AS n_days, SUM(c) AS distinct_users
+        FROM month_buckets GROUP BY month
+    """)
+
+
+@query("c38_hll_sketch_union")  # rows-only: sketch estimate, no SQL twin
+def c38_hll_sketch_union(spark, sf_dir):
+    """C38: mergeable APPROXIMATE distinct via Datasketches HLL — same
+    partial/merge shape as c37 but the partial is a constant-size sketch
+    (vs bitmaps' id-range-proportional size): per-day sketches union to
+    month estimates at any cardinality for KBs per partial. c10's
+    approx_count_distinct computes one estimate inline; this exposes the
+    SKETCH as a column — the storable, re-mergeable artifact incremental
+    pipelines persist. Estimate-vs-exact tolerance asserted in
+    tests/test_llm_ops.py."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql("""
+        WITH day_sketches AS (
+            SELECT date_format(ts, 'yyyy-MM') AS month,
+                   date_format(ts, 'yyyy-MM-dd') AS day,
+                   hll_sketch_agg(user_id) AS sk
+            FROM events GROUP BY 1, 2
+        )
+        SELECT month,
+               count(*) AS n_days,
+               hll_sketch_estimate(hll_union_agg(sk)) AS approx_users
+        FROM day_sketches GROUP BY month
+    """)

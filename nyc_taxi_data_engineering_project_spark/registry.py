@@ -75,6 +75,7 @@ _R02_NEW: frozenset[str] = frozenset({
     "f30_ngram_decontaminate", "f31_training_order",
     "a21_python_datasource", "a22_merge_upsert", "a23_snapshot_diff",
     "f32_keep_best_dedup", "d13_python_stream_source",
+    "c37_bitmap_distinct_rollup", "c38_hll_sketch_union",
 })
 
 

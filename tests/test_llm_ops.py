@@ -268,3 +268,22 @@ def test_doc_clustering_partitions_corpus(spark):
     assert sum(r.n_vecs for r in rows) == n
     assert 1 <= len(rows) <= 8
     assert all(0 <= r.cluster_id < 8 for r in rows)
+
+
+def test_hll_sketch_union_estimate_within_tolerance(spark):
+    """c38's per-day-sketch → month-union estimate must land within the
+    HLL error envelope of the exact distinct count (c37's bitmap path is
+    the exact twin — together they pin both sides of the merge-partials
+    pattern)."""
+    from nyc_taxi_data_engineering_project_spark import registry
+
+    registry.load_all()
+    est = {r.month: r.approx_users for r in
+           registry.QUERIES["c38_hll_sketch_union"](spark, SF_DIR).collect()}
+    exact = {r.month: r.distinct_users for r in
+             registry.QUERIES["c37_bitmap_distinct_rollup"](
+                 spark, SF_DIR).collect()}
+    assert set(est) == set(exact)
+    for month, e in est.items():
+        x = exact[month]
+        assert abs(e - x) <= max(2, 0.05 * x) * 3, (month, e, x)
