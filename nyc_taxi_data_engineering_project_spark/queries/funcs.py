@@ -399,3 +399,71 @@ def c31_cte(spark, sf_dir):
     reuses the CTE subplan as costs dictate."""
     register_views(spark, sf_dir, ("orders", "customer"))
     return spark.sql(_C31_SQL)
+
+
+@query(
+    "c39_variant_shred",
+    oracle="""
+    WITH shredded AS (
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    SELECT k % 10 AS k_bucket, COUNT(*) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k
+    FROM shredded GROUP BY 1
+    """,
+)
+def c39_variant_shred(spark, sf_dir):
+    """C39: VARIANT semi-structured path (Spark 4) — ``parse_json`` once
+    into the binary VARIANT encoding, then typed ``variant_get``
+    extraction feeding a plain aggregate. vs c27's per-access
+    ``get_json_object`` string re-parse: VARIANT parses each value once
+    and every downstream access is a cheap binary probe — the difference
+    between O(accesses) and O(1) parses per row, which is what makes
+    wide semi-structured event payloads queryable at 100 TB (and the
+    encoding parquet shredding is being standardized on)."""
+    e = table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        e.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+    )
+
+
+@query(
+    "c40_nullsafe_join",
+    oracle="""
+    WITH l AS (
+        SELECT NULLIF(event_type, 'click') AS k, value FROM events
+    ), d AS (
+        SELECT k, AVG(value) AS av FROM l GROUP BY k
+    )
+    SELECT l.k AS k, COUNT(*) AS n,
+           FLOOR(MAX(d.av) * 10000.0 + 0.5) / 10000.0 AS avg_v
+    FROM l JOIN d ON l.k IS NOT DISTINCT FROM d.k
+    GROUP BY l.k
+    """,
+)
+def c40_nullsafe_join(spark, sf_dir):
+    """C40: null-safe equi join (``<=>`` / IS NOT DISTINCT FROM) — NULL
+    keys MATCH each other instead of silently dropping, the semantic a
+    plain equi join gets wrong when the join key is derived and partly
+    null (here: event_type with one value nulled out). Physically still
+    a hash join — the null-safe comparison hashes NULL as a regular key
+    value, so the NULL group shuffles to one reducer like any other key
+    (a hot NULL group is the classic salting candidate, c33)."""
+    e = table(spark, sf_dir, "events")
+    left = e.select(
+        F.nullif("event_type", F.lit("click")).alias("k"), "value"
+    )
+    dim = left.groupBy("k").agg(F.avg("value").alias("av"))
+    return (
+        left.alias("l")
+        .join(dim.alias("d"), F.col("l.k").eqNullSafe(F.col("d.k")))
+        .groupBy(F.col("l.k").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            fx.r4(F.max("av")).alias("avg_v"),
+        )
+    )

@@ -76,6 +76,7 @@ _R02_NEW: frozenset[str] = frozenset({
     "a21_python_datasource", "a22_merge_upsert", "a23_snapshot_diff",
     "f32_keep_best_dedup", "d13_python_stream_source",
     "c37_bitmap_distinct_rollup", "c38_hll_sketch_union",
+    "c39_variant_shred", "c40_nullsafe_join",
 })
 
 
