@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .. import fx
 from ..catalog import table
 from ..registry import query
 
@@ -187,4 +188,44 @@ def a23_snapshot_diff(spark, sf_dir):
             | (F.col("ol") != F.col("nl")) | (F.col("oc") != F.col("nc"))
         )
         .select("doc_id", "change")
+    )
+
+
+@query(
+    "a24_observed_metrics",
+    oracle="""
+    SELECT 'n_rows' AS metric, CAST(COUNT(*) AS DOUBLE) AS value
+    FROM events
+    UNION ALL
+    SELECT 'total_value', FLOOR(SUM(value) * 100.0 + 0.5) / 100.0
+    FROM events
+    UNION ALL
+    SELECT 'null_props', CAST(COUNT(*) FILTER (WHERE props IS NULL)
+                              AS DOUBLE)
+    FROM events
+    """,
+)
+def a24_observed_metrics(spark, sf_dir):
+    """A24: single-pass pipeline metrics via the Observation API — the
+    generalization of A16's validation counts that costs ZERO extra
+    passes: ``df.observe`` attaches accumulator-backed aggregates to the
+    frame, the job that materializes it (here a noop sink; in production
+    the real write) fills them as a side effect, and the driver reads
+    them after. At 100 TB the difference between observe() and a
+    separate validation query is a full second scan of the table."""
+    from pyspark.sql import Observation
+
+    obs = Observation("a24")
+    e = table(spark, sf_dir, "events")
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        fx.r2(F.sum("value")).alias("total_value"),
+        F.count(F.when(F.col("props").isNull(), 1)).alias("null_props"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(k, float(m[k])) for k in ("n_rows", "total_value", "null_props")],
+        "metric string, value double",
     )

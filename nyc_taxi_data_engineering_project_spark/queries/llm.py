@@ -1890,3 +1890,49 @@ def f32_keep_best_dedup(spark, sf_dir):
             (F.min("pack") % 10000000000).alias("keep_doc_id"),
         )
     )
+
+
+@query(
+    "f33_data_quality",
+    oracle="""
+    SELECT 'null_text' AS expectation,
+           CAST(COUNT(*) FILTER (WHERE text IS NULL) AS BIGINT)
+               AS violations
+    FROM documents
+    UNION ALL
+    SELECT 'bad_lang',
+           COUNT(*) FILTER (WHERE lang NOT IN ('en','de','fr','es','pt'))
+    FROM documents
+    UNION ALL
+    SELECT 'nchars_mismatch',
+           COUNT(*) FILTER (WHERE n_chars != len(text))
+    FROM documents
+    UNION ALL
+    SELECT 'dup_doc_id',
+           CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT)
+    FROM documents
+    """,
+)
+def f33_data_quality(spark, sf_dir):
+    """F33: data-quality expectations — the Great-Expectations-style
+    contract check a training pipeline gates ingests on (null columns,
+    enum violations, derived-field consistency, key uniqueness), all
+    evaluated in ONE aggregate pass (conditional counts fold into a
+    single map-side-combined aggregation; the distinct-count term rides
+    the same shuffle). Unpivoted to (expectation, violations) rows so a
+    gate reads it as assert-all-zeros."""
+    d = table(spark, sf_dir, "documents")
+    agg = d.agg(
+        F.count(F.when(F.col("text").isNull(), 1)).alias("null_text"),
+        F.count(
+            F.when(~F.col("lang").isin("en", "de", "fr", "es", "pt"), 1)
+        ).alias("bad_lang"),
+        F.count(
+            F.when(F.col("n_chars") != F.length("text"), 1)
+        ).alias("nchars_mismatch"),
+        (F.count(F.lit(1)) - F.count_distinct("doc_id")).alias("dup_doc_id"),
+    )
+    return agg.unpivot(
+        [], ["null_text", "bad_lang", "nchars_mismatch", "dup_doc_id"],
+        "expectation", "violations",
+    )

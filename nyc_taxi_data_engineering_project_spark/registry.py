@@ -77,6 +77,7 @@ _R02_NEW: frozenset[str] = frozenset({
     "f32_keep_best_dedup", "d13_python_stream_source",
     "c37_bitmap_distinct_rollup", "c38_hll_sketch_union",
     "c39_variant_shred", "c40_nullsafe_join",
+    "a24_observed_metrics", "f33_data_quality",
 })
 
 
