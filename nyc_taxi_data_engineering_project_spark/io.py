@@ -271,11 +271,17 @@ def merge_upsert(target: DataFrame, updates: DataFrame,
     answer to a transactional MERGE, with the rewrite scope as the
     transaction granule."""
     cols = target.columns
-    u = updates.select(*cols)
+    # presence marker, not per-column coalesce: ANSI MERGE's matched
+    # branch takes the update row's values INCLUDING explicit NULLs —
+    # coalesce(u.c, t.c) would silently keep the stale target value when
+    # an update sets a column to NULL
+    u = updates.select(*cols).withColumn("_u", F.lit(1))
     t_a, u_a = target.alias("t"), u.alias("u")
     merged = t_a.join(u_a, on=keys, how="full_outer")
+    matched = F.col("u._u").isNotNull()
     return merged.select(*[
         (F.col(c) if c in keys  # name-based join pre-coalesces key cols
-         else F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}"))).alias(c)
+         else F.when(matched, F.col(f"u.{c}")).otherwise(F.col(f"t.{c}")))
+        .alias(c)
         for c in cols
     ])

@@ -830,12 +830,19 @@ def c37_bitmap_distinct_rollup(spark, sf_dir):
                    bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
             FROM events GROUP BY 1, 2, 3
         ), month_buckets AS (       -- rollup: merge partials, no rescan
-            SELECT month, bkt, bitmap_count(bitmap_or_agg(bm)) AS c,
-                   count(DISTINCT day) AS nd
+            SELECT month, bkt, bitmap_count(bitmap_or_agg(bm)) AS c
             FROM day_partials GROUP BY month, bkt
+        ), month_days AS (          -- day count over partials, not buckets:
+                                    -- a per-bucket distinct-day count would
+                                    -- undercount months where no single id
+                                    -- bucket is active on every day
+            SELECT month, count(DISTINCT day) AS n_days
+            FROM day_partials GROUP BY month
         )
-        SELECT month, MAX(nd) AS n_days, SUM(c) AS distinct_users
-        FROM month_buckets GROUP BY month
+        SELECT month, d.n_days AS n_days, u.distinct_users AS distinct_users
+        FROM month_days d
+        JOIN (SELECT month, SUM(c) AS distinct_users
+              FROM month_buckets GROUP BY month) u USING (month)
     """)
 
 

@@ -184,7 +184,10 @@ def a23_snapshot_diff(spark, sf_dir):
             F.col("o.n_chars").alias("oc"), F.col("n.n_chars").alias("nc"),
         )
         .filter(
-            F.col("ol").isNull() | F.col("nl").isNull()
+            # presence decides insert/delete; matched rows compare values
+            # with plain != (NULL-compare drops the row — the oracle's
+            # three-valued WHERE has the same semantics)
+            (F.col("change") != "update")
             | (F.col("ol") != F.col("nl")) | (F.col("oc") != F.col("nc"))
         )
         .select("doc_id", "change")
@@ -225,7 +228,10 @@ def a24_observed_metrics(spark, sf_dir):
     )
     observed.write.format("noop").mode("overwrite").save()
     m = obs.get
+    # observed SUM over zero rows is NULL → report 0.0, don't crash:
+    # the empty input is exactly the case a metrics gate must survive
     return spark.createDataFrame(
-        [(k, float(m[k])) for k in ("n_rows", "total_value", "null_props")],
+        [(k, 0.0 if m[k] is None else float(m[k]))
+         for k in ("n_rows", "total_value", "null_props")],
         "metric string, value double",
     )

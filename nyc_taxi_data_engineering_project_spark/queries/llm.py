@@ -1710,7 +1710,14 @@ def f29_unigram_logprob(spark, sf_dir):
         table(spark, sf_dir, "documents")
         .select("doc_id", F.explode(_tokens()).alias("term"))
     )
-    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    # pin the vocab before the total collect: the vocab aggregate has two
+    # consumers (the scalar total and the broadcast lookup), and an
+    # unpinned frame would re-run the full corpus explode+shuffle for
+    # each (SCALE.md §5 multi-consumer rule). Vocab-sized → cheap pin.
+    cnt = (
+        tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     total = cnt.agg(F.sum("c")).collect()[0][0]
     return (
         tok.join(F.broadcast(cnt), "term")
@@ -1853,7 +1860,8 @@ def f31_training_order(spark, sf_dir):
     oracle="""
     WITH keyed AS (
         SELECT doc_id, n_chars, md5(lower(trim(text))) AS fp,
-               (100000 - n_chars) * 10000000000 + doc_id AS pack
+               (100000 - LEAST(n_chars, 100000)) * 10000000000 + doc_id
+                   AS pack
         FROM documents
     )
     SELECT fp, COUNT(*) AS n_dups,
@@ -1875,8 +1883,13 @@ def f32_keep_best_dedup(spark, sf_dir):
     discipline as f26's min(struct); the packed form also survives
     engines without struct-ordered aggregates)."""
     docs = table(spark, sf_dir, "documents")
+    # clamp keeps the pack in int64 for arbitrarily long docs (≥100k
+    # chars tie at the cap and fall to the doc_id tie-break); doc_id is
+    # assumed < 1e10 — a corpus beyond that widens the pack to two
+    # min(struct) fields instead
     pack = (
-        (F.lit(100000) - F.col("n_chars")) * F.lit(10000000000)
+        (F.lit(100000) - F.least(F.col("n_chars"), F.lit(100000)))
+        * F.lit(10000000000)
         + F.col("doc_id")
     )
     return (

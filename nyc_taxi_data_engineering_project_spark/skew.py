@@ -35,11 +35,15 @@ def salted_join(fact: DataFrame, dim: DataFrame, on: list[str],
                 n_salt: int = 16, how: str = "inner") -> DataFrame:
     """Equi join ``fact ⋈ dim`` on ``on``, salted ``n_salt`` ways.
 
-    The salt is ``xxhash64`` of the full fact row (mod n_salt) —
-    deterministic across retries/replans (a ``rand()`` salt is also
-    correct but makes task retries non-idempotent under speculative
-    execution). The dim replication is an inline ``explode`` of a
-    literal salt array — map-side, no extra job.
+    The salt is ``monotonically_increasing_id() % n_salt`` — round-robin
+    within each scan partition, so a hot key spreads evenly EVEN WHEN its
+    rows are byte-identical (a content-hash salt would collapse identical
+    rows — the empty-string/sentinel hot key is exactly the row that
+    repeats verbatim). Still deterministic where it matters: the id is
+    (partition << 33) + row-offset, a pure function of the input split
+    and row order, so a speculative/retried task re-derives the same
+    salts (a ``rand()`` salt would not). The dim replication is an
+    inline ``explode`` of a literal salt array — map-side, no extra job.
     """
     if how.lower() not in _SALTABLE:
         raise ValueError(
@@ -47,7 +51,8 @@ def salted_join(fact: DataFrame, dim: DataFrame, on: list[str],
             "replicating the dim side breaks unmatched-dim-row semantics"
         )
     salted_fact = fact.withColumn(
-        _SALT, F.pmod(F.xxhash64(*fact.columns), F.lit(n_salt)).cast("int")
+        _SALT,
+        F.pmod(F.monotonically_increasing_id(), F.lit(n_salt)).cast("int"),
     )
     salted_dim = dim.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))

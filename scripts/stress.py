@@ -73,6 +73,24 @@ def main() -> None:
             for kcol in keys:
                 if kcol in df.columns:
                     c = c.withColumn(kcol, F.col(kcol) + F.lit(i * _SHIFT))
+            # perturb CONTENT, not just keys: verbatim replica text/
+            # embeddings would make every dup group K× wider and every
+            # LSH bucket K× hotter (candidate pairs ~K²) — a degenerate
+            # workload that false-fails the linearity check. A replica
+            # prefix shifts all block/gram boundaries (distinct docs);
+            # a tiny per-replica embedding offset separates vectors.
+            if "text" in df.columns and i > 0:
+                c = c.withColumn(
+                    "text", F.concat(F.lit(f"r{i} "), F.col("text"))
+                )
+            if "embedding" in df.columns and i > 0:
+                c = c.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x: (x + F.lit(i * 1e-3)).cast("float"),
+                    ),
+                )
             copies = c if copies is None else copies.unionAll(c)
         copies.write.mode("overwrite").parquet(f"{WORK}/{name}.parquet")
     print(f"materialized {K}x testdata in {time.time()-t0:.0f}s -> {WORK}")

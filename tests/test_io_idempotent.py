@@ -158,3 +158,20 @@ def test_merge_upsert_round_trip(spark, tmp_path):
     merged.write.parquet(out)
     got = {r.id: (r.s, r.v) for r in spark.read.parquet(out).collect()}
     assert got == {1: ("a", 10), 2: ("B", 200), 3: ("c", 30), 4: ("d", 40)}
+
+
+def test_merge_upsert_applies_explicit_null_updates(spark):
+    """ANSI MERGE semantics: an update that sets a column to NULL must
+    clear it, not silently keep the stale target value (the coalesce
+    formulation's failure mode)."""
+    from nyc_taxi_data_engineering_project_spark.io import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "keep", 10), (2, "stale", 20)], "id long, s string, v long"
+    )
+    updates = spark.createDataFrame(
+        [(2, None, 200)], "id long, s string, v long"
+    )
+    got = {r.id: (r.s, r.v)
+           for r in merge_upsert(target, updates, ["id"]).collect()}
+    assert got == {1: ("keep", 10), 2: (None, 200)}
