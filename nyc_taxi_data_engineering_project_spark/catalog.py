@@ -35,6 +35,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        # session-scoped by design, NOT restored: the scan evaluates
+        # lazily (possibly long after this call), so the flag must
+        # outlive the builder. Engine sessions own this setting; a
+        # session also reading OTHER nanos parquet it wants typed as
+        # timestamps would need a separate session.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":

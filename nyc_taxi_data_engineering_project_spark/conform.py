@@ -54,7 +54,25 @@ def _conformed_column(df: DataFrame, src: str | None,
         # tolerant parse (A6): unparseable strings null out instead of
         # failing the job — pd.to_datetime(errors="coerce") parity
         return F.try_to_timestamp(col).cast(dtype)
-    return col.cast(dtype)
+    # try_cast, not cast: the coerce-to-null contract must hold on ANY
+    # session — plain cast under Spark 4's default ANSI mode throws on
+    # the first malformed value instead of nulling it
+    return col.try_cast(dtype)
+
+
+def _dedupe_case_collisions(df: DataFrame) -> DataFrame:
+    """Positionally rename all but the LAST of any case-duplicate column
+    set (``VendorID`` + ``vendorid``) before name-based resolution:
+    selecting either name with case-insensitive analysis would raise
+    AMBIGUOUS_REFERENCE, and positional ``toDF`` is the only
+    rename that can separate them. Implements the documented last-wins
+    tie-break for real."""
+    last = {c.lower(): i for i, c in enumerate(df.columns)}
+    new = [
+        c if last[c.lower()] == i else f"{c}__shadowed{i}"
+        for i, c in enumerate(df.columns)
+    ]
+    return df.toDF(*new) if new != df.columns else df
 
 
 def conform_trips(df: DataFrame,
@@ -62,6 +80,7 @@ def conform_trips(df: DataFrame,
     """Normalize any green/yellow/pre-normalized trips frame to the
     TRIPS_SCHEMA contract (A4-A9). ``drop_null_pickup`` applies the A9
     filter after the tolerant parse, matching reference order."""
+    df = _dedupe_case_collisions(df)
     cols = []
     for field in TRIPS_SCHEMA.fields:
         src = _resolve(df.columns, CANDIDATES[field.name])

@@ -87,7 +87,20 @@ def read_binary_files(spark: SparkSession, path: str,
 
 
 def with_month(df: DataFrame) -> DataFrame:
-    """Derive the partition column from pickup_datetime."""
+    """Derive the partition column from pickup_datetime.
+
+    ``date_format`` renders in the SESSION timezone: two writers with
+    different timezones would assign boundary trips to different month
+    partitions, breaking the idempotent-reload convergence guarantee.
+    The engine pins UTC (``get_session``); this guard makes the
+    requirement explicit instead of silently mis-partitioning."""
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise ValueError(
+            f"month partitioning requires spark.sql.session.timeZone=UTC "
+            f"(session has {tz!r}): differing writer timezones would "
+            "assign month-boundary rows to different partitions"
+        )
     return df.withColumn(
         MONTH_COL, F.date_format("pickup_datetime", "yyyy-MM")
     )
@@ -149,6 +162,13 @@ def ingest_trips(spark: SparkSession, source_path: str, target: str) -> int:
         ]
     finally:
         conformed.unpersist()
+    if not months:
+        # fully-filtered batch: the write produced no data files, and a
+        # schemaless read of an empty target would fail schema inference
+        return 0
+    # read-back validation (count what's AT REST, not what we think we
+    # wrote). Cheap: the month filter prunes to this batch's partitions
+    # and parquet count() is served from row-group metadata, not a scan.
     return (
         spark.read.parquet(target)
         .filter(F.col(MONTH_COL).isin(months))
@@ -178,17 +198,47 @@ def write_bucketed(df: DataFrame, table_name: str, key: str,
     writer.saveAsTable(table_name)
 
 
-def surrogate_ids(df: DataFrame, order_cols: list[str] | None = None) -> DataFrame:
+def surrogate_ids(df: DataFrame, order_cols: list[str] | None = None,
+                  partitions: int | None = None) -> DataFrame:
     """A13: surrogate key. Default: ``monotonically_increasing_id`` —
     distributed, collision-free, non-dense (like BIGSERIAL's ordering
-    guarantees, ``sql/init.sql:22``). With ``order_cols``: deterministic
-    ``row_number`` over a global sort (use only when determinism is worth
-    a full exchange)."""
+    guarantees, ``sql/init.sql:22``).
+
+    With ``order_cols``: dense deterministic rank via TWO-PHASE rank —
+    range-repartition on the order key, per-partition ``row_number``
+    (parallel window), plus each range partition's cumulative row offset
+    (a partitions-sized metadata frame, broadcast back). A naive
+    ``row_number() OVER (ORDER BY …)`` plans a SINGLE-partition window
+    — the whole table through one task — and its int32 result overflows
+    past 2^31 rows; this form stays partition-parallel and yields longs.
+    (Same pattern as f31's training-order rank; the input is evaluated
+    twice — offsets + final — which is still far cheaper than one task
+    sorting everything.)"""
     if order_cols:
         from pyspark.sql import Window as W
 
-        w = W.orderBy(*order_cols)
-        return df.withColumn("trip_id", F.row_number().over(w))
+        n = (partitions
+             or df.sparkSession.sparkContext.defaultParallelism)
+        ranged = df.repartitionByRange(n, *order_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+        offsets = (
+            ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+            .select(
+                "_pid",
+                (F.sum("_n").over(W.orderBy("_pid")) - F.col("_n"))
+                .alias("_off"),
+            )
+        )
+        w = W.partitionBy("_pid").orderBy(*order_cols)
+        return (
+            ranged.join(F.broadcast(offsets), "_pid")
+            .withColumn(
+                "trip_id",
+                F.row_number().over(w).cast("long") + F.col("_off"),
+            )
+            .drop("_pid", "_off")
+        )
     return df.withColumn("trip_id", F.monotonically_increasing_id())
 
 
@@ -217,6 +267,12 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet",
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
+        if mode == "overwrite":
+            # write_table promises truncate-and-reload (A11); pin static
+            # per-write because the session default is dynamic (A10's
+            # writer) — under dynamic, partitions absent from df would
+            # silently survive the "overwrite"
+            w = w.option("partitionOverwriteMode", "static")
     if fmt == "csv":
         w = w.option("header", True)
     w.format(fmt).save(path)
@@ -262,7 +318,13 @@ def merge_upsert(target: DataFrame, updates: DataFrame,
     """MERGE-INTO semantics on plain parquet frames (updates win):
     matched rows take the update's values, unmatched target rows stay,
     update-only rows insert — the SCD-Type-1 upsert ANSI MERGE expresses,
-    computed as ONE full-outer equi join + per-column coalesce.
+    computed as ONE full-outer equi join + presence-marker projection.
+
+    Contract: ``updates`` must be key-unique, the same precondition ANSI
+    MERGE enforces with a multiple-match error — a CDC batch carrying
+    the same key twice must be collapsed first (e.g. f32's arg-min
+    pattern, or max-by-sequence-number), because a duplicate-keyed
+    update would fan the matched target row out once per duplicate.
 
     Scale posture: the join shuffles on the merge key (AQE broadcasts a
     small update batch automatically); at rest the pattern pairs with
