@@ -348,22 +348,36 @@ def f2_minhash_dedup(spark, sf_dir):
         F.explode(F.expr(f"array({band_structs})")).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
 
-    # Candidate generation as ONE aggregation instead of a band self-join
-    # + window cap: group docs per bucket, keep buckets of width 2..cap
-    # (the size filter IS the hot-bucket cap — skewed buckets never
-    # expand), and expand the within-bucket pairs with an array
-    # comprehension. Work and shuffle are both bounded by B·cap² however
-    # skewed the input; the self-join formulation also evaluated the
-    # whole minhash subtree once per join side.
+    # Candidate generation as a count-gated aggregation instead of a band
+    # self-join + window cap. TWO phases on the same bucket key:
+    # (1) a plain count per bucket — map-side-combinable, so a degenerate
+    #     hot bucket costs one counter, never a buffer;
+    # (2) collect_list ONLY over buckets that passed the 2..cap width
+    #     gate, so no aggregation buffer can exceed cap ids. Gating
+    #     BEFORE the list build matters: a width filter after
+    #     collect_list would bound the pair *output* but still
+    #     materialize the hot bucket's full doc array in one reduce task
+    #     (OOM at 10^7-id buckets). Both phases and the gate join hash
+    #     on (band_id, band_hash), so the exchange is shared/aligned.
+    # Pair expansion is an array comprehension; work and shuffle are
+    # bounded by B·cap² however skewed the input.
     pair_expr = (
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), y -> "
         "named_struct('doc_a', least(x, y), 'doc_b', greatest(x, y)))))"
     )
+    bucket_key = ["band_id", "band_hash"]
+    ok_buckets = (
+        bands.groupBy(*bucket_key)
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter((F.col("w") >= 2) & (F.col("w") <= max_bucket))
+        .select(*bucket_key)
+    )
     cand = (
-        bands.groupBy("band_id", "band_hash")
+        bands.join(ok_buckets, bucket_key)
+        .groupBy(*bucket_key)
         .agg(F.collect_list("doc_id").alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .filter(F.size("ids") >= 2)
         .select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
@@ -644,9 +658,24 @@ def f13_embedding_neardup(spark, sf_dir):
         .withColumn("bucket", _hyperplane_bucket(planes, F.col("emb")))
         .localCheckpoint(eager=True)
     )
-    a = tagged.select(F.col("vec_id").alias("id_a"),
+    # Hot-bucket cap (f2's discipline, applied to the embedding path):
+    # plane count targets an EXPECTED width of 64 under uniformity, but
+    # clustered corpora — the very thing a near-dup detector hunts —
+    # concentrate in few buckets, and an uncapped bucket self-join goes
+    # quadratic on the hot bucket (m²/2 pairs through one partition).
+    # The count gate is map-side-combinable (one counter per bucket, no
+    # buffer); dropped-hot-bucket members are by definition dense
+    # near-dup clusters that f2's shingle path still pairs.
+    max_bucket = 512
+    ok_buckets = (
+        tagged.groupBy("bucket").agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") <= max_bucket)
+        .select("bucket")
+    )
+    capped = tagged.join(ok_buckets, "bucket")
+    a = capped.select(F.col("vec_id").alias("id_a"),
                       F.col("emb").alias("emb_a"), "bucket")
-    b = tagged.select(F.col("vec_id").alias("id_b"),
+    b = capped.select(F.col("vec_id").alias("id_b"),
                       F.col("emb").alias("emb_b"), "bucket")
 
     @F.pandas_udf("double")
@@ -815,22 +844,45 @@ def f16_pack_sequences(spark, sf_dir):
     packs (512 here) for training-batch construction. Deterministic
     cumulative-sum formulation: pack_id = floor(tokens-before / budget)
     within each language stream ordered by doc_id — reproducible across
-    runs/partitionings and cheap (one window per lang partition, which
-    shuffle-partitions by lang; at scale the stream key is
-    (lang, shard) so no single partition serializes a whole language)."""
+    runs/partitionings.
+
+    Scale shape: the running sum is TWO-PHASE — a partitionBy(lang)
+    window would push each language's whole stream through one sorted
+    task, so documents cumulate within (lang, doc_id-range bucket)
+    sub-streams (parallel windows) and add the earlier buckets' token
+    totals (a per-(lang,bucket) aggregate thousands of times smaller
+    than the corpus; its own cumulative window partitions by lang over
+    that reduced frame). doc_id-range bucketing — unlike hash — keeps
+    the bucket sequence aligned with the stream order, so cum (and
+    every pack_id) is IDENTICAL to the single-window form."""
+    bucket_w = 1024  # docs per sub-stream bucket
     toks = F.size(_tokens())
-    w = (
-        W.partitionBy("lang")
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", toks.alias("n_tokens"),
+        (F.col("doc_id") / bucket_w).cast("long").alias("_bk"),
+    )
+    w_in = (
+        W.partitionBy("lang", "_bk")
         .orderBy("doc_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", toks.alias("n_tokens"),
-        F.sum(toks).over(w).alias("cum"),
+    bucket_offsets = (
+        d.groupBy("lang", "_bk").agg(F.sum("n_tokens").alias("_bt"))
+        .select(
+            "lang", "_bk",
+            (F.sum("_bt").over(W.partitionBy("lang").orderBy("_bk"))
+             - F.col("_bt")).alias("_off"),
+        )
     )
-    return d.select(
-        "doc_id", "lang", "n_tokens",
-        F.floor((F.col("cum") - F.col("n_tokens")) / 512.0).alias("pack_id"),
+    return (
+        d.join(F.broadcast(bucket_offsets), ["lang", "_bk"])
+        .select(
+            "doc_id", "lang", "n_tokens",
+            F.floor(
+                (F.sum("n_tokens").over(w_in) + F.col("_off")
+                 - F.col("n_tokens")) / 512.0
+            ).alias("pack_id"),
+        )
     )
 
 
@@ -1324,20 +1376,37 @@ def f22_stratified_sample(spark, sf_dir):
     tiebreak). Unlike ``df.sample``/``sampleBy`` (per-row Bernoulli:
     nondeterministic across partitionings, only *expected* fractions),
     hash-rank selection is reproducible on any engine/sharding and hits
-    the stratum size exactly — what a training-mix spec needs. One
-    shuffle: both windows share the lang partitioning. At 100 TB the
-    stratum rank uses (lang, shard) sub-strata so no single partition
-    serializes a whole language."""
-    w_rank = W.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
-    w_all = W.partitionBy("lang")
+    the stratum size exactly — what a training-mix spec needs.
+
+    Scale shape: the per-stratum rank is TWO-PHASE (f31's pattern per
+    lang) — a partitionBy(lang) window would serialize each language's
+    entire stratum through one sorted task (~corpus/n_langs rows), so
+    the rank runs within (lang, hash-prefix bucket) sub-strata and adds
+    the bucket's cumulative offset; offsets and stratum totals are a
+    langs×256-row metadata frame, broadcast back. Global-per-stratum
+    order ≡ (bucket, hash-within-bucket), so the selected set is
+    IDENTICAL to the single-window form."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.md5("text").alias("hk")
+    )
+    bucketed = docs.withColumn("bk", F.substring("hk", 1, 2))
+    counts = bucketed.groupBy("lang", "bk").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    offsets = counts.select(
+        "lang", "bk",
+        (F.sum("_n").over(W.partitionBy("lang").orderBy("bk"))
+         - F.col("_n")).alias("_off"),
+    )
+    totals = counts.groupBy("lang").agg(F.sum("_n").alias("_total"))
+    w = W.partitionBy("lang", "bk").orderBy("hk", "doc_id")
     return (
-        table(spark, sf_dir, "documents")
-        .select(
-            "doc_id", "lang",
-            F.row_number().over(w_rank).alias("rn"),
-            F.count(F.lit(1)).over(w_all).alias("n"),
+        bucketed.join(F.broadcast(offsets), ["lang", "bk"])
+        .join(F.broadcast(totals), "lang")
+        .withColumn(
+            "_rank", F.row_number().over(w).cast("long") + F.col("_off")
         )
-        .filter(F.col("rn") <= F.ceil(F.col("n") * 0.1))
+        .filter(F.col("_rank") <= F.ceil(F.col("_total") * 0.1))
         .select("doc_id", "lang")
     )
 
@@ -1416,7 +1485,10 @@ def f24_decontaminate(spark, sf_dir):
     anti join broadcasts it and the corpus never shuffles; normalization
     (trim/lower) runs inside codegen before the hash. Near-dup
     contamination composes f2's MinHash candidates with the same
-    anti-join tail."""
+    anti-join tail. (The broadcast-smallness argument is about REAL
+    benchmark suites — fixed external sets, MBs; the planted doc_id%97
+    stand-in grows with the corpus and exists only so the key is
+    self-contained on testdata.)"""
     fp = F.md5(F.lower(F.trim(F.col("text"))))
     docs = table(spark, sf_dir, "documents")
     bench = (
@@ -1502,7 +1574,12 @@ def f25_boilerplate_removal(spark, sf_dir):
         .filter(F.col("nd") >= 2)
         .select("block", F.lit(True).alias("bp"))
     )
-    flagged = blocks.join(F.broadcast(boiler), "block", "left")
+    # no broadcast hint: template boilerplate is small, but on a dup-
+    # heavy crawl every block of every duplicated doc qualifies and the
+    # set approaches corpus scale — a forced broadcast is the unbounded-
+    # broadcast trap. AQE's runtime stats pick broadcast-when-small
+    # (asserted on the executed plan in tests) and shuffle otherwise.
+    flagged = blocks.join(boiler, "block", "left")
     kept = F.when(
         ~F.coalesce(F.col("bp"), F.lit(False)), F.struct("pos", "block")
     )
@@ -1719,8 +1796,13 @@ def f29_unigram_logprob(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     total = cnt.agg(F.sum("c")).collect()[0][0]
+    # no broadcast hint: Zipf bounds mass concentration, not distinct-
+    # term cardinality — a raw crawl's vocab (URLs, ids, junk) grows
+    # with the corpus. AQE broadcasts the checkpointed vocab while it
+    # fits and falls back to a shuffle join when it doesn't (hot terms
+    # stay safe: the downstream per-doc agg combines map-side).
     return (
-        tok.join(F.broadcast(cnt), "term")
+        tok.join(cnt, "term")
         .groupBy("doc_id")
         .agg(
             fx.r4(F.avg(-F.log(F.col("c") / F.lit(float(total)))))
@@ -1771,26 +1853,33 @@ def f30_ngram_decontaminate(spark, sf_dir):
     toked = table(spark, sf_dir, "documents").select(
         "doc_id", _tokens().alias("toks")
     )
-    grams = (
-        toked.filter(F.size("toks") >= _DECON_W)
-        .select(
-            "doc_id",
-            F.explode(
+    # per-doc gram dedup is MAP-SIDE: all of a doc's grams live in one
+    # row's array, so array_distinct before the explode replaces what
+    # would otherwise be a corpus-sized .distinct() shuffle of 16-byte
+    # keys with zero-coordination per-row work
+    grams = toked.filter(F.size("toks") >= _DECON_W).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
                 F.transform(
                     F.sequence(F.lit(1), F.size("toks") - (_DECON_W - 1)),
                     lambda i: F.md5(F.array_join(
                         F.slice("toks", i, _DECON_W), " ")),
                 )
-            ).alias("gh"),
-        )
-        .distinct()
+            )
+        ).alias("gh"),
     )
     eval_grams = (
         grams.filter(F.col("doc_id") % 89 == 0).select("gh").distinct()
         .withColumn("hit", F.lit(True))
     )
+    # no broadcast hint: a REAL eval suite is fixed-size (MBs) and AQE
+    # broadcasts it from runtime stats; the planted doc_id%89 stand-in
+    # grows with the corpus, and forcing broadcast on a corpus-derived
+    # set is exactly the unbounded-broadcast trap. AQE picks
+    # broadcast-when-small, shuffle-when-not — both correct.
     return (
-        grams.join(F.broadcast(eval_grams), "gh", "left")
+        grams.join(eval_grams, "gh", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -1821,10 +1910,10 @@ def f31_training_order(spark, sf_dir):
 
     Scale posture: a naive ``row_number() OVER (ORDER BY hash)`` plans a
     SINGLE-partition window — the whole corpus through one task. The
-    distributed form splits on the hash's most-significant byte (256
+    distributed form splits on the hash's leading 12 bits (4096
     buckets; md5 is uniform so buckets are balanced by construction):
     global order ≡ (bucket, hash-within-bucket), so the global rank is
-    the bucket's cumulative offset (a 256-row metadata aggregate,
+    the bucket's cumulative offset (a 4096-row metadata aggregate,
     broadcast back) plus the within-bucket row_number (a partitioned
     window — parallel). Same two-phase zipWithIndex pattern
     ``io.surrogate_ids`` uses for key assignment."""
@@ -1832,9 +1921,12 @@ def f31_training_order(spark, sf_dir):
     hkey = F.md5(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string")))
     keyed = docs.select(
         "doc_id", "source", hkey.alias("hk"),
-        F.substring(hkey, 1, 2).alias("bk"),
+        F.substring(hkey, 1, 3).alias("bk"),  # 4096-way MSB split: per-
+        # bucket sort stays ~corpus/4096 (a 2-char/256-way split caps
+        # parallelism at 256 tasks — ~400GB sorts at 100TB); the offsets
+        # frame is still metadata-sized (4096 rows)
     )
-    # 256-row frame: the single-partition window here is metadata-sized
+    # 4096-row frame: the single-partition window here is metadata-sized
     offsets = (
         keyed.groupBy("bk").agg(F.count(F.lit(1)).alias("n"))
         .select(
