@@ -61,14 +61,16 @@ def c1_smj_selfjoin(spark, sf_dir):
     """,
 )
 def c3_semi_join(spark, sf_dir):
-    """Left semi join — EXISTS/IN. Only the join key crosses the shuffle
-    (or none: the filtered dim broadcasts); no row duplication."""
+    """Left semi join — EXISTS/IN. The scale-critical property is the
+    join TYPE (one probe per outer row, no duplication); the build side
+    is filtered customer, which scales with the corpus, so broadcast-vs-
+    shuffle is AQE's runtime-size call, not a forced hint."""
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi")
+        o.join(c, o.o_custkey == c.c_custkey, "left_semi")
         .select("o_orderkey", "o_custkey")
     )
 
@@ -84,11 +86,12 @@ def c3_semi_join(spark, sf_dir):
     """,
 )
 def c4_anti_join(spark, sf_dir):
-    """Left anti join — NOT EXISTS. Same broadcast posture as c3."""
+    """Left anti join — NOT EXISTS. Same posture as c3: the anti TYPE is
+    the property; the SF-scaling build side is AQE's sizing call."""
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
         .select("o_orderkey", "o_custkey")
     )
 

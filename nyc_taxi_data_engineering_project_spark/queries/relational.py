@@ -120,7 +120,10 @@ def b1_date_range(spark, sf_dir):
 def b2_join_pickup_zone(spark, sf_dir):
     """Fact→dim equi join + aggregate — the trips⋈zones-on-pickup shape
     (``sql/init.sql:11,28,46``). The dim is broadcast: same physical
-    answer as the reference's FK B-tree, with zero shuffle of the fact."""
+    answer as the reference's FK B-tree, with zero shuffle of the fact.
+    (The forced hint models the FIXED 265-row zones contract, with
+    customer as its testdata stand-in; a dim that scaled with the corpus
+    would leave the choice to AQE — cf. c3/c4 and the TPC-H keys.)"""
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer")
     return (

@@ -223,7 +223,11 @@ def d8_stateful(spark, sf_dir):
 def d9_stream_static_join(spark, sf_dir):
     """D9: stream⋈static dimension join, batch form (stream form in
     tests). The static side broadcasts — in a real stream every micro-batch
-    reuses the broadcast, no per-batch shuffle."""
+    reuses the broadcast, no per-batch shuffle. (Deliberately forced:
+    AQE does not replan streaming queries, and shuffling the unbounded
+    stream per micro-batch is strictly worse for any dim that fits; a
+    static side too big to broadcast changes operator, not hint —
+    pre-bucketed join or state-store lookup.)"""
     e = table(spark, sf_dir, "events")
     c = table(spark, sf_dir, "customer")
     return (

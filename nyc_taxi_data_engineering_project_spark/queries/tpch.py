@@ -99,7 +99,7 @@ def tpch_q3(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("l_orderkey").alias("orderkey"),
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -413,7 +413,7 @@ def tpch_q17(spark, sf_dir):
         (0.2 * F.avg("l_quantity")).alias("qty_cut")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(part_avg, li.l_partkey == F.col("pa_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(fx.r2(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
@@ -594,7 +594,7 @@ def tpch_q2(spark, sf_dir):
             (cost.partkey == min_cost.mc_partkey)
             & (cost.supply_cost == min_cost.min_cost),
         )
-        .join(F.broadcast(p), F.col("partkey") == p.p_partkey)
+        .join(p, F.col("partkey") == p.p_partkey)
         .join(s_out, F.col("suppkey") == F.col("out_suppkey"))
         .join(F.broadcast(n_out), F.col("out_natkey") == F.col("out_nkey"))
         .select(
@@ -719,7 +719,7 @@ def tpch_q8(spark, sf_dir):
         F.col("n_name").alias("nation"),
     )
     vol = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
@@ -780,7 +780,7 @@ def tpch_q9(spark, sf_dir):
     o = table(spark, sf_dir, "orders")
     n = table(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -894,9 +894,9 @@ def tpch_q16(spark, sf_dir):
     ).select("s_suppkey")
     return (
         table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+        .join(bad, F.col("l_suppkey") == F.col("s_suppkey"),
               "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(p, F.col("l_partkey") == p.p_partkey)
         .groupBy(
             F.col("p_brand").alias("brand"),
             F.col("p_type").alias("type"),
@@ -956,7 +956,7 @@ def tpch_q20(spark, sf_dir):
     p = table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
     qualifying = (
         shipped.join(tot, F.col("partkey") == F.col("t_partkey"))
-        .join(F.broadcast(p), F.col("partkey") == p.p_partkey)
+        .join(p, F.col("partkey") == p.p_partkey)
         .filter(F.col("qty") > 0.3 * F.col("total_qty"))
         .select("suppkey")
     )
