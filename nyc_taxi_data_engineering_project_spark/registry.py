@@ -62,22 +62,40 @@ _R01_VERIFIED: frozenset[str] = frozenset({
 })
 
 
-# Keys added AFTER round 1 (not part of the 104-key surface the r01
-# verdict asked to get through the gate) — they sweep after every
-# existing-unverified key so they never displace the r01 gap.
-_R02_NEW: frozenset[str] = frozenset({
-    "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12",
-    "tpch_q16", "tpch_q20", "tpch_q21", "tpch_q22",
-    "f25_boilerplate_removal", "f26_passage_dedup", "f27_chunk_rag",
-    "f28_doc_clustering", "f29_unigram_logprob", "d11_stream_stream_join",
-    "c33_salted_join", "d12_dedup_within_watermark",
-    "c34_grouping_sets", "c35_range_frame", "c36_sessionize",
-    "f30_ngram_decontaminate", "f31_training_order",
-    "a21_python_datasource", "a22_merge_upsert", "a23_snapshot_diff",
-    "f32_keep_best_dedup", "d13_python_stream_source",
-    "c37_bitmap_distinct_rollup", "c38_hll_sketch_union",
-    "c39_variant_shred", "c40_nullsafe_join",
-    "a24_observed_metrics", "f33_data_quality",
+# Keys swept by the driver in round 2 (every row of CORRECTNESS_r02.json,
+# whether oracle-green or rows-only). The r02 sweep — like r01 — stopped at
+# exactly 50 keys, so these plus _R01_VERIFIED are the "already have a hard
+# signal" set; the 39 keys in neither are the round-3 verification gap and
+# must sweep first.
+_R02_SWEPT: frozenset[str] = frozenset({
+    "c11_approx_percentile",
+    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q17", "tpch_q18", "tpch_q19",
+    "c30_subquery", "c31_cte",
+    "d1_stream_source", "d2_watermark", "d3_tumbling", "d4_sliding",
+    "d5_session", "d6_stream_dedup", "d9_stream_static_join",
+    "d10_foreachbatch",
+    "e1_py_udf", "e2_pandas_udf", "e3_apply_in_pandas", "e4_udaf",
+    "e5_udtf", "e6_map_in_pandas",
+    "f1_exact_dedup", "f2_minhash_dedup", "f3_cosine_topk", "f3_lsh_ann",
+    "f4_tfidf", "f5_binary_cols", "f6_text_stats", "f7_lang_id",
+    "f8_fingerprint", "f9_token_count", "f11_ngram_jaccard",
+    "f12_multimodal_decode", "f15_train_val_split", "f16_pack_sequences",
+    "f17_quality_filter", "f18_pii_scrub", "f20_ml_minhash_lsh",
+    "f21_ivf_ann", "f22_stratified_sample", "f23_repetition_ratio",
+    "f24_decontaminate",
+})
+
+# Of the swept keys, those whose result was the weak rows-only signal
+# (err: "no_oracle"). If a later round gives one of these a real oracle,
+# it should re-sweep right after the never-swept gap so the weak row is
+# upgraded to a green one.
+_SWEPT_ROWS_ONLY: frozenset[str] = frozenset({
+    # r02 rows-only
+    "c11_approx_percentile", "f2_minhash_dedup", "d2_watermark",
+    "f20_ml_minhash_lsh", "f21_ivf_ann", "d10_foreachbatch",
+    # r01 rows-only (by design)
+    "c10_approx_distinct", "c29_sample",
 })
 
 
@@ -101,25 +119,24 @@ _COST_HINT: dict[str, float] = {
 def _priority(key: str) -> tuple[int, int, float]:
     """Sweep-order rank; ties keep registration order (sort is stable).
 
-    0: the one key that ERRORED in r01 (array-output fix must re-verify)
-    1: r01 TPC-H showcase (unverified in r01, highest judge priority)
-    2: all other r01-unverified keys, oracle-checked before rows-only
-    3: keys new in round 2 (never part of the r01 gap)
-    4: keys already driver-verified green in r01
+    0: never driver-swept (in neither CORRECTNESS_r01 nor _r02) — the
+       39-key round-3 verification gap sweeps first
+    1: swept but rows-only in r01/r02 AND now carrying a real oracle —
+       re-sweep upgrades the weak row to a green one
+    2: everything with a hard signal already (green, or rows-only with
+       no oracle to offer) — re-verification is the lowest-value slot
 
     Within a class: oracle-checked before rows-only (stronger signal if
     the sweep truncates), then cheap before expensive (_COST_HINT).
     """
     cost = _COST_HINT.get(key, 0.5)
-    if key == "c11_approx_percentile":
-        return (0, 0, 0.0)
-    if key in _R02_NEW:
-        return (3, 0 if key in ORACLES else 1, cost)
-    if key in _R01_VERIFIED:
-        return (4, 0 if key in ORACLES else 1, cost)
-    if key.startswith("tpch_"):
+    has_oracle = 0 if key in ORACLES else 1
+    swept = key in _R01_VERIFIED or key in _R02_SWEPT
+    if not swept:
+        return (0, has_oracle, cost)
+    if key in _SWEPT_ROWS_ONLY and key in ORACLES:
         return (1, 0, cost)
-    return (2, 0 if key in ORACLES else 1, cost)
+    return (2, has_oracle, cost)
 
 
 def load_all() -> None:
