@@ -211,9 +211,17 @@ def surrogate_ids(df: DataFrame, order_cols: list[str] | None = None,
     ``row_number() OVER (ORDER BY …)`` plans a SINGLE-partition window
     — the whole table through one task — and its int32 result overflows
     past 2^31 rows; this form stays partition-parallel and yields longs.
-    (Same pattern as f31's training-order rank; the input is evaluated
-    twice — offsets + final — which is still far cheaper than one task
-    sorting everything.)"""
+    (Same pattern as f31's training-order rank, which derives its bucket
+    from the key VALUE — possible there because the key is a uniform
+    hash. Arbitrary ``order_cols`` need sampled range boundaries, so
+    ``_pid`` comes from the physical range exchange instead, and the
+    exchange is PINNED with ``localCheckpoint``: the offsets branch and
+    the rank branch both consume ``ranged``, and if they planned two
+    separate exchanges the range sampler could draw different boundaries
+    per branch, mis-aligning offset counts with partition assignment →
+    duplicate/missing ids. The checkpoint makes ``_pid`` a read of one
+    materialized partitioning rather than a replayable computation; the
+    lineage cut is the accepted cost of that guarantee.)"""
     if order_cols:
         from pyspark.sql import Window as W
 
@@ -221,7 +229,7 @@ def surrogate_ids(df: DataFrame, order_cols: list[str] | None = None,
              or df.sparkSession.sparkContext.defaultParallelism)
         ranged = df.repartitionByRange(n, *order_cols).withColumn(
             "_pid", F.spark_partition_id()
-        )
+        ).localCheckpoint(eager=False)
         offsets = (
             ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
             .select(

@@ -644,39 +644,77 @@ def f13_embedding_neardup(spark, sf_dir):
     fold by ~4× there; the JVM `_dot` stays in the exact-baseline ops
     where bit-identical accumulation against the oracle matters."""
     # size from raw-table count (metadata-served: no norm/bucket exprs
-    # evaluate), then pin the tagged frame — the self-join consumes it on
-    # both sides, and unpinned each side re-derives every hyperplane dot
-    # product from the scan (the multi-consumer pathology of SCALE.md §5).
-    # localCheckpoint, not persist: blocks are freed with the result.
+    # evaluate), then pin the tagged frame — the width gate and the
+    # refinement join both consume it, and unpinned each consumer
+    # re-derives every hyperplane dot product from the scan (the
+    # multi-consumer pathology of SCALE.md §5). localCheckpoint, not
+    # persist: blocks are freed with the result.
     n = table(spark, sf_dir, "embeddings").count()
     n_planes = max(2, round(math.log2(max(n, 1) / 64 + 1)))
     rng = random.Random(42)
     planes = [[rng.uniform(-1.0, 1.0) for _ in range(64)]
               for _ in range(n_planes)]
+    split_planes = [[rng.uniform(-1.0, 1.0) for _ in range(64)]
+                    for _ in range(8)]
     tagged = (
         _embeddings(spark, sf_dir)
         .withColumn("bucket", _hyperplane_bucket(planes, F.col("emb")))
         .localCheckpoint(eager=True)
     )
-    # Hot-bucket cap (f2's discipline, applied to the embedding path):
-    # plane count targets an EXPECTED width of 64 under uniformity, but
-    # clustered corpora — the very thing a near-dup detector hunts —
-    # concentrate in few buckets, and an uncapped bucket self-join goes
-    # quadratic on the hot bucket (m²/2 pairs through one partition).
-    # The count gate is map-side-combinable (one counter per bucket, no
-    # buffer); dropped-hot-bucket members are by definition dense
-    # near-dup clusters that f2's shingle path still pairs.
+    # Hot-bucket SPLIT (not drop): plane count targets an EXPECTED width
+    # of 64 under uniformity, but clustered corpora — the very thing a
+    # near-dup detector hunts — concentrate in few buckets, and an
+    # uncapped bucket self-join goes quadratic on the hot bucket (m²/2
+    # pairs through one task). Dropping hot buckets would discard exactly
+    # the dense clusters the operator exists to find, so oversized
+    # buckets instead get 8 MORE sign bits (256-way sub-split; cold
+    # buckets shift into a disjoint id space — ×257 keeps hot sub-ids
+    # from colliding with the next cold bucket). The width gate is a
+    # map-side-combinable count, and the refined frame is re-pinned:
+    # three consumers (re-gate + both self-join sides) read one
+    # materialization instead of re-deriving the split bits.
     max_bucket = 512
-    ok_buckets = (
-        tagged.groupBy("bucket").agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") <= max_bucket)
-        .select("bucket")
+    widths = tagged.groupBy("bucket").agg(F.count(F.lit(1)).alias("_w"))
+    refined = (
+        tagged.join(widths, "bucket")
+        .withColumn(
+            "bucket",
+            F.when(
+                F.col("_w") > max_bucket,
+                F.col("bucket") * 257 + 1
+                + _hyperplane_bucket(split_planes, F.col("emb")),
+            ).otherwise(F.col("bucket") * 257),
+        )
+        .drop("_w")
+        .localCheckpoint(eager=True)
     )
-    capped = tagged.join(ok_buckets, "bucket")
-    a = capped.select(F.col("vec_id").alias("id_a"),
-                      F.col("emb").alias("emb_a"), "bucket")
-    b = capped.select(F.col("vec_id").alias("id_b"),
-                      F.col("emb").alias("emb_b"), "bucket")
+    w2 = refined.groupBy("bucket").agg(F.count(F.lit(1)).alias("_w"))
+    flagged = refined.join(w2, "bucket")
+    cold = flagged.filter(F.col("_w") <= max_bucket)
+    a = cold.select(F.col("vec_id").alias("id_a"),
+                    F.col("emb").alias("emb_a"), "bucket")
+    b = cold.select(F.col("vec_id").alias("id_b"),
+                    F.col("emb").alias("emb_b"), "bucket")
+    # Sub-buckets STILL hot after 8 extra bits are (near-)identical
+    # vectors no hyperplane separates — all-pairs there is quadratic with
+    # zero information gain. Emit STAR pairs around the min-id member
+    # instead: linear output that still connects the whole cluster for
+    # f14's connected-components pass (rep < member ⇒ id_a < id_b holds
+    # by construction).
+    hot = flagged.filter(F.col("_w") > max_bucket)
+    w_b = W.partitionBy("bucket")
+    star = (
+        hot.withColumn(
+            "_rep", F.min(F.struct(F.col("vec_id"), F.col("emb"))).over(w_b)
+        )
+        .filter(F.col("vec_id") != F.col("_rep.vec_id"))
+        .select(
+            F.col("_rep.vec_id").alias("id_a"),
+            F.col("_rep.emb").alias("emb_a"),
+            F.col("vec_id").alias("id_b"),
+            F.col("emb").alias("emb_b"),
+        )
+    )
 
     @F.pandas_udf("double")
     def cosine_batch(xa, xb):  # Series -> Series (SCALAR pandas UDF)
@@ -689,11 +727,15 @@ def f13_embedding_neardup(spark, sf_dir):
         den = (np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1))
         return pd.Series(num / den)
 
-    return (
+    pairs = (
         a.join(b, ["bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b",
-                fx.r6(cosine_batch("emb_a", "emb_b")).alias("cosine"))
+        .select("id_a", "emb_a", "id_b", "emb_b")
+        .unionByName(star)
+    )
+    return (
+        pairs.select("id_a", "id_b",
+                     fx.r6(cosine_batch("emb_a", "emb_b")).alias("cosine"))
         # synthetic embeddings are isotropic random (max pairwise cosine
         # ≈0.48); 0.3 marks the top ~1% as "near-dup" for a non-degenerate
         # demonstration — real corpora use 0.85-0.95
@@ -874,8 +916,12 @@ def f16_pack_sequences(spark, sf_dir):
              - F.col("_bt")).alias("_off"),
         )
     )
+    # no broadcast hint: the offsets frame is ~corpus/1024 × langs rows —
+    # thousands of times smaller than the corpus but still CORPUS-SCALING,
+    # so the de-hint discipline (SCALE.md §3c) applies; AQE sizes the join
+    # at runtime (broadcast while it fits, shuffle join past that).
     return (
-        d.join(F.broadcast(bucket_offsets), ["lang", "_bk"])
+        d.join(bucket_offsets, ["lang", "_bk"])
         .select(
             "doc_id", "lang", "n_tokens",
             F.floor(
