@@ -25,28 +25,45 @@ TESTDATA_TABLES = (
 # drift from the actual physical plans.)
 
 
+def events_ts_is_nanos(path: str) -> bool:
+    """True iff the events parquet stores ``ts`` as TIMESTAMP(NANOS).
+
+    Driver-side footer peek (pyarrow metadata read, no data IO). The type
+    of the driver-provided file has CHANGED between rounds (nanos → micros,
+    see TESTDATA.md), silently breaking any code that assumed one unit —
+    so both the batch and stream readers dispatch on the actual footer
+    type instead of assuming."""
+    import pyarrow.parquet as pq
+
+    try:
+        return getattr(pq.read_schema(path).field("ts").type,
+                       "unit", None) == "ns"
+    except Exception:
+        return False
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (one parquet file per TESTDATA.md).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark cannot represent
-    (micro-precision engine); read it as a long and floor-divide to micros —
-    the same truncation DuckDB applies when casting ns → its micro-precision
-    TIMESTAMP, so oracle comparisons agree.
+    ``events.ts`` is parquet timestamp[us] (→ native ``TIMESTAMP_NTZ``;
+    session tz is pinned UTC by session.py so NTZ↔epoch conversions are
+    deterministic). If a regenerated file is TIMESTAMP(NANOS) — which
+    Spark's micro-precision engine cannot represent — it is read as a
+    long and floor-divided to micros, the same truncation DuckDB applies
+    when casting ns → its micro-precision TIMESTAMP, so oracle
+    comparisons agree either way.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
+    if name == "events" and events_ts_is_nanos(path):
         # session-scoped by design, NOT restored: the scan evaluates
         # lazily (possibly long after this call), so the flag must
-        # outlive the builder. Engine sessions own this setting; a
-        # session also reading OTHER nanos parquet it wants typed as
+        # outlive the builder. Only set when the file actually IS nanos;
+        # a session also reading OTHER nanos parquet it wants typed as
         # timestamps would need a separate session.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
-        return df
+        return spark.read.parquet(path).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     return spark.read.parquet(path)
 
 

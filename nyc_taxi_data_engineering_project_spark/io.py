@@ -221,7 +221,15 @@ def surrogate_ids(df: DataFrame, order_cols: list[str] | None = None,
     per branch, mis-aligning offset counts with partition assignment →
     duplicate/missing ids. The checkpoint makes ``_pid`` a read of one
     materialized partitioning rather than a replayable computation; the
-    lineage cut is the accepted cost of that guarantee.)"""
+    lineage cut is the accepted cost of that guarantee. Deployment
+    caveat: ``localCheckpoint`` blocks live on executors
+    (MEMORY_AND_DISK, unreplicated) and are NOT recomputable — on
+    executor loss (preemptible/spot nodes, aggressive dynamic
+    allocation) the job fails with lost-checkpoint-block errors rather
+    than producing wrong ids. Fail-stop by design; clusters with
+    preemptible executors should swap in reliable ``checkpoint()`` to a
+    checkpoint dir, or persist with replication, at the cost of an
+    extra write.)"""
     if order_cols:
         from pyspark.sql import Window as W
 

@@ -787,8 +787,9 @@ def c36_sessionize(spark, sf_dir):
     marked = ev.select(
         "user_id", "ts", "value", "event_id",
         F.when(
-            F.col("ts").cast("long")
-            - F.lag(F.col("ts")).over(w).cast("long") <= _SESSION_GAP_S,
+            F.to_unix_timestamp(F.col("ts"))
+            - F.to_unix_timestamp(F.lag(F.col("ts")).over(w))
+            <= _SESSION_GAP_S,
             0,
         ).otherwise(1).alias("is_new"),
     )
@@ -798,7 +799,7 @@ def c36_sessionize(spark, sf_dir):
     )
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
+        (F.max(F.to_unix_timestamp("ts")) - F.min(F.to_unix_timestamp("ts")))
         .alias("duration_s"),
         fx.r2(F.sum("value")).alias("total_value"),
     )

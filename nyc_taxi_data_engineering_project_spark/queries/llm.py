@@ -132,6 +132,95 @@ LSH_PLANES = [
     for _ in range(_N_LSH_PLANES)
 ]
 
+# f13's hyperplane sets — module-level so the implementation and its
+# DuckDB oracle inline the SAME literals. The base planes are a PREFIX
+# of one seeded stream: n_planes grows with corpus size, but plane i is
+# identical at every size, so one static oracle serves all SFs. The 8
+# split planes come from an INDEPENDENT seed for the same reason (r3
+# drew them by CONTINUING the base rng after n_planes blocks, which
+# shifted them whenever n changed — unoraclable).
+_F13_MAX_PLANES = 16  # covers n ≈ 4M vectors; _f13_planes extends past it
+_f13_rng = random.Random(42)
+F13_PLANES = [
+    [_f13_rng.uniform(-1.0, 1.0) for _ in range(64)]
+    for _ in range(_F13_MAX_PLANES)
+]
+_f13_split_rng = random.Random(4242)
+F13_SPLIT_PLANES = [
+    [_f13_split_rng.uniform(-1.0, 1.0) for _ in range(64)]
+    for _ in range(8)
+]
+
+
+def _f13_planes(k: int):
+    """First ``k`` planes of the seeded stream (prefix-stable in k)."""
+    if k <= _F13_MAX_PLANES:
+        return F13_PLANES[:k]
+    r = random.Random(42)
+    return [[r.uniform(-1.0, 1.0) for _ in range(64)] for _ in range(k)]
+
+
+def _f13_oracle() -> str:
+    """DuckDB twin of f13_embedding_neardup: same plane literals, same
+    size→plane-count rule, same hot-bucket split and star-pair residue
+    handling, same rounded-cosine threshold. The only cross-engine seams
+    are (a) Python banker's round vs DuckDB half-away in the plane-count
+    rule — differs only when log2 lands exactly on .5, unreachable for
+    real corpus counts — and (b) float ulp at the 0.3 threshold,
+    absorbed by rounding to 6 dp before comparing (f3's proven
+    pattern)."""
+    def bits(planes):
+        return [
+            f"(CASE WHEN list_dot_product(e, [{', '.join(repr(v) for v in p)}])"
+            f" > 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        ]
+
+    base_bits = ", ".join(bits(F13_PLANES))
+    sub_bits = " + ".join(bits(F13_SPLIT_PLANES))
+    cos = fx.sql_round("list_cosine_similarity(ea, eb)", 6)
+    return f"""
+    WITH params AS (
+        SELECT GREATEST(2, CAST(round(log2(GREATEST(COUNT(*), 1) / 64.0 + 1))
+                                AS INTEGER)) AS k
+        FROM embeddings
+    ), base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), tagged AS (
+        SELECT vec_id, e,
+               CAST(list_sum(([{base_bits}])[1:k]) AS BIGINT) AS bucket
+        FROM base, params
+    ), w1 AS (
+        SELECT bucket, COUNT(*) AS w FROM tagged GROUP BY 1
+    ), refined AS (
+        SELECT t.vec_id, t.e,
+               CASE WHEN w1.w > 512
+                    THEN t.bucket * 257 + 1 + ({sub_bits})
+                    ELSE t.bucket * 257 END AS bucket
+        FROM tagged t JOIN w1 USING (bucket)
+    ), w2 AS (
+        SELECT bucket, COUNT(*) AS w FROM refined GROUP BY 1
+    ), flagged AS (
+        SELECT r.vec_id, r.e, r.bucket, w2.w
+        FROM refined r JOIN w2 USING (bucket)
+    ), cold_pairs AS (
+        SELECT a.vec_id AS id_a, a.e AS ea, b.vec_id AS id_b, b.e AS eb
+        FROM flagged a JOIN flagged b USING (bucket)
+        WHERE a.w <= 512 AND a.vec_id < b.vec_id
+    ), reps AS (
+        SELECT bucket, MIN(vec_id) AS rid, arg_min(e, vec_id) AS re
+        FROM flagged WHERE w > 512 GROUP BY bucket
+    ), star_pairs AS (
+        SELECT r.rid AS id_a, r.re AS ea, h.vec_id AS id_b, h.e AS eb
+        FROM flagged h JOIN reps r USING (bucket)
+        WHERE h.w > 512 AND h.vec_id <> r.rid
+    ), pairs AS (
+        SELECT * FROM cold_pairs UNION ALL SELECT * FROM star_pairs
+    )
+    SELECT id_a, id_b, {cos} AS cosine
+    FROM pairs WHERE {cos} > 0.3
+    """
+
 
 def _lsh_ann_oracle() -> str:
     """DuckDB twin of f3_lsh_ann: same planes (inlined literals), same
@@ -628,7 +717,7 @@ def f21_ivf_ann(spark, sf_dir):
     )
 
 
-@query("f13_embedding_neardup")  # rows-only: threshold pairs via LSH
+@query("f13_embedding_neardup", oracle=_f13_oracle())
 def f13_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup: pairs above a cosine threshold found
     through the LSH buckets (same machinery as f3_lsh_ann, pair output) —
@@ -651,11 +740,8 @@ def f13_embedding_neardup(spark, sf_dir):
     # persist: blocks are freed with the result.
     n = table(spark, sf_dir, "embeddings").count()
     n_planes = max(2, round(math.log2(max(n, 1) / 64 + 1)))
-    rng = random.Random(42)
-    planes = [[rng.uniform(-1.0, 1.0) for _ in range(64)]
-              for _ in range(n_planes)]
-    split_planes = [[rng.uniform(-1.0, 1.0) for _ in range(64)]
-                    for _ in range(8)]
+    planes = _f13_planes(n_planes)
+    split_planes = F13_SPLIT_PLANES
     tagged = (
         _embeddings(spark, sf_dir)
         .withColumn("bucket", _hyperplane_bucket(planes, F.col("emb")))
@@ -669,21 +755,24 @@ def f13_embedding_neardup(spark, sf_dir):
     # the dense clusters the operator exists to find, so oversized
     # buckets instead get 8 MORE sign bits (256-way sub-split; cold
     # buckets shift into a disjoint id space — ×257 keeps hot sub-ids
-    # from colliding with the next cold bucket). The width gate is a
+    # from colliding with the next cold bucket; the base bucket is cast
+    # long first so the multiply can't wrap int32 at high plane counts
+    # and silently re-merge unrelated sub-buckets). The width gate is a
     # map-side-combinable count, and the refined frame is re-pinned:
     # three consumers (re-gate + both self-join sides) read one
     # materialization instead of re-deriving the split bits.
     max_bucket = 512
     widths = tagged.groupBy("bucket").agg(F.count(F.lit(1)).alias("_w"))
+    bucket_l = F.col("bucket").cast("long")
     refined = (
         tagged.join(widths, "bucket")
         .withColumn(
             "bucket",
             F.when(
                 F.col("_w") > max_bucket,
-                F.col("bucket") * 257 + 1
+                bucket_l * 257 + 1
                 + _hyperplane_bucket(split_planes, F.col("emb")),
-            ).otherwise(F.col("bucket") * 257),
+            ).otherwise(bucket_l * 257),
         )
         .drop("_w")
         .localCheckpoint(eager=True)
@@ -698,9 +787,14 @@ def f13_embedding_neardup(spark, sf_dir):
     # Sub-buckets STILL hot after 8 extra bits are (near-)identical
     # vectors no hyperplane separates — all-pairs there is quadratic with
     # zero information gain. Emit STAR pairs around the min-id member
-    # instead: linear output that still connects the whole cluster for
-    # f14's connected-components pass (rep < member ⇒ id_a < id_b holds
-    # by construction).
+    # instead: linear output whose pairs would still connect the whole
+    # residue cluster under a connected-components pass like f14's (f14
+    # consumes f2's minhash pairs today; wiring it to f13 is a one-line
+    # input swap). Caveat: star pairs pass the same cosine>threshold
+    # filter, so a member below-threshold to the REPRESENTATIVE drops
+    # even if above-threshold to another member — acceptable for the
+    # near-identical residue this branch handles. (rep < member ⇒
+    # id_a < id_b holds by construction.)
     hot = flagged.filter(F.col("_w") > max_bucket)
     w_b = W.partitionBy("bucket")
     star = (

@@ -43,10 +43,30 @@ def d1_stream_source(spark, sf_dir):
     return run_available_now(agg, "d1_counts", output_mode="complete")
 
 
-@query("d2_watermark")  # rows-only: late-data semantics are stream-side
+@query(
+    "d2_watermark",
+    # The bounded replay is ONE micro-batch (single file, no
+    # maxFilesPerTrigger), so the final watermark is max(ts) - 10min and
+    # append mode emits exactly the windows whose end has passed it —
+    # expressible as a batch filter. Window ends are on the hour and the
+    # watermark carries max(ts)'s microseconds, so the <=/< boundary is
+    # unreachable and the twin is exact.
+    oracle="""
+    WITH wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, COUNT(*) AS n
+    FROM events
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+    GROUP BY 1, 2
+    """,
+)
 def d2_watermark(spark, sf_dir):
     """D2/D7: watermarked tumbling aggregate in append mode — windows
-    close once the 10-minute watermark passes; late rows beyond it drop."""
+    close once the 10-minute watermark passes; late rows beyond it drop.
+    Oracle-checked (r4): the ordered single-batch replay pins the final
+    watermark at max(ts) - 10min, making the emitted window set a pure
+    batch predicate; the held-back tail windows are exactly those the
+    SQL twin excludes."""
     agg = (
         events_stream(spark, sf_dir)
         .withWatermark("ts", "10 minutes")
@@ -173,11 +193,23 @@ def d6_stream_dedup(spark, sf_dir):
     )
 
 
-@query("d8_stateful")  # rows-only: arbitrary stateful op, stream-side
+@query(
+    "d8_stateful",
+    # update-mode emits one row per user per micro-batch; the bounded
+    # replay is ONE batch (single file), so the memory sink holds exactly
+    # each user's final state = the plain batch aggregate
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+    FROM events GROUP BY 1
+    """,
+)
 def d8_stateful(spark, sf_dir):
     """D8: arbitrary stateful processing — per-user running event count +
     max value maintained in explicit GroupState via
-    ``applyInPandasWithState`` over a real bounded stream.
+    ``applyInPandasWithState`` over a real bounded stream. Oracle-checked
+    (r4): single-batch replay means the per-user final state IS the batch
+    aggregate (the multi-batch path emits intermediate updates too —
+    asserted separately in tests/test_streaming.py).
 
     (Spark 4's successor API, ``transformWithStateInPandas``, was
     verified to exist here but its Python runner requires protobuf,
@@ -279,8 +311,8 @@ def d11_stream_stream_join(spark, sf_dir):
     part); the range part evaluates post-match.
 
     ``date_diff('second')`` counts second-boundary crossings =
-    floor(epoch(p)) - floor(epoch(c)), which is exactly the long-cast
-    subtraction on the Spark side."""
+    floor(epoch(p)) - floor(epoch(c)), which is exactly the
+    ``to_unix_timestamp`` subtraction on the Spark side."""
     clicks = (
         events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "click")
@@ -309,7 +341,7 @@ def d11_stream_stream_join(spark, sf_dir):
     ).select(
         "click_id", "purchase_id",
         F.col("c_user").alias("user_id"),
-        (F.col("p_ts").cast("long") - F.col("c_ts").cast("long"))
+        (F.to_unix_timestamp("p_ts") - F.to_unix_timestamp("c_ts"))
         .alias("secs_to_purchase"),
     )
     return run_available_now(joined, "d11_ss_join", output_mode="append")

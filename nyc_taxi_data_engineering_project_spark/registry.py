@@ -86,16 +86,47 @@ _R02_SWEPT: frozenset[str] = frozenset({
     "f24_decontaminate",
 })
 
+# Keys swept by the driver in round 3 (CORRECTNESS_r03.json) — with r01 +
+# r02 this closed the verification gap: every registered key now has at
+# least one driver sweep.
+_R03_SWEPT: frozenset[str] = frozenset({
+    "a21_python_datasource", "a22_merge_upsert", "a23_snapshot_diff",
+    "a24_observed_metrics", "c33_salted_join", "c34_grouping_sets",
+    "c35_range_frame", "c36_sessionize", "c37_bitmap_distinct_rollup",
+    "c38_hll_sketch_union", "c39_variant_shred", "c40_nullsafe_join",
+    "d8_stateful", "d11_stream_stream_join", "d12_dedup_within_watermark",
+    "d13_python_stream_source",
+    "f10_simhash", "f13_embedding_neardup", "f14_dedup_clusters",
+    "f19_ml_tfidf_pipeline", "f25_boilerplate_removal", "f26_passage_dedup",
+    "f27_chunk_rag", "f28_doc_clustering", "f29_unigram_logprob",
+    "f30_ngram_decontaminate", "f31_training_order", "f32_keep_best_dedup",
+    "f33_data_quality",
+    "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12",
+    "tpch_q16", "tpch_q20", "tpch_q21", "tpch_q22",
+})
+
+# The r3 sweep's red keys (1 ERR + 1 FAIL, both root-caused to the events
+# timestamp-unit bug, fixed in r4) — re-verifying the repair is the single
+# highest-value slot of the r4 sweep, so these sort before everything.
+_R03_RED: frozenset[str] = frozenset({
+    "c36_sessionize", "d11_stream_stream_join",
+})
+
 # Of the swept keys, those whose result was the weak rows-only signal
 # (err: "no_oracle"). If a later round gives one of these a real oracle,
-# it should re-sweep right after the never-swept gap so the weak row is
-# upgraded to a green one.
+# it re-sweeps right after the red repairs so the weak row is upgraded to
+# a green one (r4: d2_watermark, d8_stateful, f13_embedding_neardup all
+# gained oracles).
 _SWEPT_ROWS_ONLY: frozenset[str] = frozenset({
     # r02 rows-only
     "c11_approx_percentile", "f2_minhash_dedup", "d2_watermark",
     "f20_ml_minhash_lsh", "f21_ivf_ann", "d10_foreachbatch",
     # r01 rows-only (by design)
     "c10_approx_distinct", "c29_sample",
+    # r03 rows-only
+    "c38_hll_sketch_union", "d8_stateful", "f10_simhash",
+    "f13_embedding_neardup", "f14_dedup_clusters", "f19_ml_tfidf_pipeline",
+    "f28_doc_clustering",
 })
 
 
@@ -119,11 +150,12 @@ _COST_HINT: dict[str, float] = {
 def _priority(key: str) -> tuple[int, int, float]:
     """Sweep-order rank; ties keep registration order (sort is stable).
 
-    0: never driver-swept (in neither CORRECTNESS_r01 nor _r02) — the
-       39-key round-3 verification gap sweeps first
-    1: swept but rows-only in r01/r02 AND now carrying a real oracle —
+    0: red in the r3 sweep (ERR/FAIL) — verifying the repair first
+    1: swept but rows-only so far AND now carrying a real oracle —
        re-sweep upgrades the weak row to a green one
-    2: everything with a hard signal already (green, or rows-only with
+    2: never driver-swept (empty since r3 closed the gap; future-proofs
+       against accidental key additions)
+    3: everything with a hard signal already (green, or rows-only with
        no oracle to offer) — re-verification is the lowest-value slot
 
     Within a class: oracle-checked before rows-only (stronger signal if
@@ -131,12 +163,13 @@ def _priority(key: str) -> tuple[int, int, float]:
     """
     cost = _COST_HINT.get(key, 0.5)
     has_oracle = 0 if key in ORACLES else 1
-    swept = key in _R01_VERIFIED or key in _R02_SWEPT
-    if not swept:
+    if key in _R03_RED:
         return (0, has_oracle, cost)
     if key in _SWEPT_ROWS_ONLY and key in ORACLES:
         return (1, 0, cost)
-    return (2, has_oracle, cost)
+    if not (key in _R01_VERIFIED or key in _R02_SWEPT or key in _R03_SWEPT):
+        return (2, has_oracle, cost)
+    return (3, has_oracle, cost)
 
 
 def load_all() -> None:

@@ -17,29 +17,45 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-# events.ts is parquet TIMESTAMP(NANOS): streamed as long then converted,
-# same truncation as catalog.table (see catalog.py).
-EVENTS_RAW_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
+from .catalog import events_ts_is_nanos
+
+
+def _events_raw_schema(nanos: bool) -> T.StructType:
+    # events.ts is parquet timestamp[us] → streamed natively as NTZ
+    # (session tz pinned UTC, see session.py). A regenerated
+    # TIMESTAMP(NANOS) file is streamed as long then floor-divided to
+    # micros — the SAME dispatch as catalog.table, so batch and stream
+    # paths can never disagree on the unit again (the r3 incident).
+    ts_type = T.LongType() if nanos else T.TimestampNTZType()
+    return T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", ts_type),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1: file-source stream over the events table."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    nanos = events_ts_is_nanos(os.path.join(sf_dir, "events.parquet"))
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file source needs a directory basePath; select just the events
     # file from the shared testdata dir with a glob filter
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(nanos))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    # watermarks demand TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on
+    # NTZ); under the UTC-pinned session the cast is wall-clock identity
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_available_now(sdf: DataFrame, name: str,

@@ -1,0 +1,94 @@
+"""Events timestamp type robustness (the r3 incident regression gate).
+
+The driver-provided ``events.parquet`` silently changed logical type
+between rounds (TIMESTAMP(NANOS) → timestamp[us]), which broke every
+code path that assumed one unit: the batch bigint-conversion guard went
+dead and the stream schema kept applying a nanos→micros division to
+values that were already micros (1000× time compression, VERDICT r3).
+
+This test writes the SAME rows as a micros file and as a nanos file and
+asserts the batch reader (``catalog.table``) and the stream reader
+(``streaming.events_stream``) produce identical wall-clock timestamps
+for both — so the next testdata regeneration cannot silently flip
+semantics again."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_engineering_project_spark.catalog import (
+    events_ts_is_nanos,
+    table,
+)
+from nyc_taxi_data_engineering_project_spark.streaming import (
+    events_stream,
+    run_available_now,
+)
+
+_ROWS = [
+    (1, datetime.datetime(2024, 1, 1, 0, 0, 7, 123456), 10, "click", 1.5, "{}"),
+    (2, datetime.datetime(2024, 1, 1, 0, 29, 59, 999999), 10, "view", 2.5, "{}"),
+    (3, datetime.datetime(2024, 3, 15, 12, 0, 0, 0), 11, "purchase", 3.5, "{}"),
+]
+_EXPECT = [
+    "1|2024-01-01 00:00:07.123456",
+    "2|2024-01-01 00:29:59.999999",
+    "3|2024-03-15 12:00:00.000000",
+]
+
+
+def _write_events(tmpdir: str, unit: str) -> str:
+    sf_dir = os.path.join(tmpdir, unit)
+    os.makedirs(sf_dir, exist_ok=True)
+    cols = list(zip(*_ROWS))
+    t = pa.table(
+        {
+            "event_id": pa.array(cols[0], pa.int64()),
+            "ts": pa.array(cols[1], pa.timestamp(unit)),
+            "user_id": pa.array(cols[2], pa.int64()),
+            "event_type": pa.array(cols[3], pa.string()),
+            "value": pa.array(cols[4], pa.float64()),
+            "props": pa.array(cols[5], pa.string()),
+        }
+    )
+    pq.write_table(
+        t, os.path.join(sf_dir, "events.parquet"),
+        version="2.6", coerce_timestamps=None, store_schema=False,
+    )
+    return sf_dir
+
+
+def _fmt(df):
+    rows = df.select(
+        F.concat_ws(
+            "|",
+            F.col("event_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        ).alias("r")
+    ).collect()
+    return sorted(r.r for r in rows)
+
+
+@pytest.mark.parametrize("unit", ["us", "ns"])
+def test_batch_read_ts_values(spark, tmp_path_factory, unit):
+    sf_dir = _write_events(str(tmp_path_factory.mktemp("ev")), unit)
+    assert events_ts_is_nanos(
+        os.path.join(sf_dir, "events.parquet")
+    ) == (unit == "ns")
+    assert _fmt(table(spark, sf_dir, "events")) == _EXPECT
+
+
+@pytest.mark.parametrize("unit", ["us", "ns"])
+def test_stream_read_ts_values(spark, tmp_path_factory, unit):
+    sf_dir = _write_events(str(tmp_path_factory.mktemp("ev")), unit)
+    out = run_available_now(
+        events_stream(spark, sf_dir).select("event_id", "ts"),
+        f"ts_robust_{unit}",
+    )
+    assert _fmt(out) == _EXPECT
