@@ -356,11 +356,21 @@ def f1_exact_dedup(spark, sf_dir):
     )
 
 
-@query("f2_minhash_dedup")  # rows-only: LSH banding, no SQL oracle
+@query("f2_minhash_dedup")  # rows-only: see recall note below
 def f2_minhash_dedup(spark, sf_dir):
     """F2: MinHash+LSH near-duplicate detection, built from scratch in
     DataFrame ops (shingle → 32 minhashes → 4 bands of 8 → hot-bucket cap
     → band-bucket join → exact-Jaccard verify ≥ 0.6).
+
+    Why rows-only: the natural SQL twin — exact all-pairs Jaccard ≥ 0.6 —
+    is NOT equal to this output, because banding recall is < 1 by design
+    (measured r4: 58/59 exact pairs found at sf 0.001, 44/46 at sf 0.01;
+    the misses are band-collision probability, not bugs). And the minhash
+    path itself is built on Spark's xxhash64, which DuckDB cannot
+    reproduce. The honest check is therefore behavioral, in
+    tests/test_llm_ops.py: soundness (every emitted pair IS an exact
+    ≥ 0.6 pair with the right Jaccard) + recall ≥ 0.9 vs the exact
+    baseline + planted-pair recovery.
 
     The corpus is documents ∪ planted near-duplicates (docs 0-19 with
     the last two tokens dropped, ids shifted past max(doc_id) — see

@@ -272,10 +272,19 @@ def d9_stream_static_join(spark, sf_dir):
     )
 
 
-@query("d10_foreachbatch")  # rows-only: sink behavior, no SQL oracle
+@query(
+    "d10_foreachbatch",
+    # exactly-once sink over a bounded replay = every event row written
+    # exactly once; reading the sink back is a projection of events
+    oracle="SELECT event_id, user_id, value FROM events",
+)
 def d10_foreachbatch(spark, sf_dir):
     """D10: exactly-once sink — foreachBatch + checkpoint + per-epoch
-    deterministic overwrite; returns the sunk rows read back."""
+    deterministic overwrite; returns the sunk rows read back.
+    Oracle-checked (r4): exactly-once + bounded replay means the sink
+    holds each source row once, so the read-back equals the source
+    projection (the restart/idempotency half is asserted in
+    tests/test_streaming.py::test_foreachbatch_restart_is_exactly_once)."""
     tmp = tempfile.mkdtemp(prefix="d10_")
     target = os.path.join(tmp, "out")
     checkpoint = os.path.join(tmp, "ckpt")

@@ -115,8 +115,8 @@ _R03_RED: frozenset[str] = frozenset({
 # Of the swept keys, those whose result was the weak rows-only signal
 # (err: "no_oracle"). If a later round gives one of these a real oracle,
 # it re-sweeps right after the red repairs so the weak row is upgraded to
-# a green one (r4: d2_watermark, d8_stateful, f13_embedding_neardup all
-# gained oracles).
+# a green one (r4: d2_watermark, d8_stateful, f13_embedding_neardup, and
+# d10_foreachbatch all gained oracles).
 _SWEPT_ROWS_ONLY: frozenset[str] = frozenset({
     # r02 rows-only
     "c11_approx_percentile", "f2_minhash_dedup", "d2_watermark",

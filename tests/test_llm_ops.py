@@ -36,6 +36,51 @@ def test_minhash_finds_planted_neardups(spark):
             assert r.jaccard >= 0.6
 
 
+# Exact all-pairs Jaccard over f2's planted corpus — the ground truth the
+# LSH path approximates. Not an oracle (banding recall < 1 by design; see
+# f2's docstring), but the base of the soundness + recall gate below.
+_F2_EXACT_PAIRS_SQL = """
+WITH corpus AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    UNION ALL
+    SELECT doc_id + (SELECT MAX(doc_id)+1 FROM documents) AS doc_id,
+           toks[1:len(toks)-2] AS toks
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    WHERE doc_id < 20 AND len(toks) >= 3
+), sh AS (
+    SELECT doc_id,
+           list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                          FOR i IN generate_series(1, len(toks)-2)]) AS grams
+    FROM corpus WHERE len(toks) >= 3
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       len(list_intersect(a.grams, b.grams))::DOUBLE
+       / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.6
+"""
+
+
+def test_minhash_soundness_and_recall_vs_exact(spark, oracle_con):
+    """f2 soundness: every emitted pair must be a true exact-Jaccard
+    ≥ 0.6 pair with the right value (catches a broken verify step);
+    recall: banding may miss pairs, but only a few (measured 0.97-0.98
+    on this corpus)."""
+    out = registry.QUERIES["f2_minhash_dedup"](spark, SF_DIR).collect()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in out}
+    exact = {
+        (int(r.doc_a), int(r.doc_b)): r.jaccard
+        for r in oracle_con.sql(_F2_EXACT_PAIRS_SQL).df().itertuples()
+    }
+    for p, j in got.items():
+        assert p in exact, f"unsound pair {p} (below-threshold emitted)"
+        assert abs(j - exact[p]) < 1e-3, (p, j, exact[p])
+    assert len(got) >= 0.9 * len(exact), (
+        f"recall {len(got)}/{len(exact)} below 0.9"
+    )
+
+
 def test_lsh_ann_recall_vs_bruteforce(spark):
     exact = registry.QUERIES["f3_cosine_topk"](spark, SF_DIR).collect()
     approx = registry.QUERIES["f3_lsh_ann"](spark, SF_DIR).collect()
