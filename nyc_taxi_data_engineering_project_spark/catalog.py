@@ -10,6 +10,7 @@ joins for the small dimensions (SURVEY.md §1.4, §4.1).
 
 from __future__ import annotations
 
+import functools
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -25,45 +26,61 @@ TESTDATA_TABLES = (
 # drift from the actual physical plans.)
 
 
-def events_ts_is_nanos(path: str) -> bool:
-    """True iff the events parquet stores ``ts`` as TIMESTAMP(NANOS).
+@functools.lru_cache(maxsize=256)
+def nanos_ts_columns(path: str) -> tuple[str, ...]:
+    """Names of columns the parquet footer types as TIMESTAMP(NANOS).
 
-    Driver-side footer peek (pyarrow metadata read, no data IO). The type
-    of the driver-provided file has CHANGED between rounds (nanos → micros,
-    see TESTDATA.md), silently breaking any code that assumed one unit —
-    so both the batch and stream readers dispatch on the actual footer
-    type instead of assuming."""
+    Driver-side footer peek (pyarrow metadata read, no data IO; cached —
+    the testdata files are immutable within a run). The type of a
+    driver-provided file has CHANGED between rounds (events.ts
+    nanos → micros, see TESTDATA.md), silently breaking code that
+    assumed one unit — so the batch and stream readers dispatch on the
+    actual footer type instead of assuming, and they do it for EVERY
+    timestamp column of every table (orders/lineitem dates are
+    timestamp[us] today and would break ~40 keys the same way if they
+    flipped)."""
     import pyarrow.parquet as pq
 
     try:
-        return getattr(pq.read_schema(path).field("ts").type,
-                       "unit", None) == "ns"
+        schema = pq.read_schema(path)
     except Exception:
-        return False
+        return ()
+    return tuple(
+        f.name for f in schema if getattr(f.type, "unit", None) == "ns"
+    )
+
+
+def events_ts_is_nanos(path: str) -> bool:
+    """True iff the events parquet stores ``ts`` as TIMESTAMP(NANOS)."""
+    return "ts" in nanos_ts_columns(path)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (one parquet file per TESTDATA.md).
 
-    ``events.ts`` is parquet timestamp[us] (→ native ``TIMESTAMP_NTZ``;
+    Timestamps are parquet timestamp[us] (→ native ``TIMESTAMP_NTZ``;
     session tz is pinned UTC by session.py so NTZ↔epoch conversions are
-    deterministic). If a regenerated file is TIMESTAMP(NANOS) — which
-    Spark's micro-precision engine cannot represent — it is read as a
-    long and floor-divided to micros, the same truncation DuckDB applies
-    when casting ns → its micro-precision TIMESTAMP, so oracle
-    comparisons agree either way.
+    deterministic). Any column a regenerated file stores as
+    TIMESTAMP(NANOS) — which Spark's micro-precision engine cannot
+    represent — is read as a long and floor-divided to micros, the same
+    truncation DuckDB applies when casting ns → its micro-precision
+    TIMESTAMP, so oracle comparisons agree either way.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events" and events_ts_is_nanos(path):
+    ns_cols = nanos_ts_columns(path)
+    if ns_cols:
         # session-scoped by design, NOT restored: the scan evaluates
         # lazily (possibly long after this call), so the flag must
-        # outlive the builder. Only set when the file actually IS nanos;
+        # outlive the builder. Only set when a file actually IS nanos;
         # a session also reading OTHER nanos parquet it wants typed as
-        # timestamps would need a separate session.
+        # long would need a separate session.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        df = spark.read.parquet(path)
+        for c in ns_cols:
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+            )
+        return df
     return spark.read.parquet(path)
 
 

@@ -85,6 +85,40 @@ def test_batch_read_ts_values(spark, tmp_path_factory, unit):
 
 
 @pytest.mark.parametrize("unit", ["us", "ns"])
+def test_batch_read_any_table_nanos_columns(spark, tmp_path_factory, unit):
+    """The footer dispatch is per-column and applies to EVERY table, not
+    just events — a regenerated orders/lineitem with nanos dates would
+    break ~40 keys the same way the events flip did."""
+    sf_dir = str(tmp_path_factory.mktemp("ord"))
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_orderdate": pa.array(
+                [datetime.datetime(2024, 5, 1, 8, 30, 0, 250000),
+                 datetime.datetime(2024, 5, 2, 9, 0, 0, 0)],
+                pa.timestamp(unit),
+            ),
+        }
+    )
+    pq.write_table(
+        t, os.path.join(sf_dir, "orders.parquet"),
+        version="2.6", coerce_timestamps=None, store_schema=False,
+    )
+    got = sorted(
+        r.r for r in table(spark, sf_dir, "orders").select(
+            F.concat_ws(
+                "|", F.col("o_orderkey"),
+                F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            ).alias("r")
+        ).collect()
+    )
+    assert got == [
+        "1|2024-05-01 08:30:00.250000",
+        "2|2024-05-02 09:00:00.000000",
+    ]
+
+
+@pytest.mark.parametrize("unit", ["us", "ns"])
 def test_stream_read_ts_values(spark, tmp_path_factory, unit):
     sf_dir = _write_events(str(tmp_path_factory.mktemp("ev")), unit)
     out = run_available_now(
