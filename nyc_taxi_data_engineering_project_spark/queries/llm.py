@@ -847,7 +847,7 @@ def f13_embedding_neardup(spark, sf_dir):
     )
 
 
-@query("f14_dedup_clusters")  # rows-only: iterative algorithm
+@query("f14_dedup_clusters")  # rows-only: input is f2's LSH pairs (recall<1)
 def f14_dedup_clusters(spark, sf_dir):
     """F14: duplicate-cluster resolution — connected components over the
     near-duplicate pair graph (f2's output), turning pairwise matches
@@ -1426,7 +1426,7 @@ def f9_token_count(spark, sf_dir):
     )
 
 
-@query("f10_simhash")  # rows-only: bit-level signature, engine-specific
+@query("f10_simhash")  # rows-only: xxhash64 bits, unreproducible in DuckDB
 def f10_simhash(spark, sf_dir):
     """F10: 64-bit SimHash — per-token xxhash64, each bit votes ±1, the
     signature is the sign vector. Shape: explode distinct tokens →
