@@ -75,6 +75,21 @@ def _fmt(df):
     return sorted(r.r for r in rows)
 
 
+def test_events_is_one_file_per_sf():
+    """The d2/d8/d10 oracles rest on the bounded replay being ONE
+    micro-batch, which holds because events is a single parquet file
+    (file source with no maxFilesPerTrigger → all files in one batch).
+    If the driver ever splits events into a multi-file directory, this
+    fails first with a readable message instead of three oracle
+    mismatches."""
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        p = f"/root/testdata/{sf}/events.parquet"
+        assert os.path.isfile(p), (
+            f"{p} is not a single file — multi-batch replay would break "
+            "the d2/d8/d10 single-batch oracle premise (see streaming_q)"
+        )
+
+
 @pytest.mark.parametrize("unit", ["us", "ns"])
 def test_batch_read_ts_values(spark, tmp_path_factory, unit):
     sf_dir = _write_events(str(tmp_path_factory.mktemp("ev")), unit)
