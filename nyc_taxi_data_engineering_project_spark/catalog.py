@@ -39,8 +39,15 @@ def nanos_ts_columns(path: str) -> tuple[str, ...]:
     timestamp column of every table (orders/lineitem dates are
     timestamp[us] today and would break ~40 keys the same way if they
     flipped)."""
+    import glob as _glob
+
     import pyarrow.parquet as pq
 
+    if os.path.isdir(path):  # Spark-written table: peek one part file
+        parts = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return ()
+        path = parts[0]
     try:
         schema = pq.read_schema(path)
     except Exception:

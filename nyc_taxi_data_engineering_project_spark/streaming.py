@@ -38,17 +38,25 @@ def _events_raw_schema(nanos: bool) -> T.StructType:
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D1: file-source stream over the events table."""
-    nanos = events_ts_is_nanos(os.path.join(sf_dir, "events.parquet"))
+    """D1: file-source stream over the events table.
+
+    Layout dispatch (r4): ``events.parquet`` may be a single FILE (the
+    driver testdata) or a DIRECTORY of part files (any Spark-written
+    copy, e.g. scripts/stress.py replicas). The file source requires a
+    directory basePath, so a single file streams via its parent dir + a
+    leaf-name glob — but that same glob silently matches ZERO part
+    files under a directory layout (caught when the r4 stress run's
+    streaming keys came back suspiciously instant on empty streams), so
+    a directory streams directly."""
+    path = os.path.join(sf_dir, "events.parquet")
+    nanos = events_ts_is_nanos(path)
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # the file source needs a directory basePath; select just the events
-    # file from the shared testdata dir with a glob filter
-    raw = (
-        spark.readStream.schema(_events_raw_schema(nanos))
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    reader = spark.readStream.schema(_events_raw_schema(nanos))
+    if os.path.isdir(path):
+        raw = reader.parquet(path)
+    else:
+        raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     if nanos:
         return raw.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))

@@ -37,7 +37,13 @@ _REKEY: dict[str, list[str]] = {
     "customer": ["c_custkey"],
     "supplier": ["s_suppkey"],
     "part": ["p_partkey"],
-    "events": ["event_id"],
+    # user_id shifts with the replica so per-user event DENSITY stays
+    # constant: K× users with the same per-user timeline is the realistic
+    # scale-up (10× verbatim rows per user would inflate d11's per-user
+    # click×purchase pairs ~K² and merge c36's sessions — degenerate
+    # workloads that false-fail the linearity check, same reasoning as
+    # the text/embedding perturbation below)
+    "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
 }
@@ -49,6 +55,12 @@ HEADLINE = [
     "f1_exact_dedup", "f2_minhash_dedup", "f10_simhash", "f11_ngram_jaccard",
     "f25_boilerplate_removal", "f26_passage_dedup", "f29_unigram_logprob",
     "f3_lsh_ann",
+    # streaming + sessionization: added r4 after the timestamp-unit fix —
+    # the r2 stress predates correct event times, so the watermark/state
+    # scale behavior below is the first honest measurement. d11's state is
+    # bounded by watermark+interval (not stream length); d2's by window
+    # count; c36 is the one-shuffle batch sessionize.
+    "c36_sessionize", "d2_watermark", "d11_stream_stream_join",
 ]
 
 

@@ -141,3 +141,32 @@ def test_stream_read_ts_values(spark, tmp_path_factory, unit):
         f"ts_robust_{unit}",
     )
     assert _fmt(out) == _EXPECT
+
+
+def test_directory_layout_events(spark, tmp_path_factory):
+    """events.parquet as a DIRECTORY of part files (any Spark-written
+    copy) must stream every row — the r4 stress run exposed the leaf-name
+    glob silently matching zero part files (streams ran instantly on
+    empty input), so both readers now dispatch on the layout."""
+    sf_dir = str(tmp_path_factory.mktemp("evdir"))
+    d = os.path.join(sf_dir, "events.parquet")
+    os.makedirs(d)
+    cols = list(zip(*_ROWS))
+    for i, sl in enumerate((slice(0, 2), slice(2, 3))):  # two part files
+        t = pa.table(
+            {
+                "event_id": pa.array(cols[0][sl], pa.int64()),
+                "ts": pa.array(cols[1][sl], pa.timestamp("us")),
+                "user_id": pa.array(cols[2][sl], pa.int64()),
+                "event_type": pa.array(cols[3][sl], pa.string()),
+                "value": pa.array(cols[4][sl], pa.float64()),
+                "props": pa.array(cols[5][sl], pa.string()),
+            }
+        )
+        pq.write_table(t, os.path.join(d, f"part-{i}.parquet"),
+                       version="2.6", store_schema=False)
+    assert _fmt(table(spark, sf_dir, "events")) == _EXPECT
+    out = run_available_now(
+        events_stream(spark, sf_dir).select("event_id", "ts"), "ts_dir"
+    )
+    assert _fmt(out) == _EXPECT
