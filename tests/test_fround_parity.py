@@ -1,0 +1,74 @@
+"""Cross-engine parity of the rounding policy every oracle rests on.
+
+``fx.fround`` (Spark) and ``fx.sql_round`` (DuckDB spelling) claim to be
+the SAME pure-IEEE expression — ``floor(x*10^n + 0.5)/10^n`` — and the
+whole value-hash gate assumes the two engines evaluate it bit-identically.
+This test feeds both engines one batch of adversarial doubles (decimal
+half-boundaries like 1.005 that F.round/ROUND famously disagree on, exact
+binary fractions, negatives, magnitude extremes) plus 20k seeded uniform
+values, at every scale the query library uses (2/4/6 dp), and requires
+BITWISE equality of the results."""
+
+from __future__ import annotations
+
+import math
+import random
+import struct
+
+import pandas as pd
+
+from nyc_taxi_data_engineering_project_spark import fx
+
+_ADVERSARIAL = [
+    0.0, -0.0, 1.005, -1.005, 2.675, -2.675, 0.125, -0.125, 0.5, -0.5,
+    0.0005, -0.0005, 0.00005, -0.00005, 1e-12, -1e-12,
+    123456.789012, -123456.789012, 9999.99995, -9999.99995,
+    1.0 / 3.0, -1.0 / 3.0, math.pi, -math.pi, 2**31 / 100.0,
+]
+
+
+def _values():
+    rng = random.Random(7)
+    vals = list(_ADVERSARIAL)
+    vals += [rng.uniform(-1e6, 1e6) for _ in range(20000)]
+    vals += [rng.uniform(-1.0, 1.0) for _ in range(5000)]
+    return vals
+
+
+def _bits(x: float) -> int:
+    return struct.unpack("<q", struct.pack("<d", x))[0]
+
+
+def test_fround_bitwise_parity_spark_vs_duckdb(spark, oracle_con):
+    vals = _values()
+    pdf = pd.DataFrame({"i": range(len(vals)), "x": vals})
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        sdf.select(
+            "i",
+            fx.r2("x").alias("r2"),
+            fx.r4("x").alias("r4"),
+            fx.r6("x").alias("r6"),
+        )
+        .toPandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    oracle_con.register("fround_vals", pdf)
+    want = oracle_con.sql(
+        f"""
+        SELECT i, {fx.sql_round('x', 2)} AS r2,
+               {fx.sql_round('x', 4)} AS r4,
+               {fx.sql_round('x', 6)} AS r6
+        FROM fround_vals ORDER BY i
+        """
+    ).df()
+    for col in ("r2", "r4", "r6"):
+        mism = [
+            (i, g, w)
+            for i, (g, w) in enumerate(zip(got[col], want[col]))
+            if _bits(float(g)) != _bits(float(w))
+        ]
+        assert not mism, (
+            f"{col}: {len(mism)} bitwise mismatches; first 3: {mism[:3]}"
+        )
