@@ -223,3 +223,19 @@ def test_q17_decorrelates_to_preaggregate(spark):
     p = plan_of(registry.QUERIES["tpch_q17"](spark, SF_DIR), mode="simple")
     assert p.count("HashAggregate") >= 2  # partial+final of the avg
     assert "CartesianProduct" not in p
+
+
+def test_f24_corpus_side_never_shuffles(spark):
+    """Decontamination's scale contract: the benchmark-fingerprint side
+    broadcasts (it is the small side by construction) and the CORPUS side
+    reaches the anti join with zero Exchange — a corpus shuffle here is
+    the difference between a map-only pass and re-moving 100 TB."""
+    p = plan_of(registry.QUERIES["f24_decontaminate"](spark, SF_DIR),
+                mode="simple")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p[:1500]
+    # everything above/before the BroadcastExchange is the corpus branch
+    # (the build side renders under it): no shuffle allowed there. The
+    # fingerprint-set distinct MAY shuffle — it is small by contract.
+    corpus_side = p.split("BroadcastExchange", 1)[0]
+    assert "Exchange hashpartitioning" not in corpus_side, p[:1500]
+    assert "Exchange rangepartitioning" not in corpus_side, p[:1500]
