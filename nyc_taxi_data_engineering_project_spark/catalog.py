@@ -26,28 +26,37 @@ TESTDATA_TABLES = (
 # drift from the actual physical plans.)
 
 
-@functools.lru_cache(maxsize=256)
 def nanos_ts_columns(path: str) -> tuple[str, ...]:
     """Names of columns the parquet footer types as TIMESTAMP(NANOS).
 
     Driver-side footer peek (pyarrow metadata read, no data IO; cached —
-    the testdata files are immutable within a run). The type of a
-    driver-provided file has CHANGED between rounds (events.ts
-    nanos → micros, see TESTDATA.md), silently breaking code that
-    assumed one unit — so the batch and stream readers dispatch on the
-    actual footer type instead of assuming, and they do it for EVERY
-    timestamp column of every table (orders/lineitem dates are
-    timestamp[us] today and would break ~40 keys the same way if they
-    flipped)."""
+    keyed on (path, mtime) of the peeked file so an in-process rewrite
+    of the same path with a different unit re-dispatches instead of
+    hitting a stale footer type). The type of a driver-provided file has
+    CHANGED between rounds (events.ts nanos → micros, see TESTDATA.md),
+    silently breaking code that assumed one unit — so the batch and
+    stream readers dispatch on the actual footer type instead of
+    assuming, and they do it for EVERY timestamp column of every table
+    (orders/lineitem dates are timestamp[us] today and would break ~40
+    keys the same way if they flipped)."""
     import glob as _glob
-
-    import pyarrow.parquet as pq
 
     if os.path.isdir(path):  # Spark-written table: peek one part file
         parts = sorted(_glob.glob(os.path.join(path, "*.parquet")))
         if not parts:
             return ()
         path = parts[0]
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        return ()
+    return _nanos_ts_columns_at(path, mtime)
+
+
+@functools.lru_cache(maxsize=256)
+def _nanos_ts_columns_at(path: str, mtime_ns: int) -> tuple[str, ...]:
+    import pyarrow.parquet as pq
+
     try:
         schema = pq.read_schema(path)
     except Exception:
@@ -84,8 +93,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         for c in ns_cols:
+            # cast to NTZ so both dispatch branches yield the SAME type
+            # (micros files read natively as NTZ); under the UTC-pinned
+            # session the LTZ→NTZ cast is wall-clock identity.
             df = df.withColumn(
-                c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+                c,
+                F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+                .cast("timestamp_ntz"),
             )
         return df
     return spark.read.parquet(path)

@@ -139,7 +139,7 @@ LSH_PLANES = [
 # split planes come from an INDEPENDENT seed for the same reason (r3
 # drew them by CONTINUING the base rng after n_planes blocks, which
 # shifted them whenever n changed — unoraclable).
-_F13_MAX_PLANES = 16  # covers n ≈ 4M vectors; _f13_planes extends past it
+_F13_MAX_PLANES = 16  # covers n ≈ 4M vectors; _f13_planes refuses past it
 _f13_rng = random.Random(42)
 F13_PLANES = [
     [_f13_rng.uniform(-1.0, 1.0) for _ in range(64)]
@@ -153,11 +153,21 @@ F13_SPLIT_PLANES = [
 
 
 def _f13_planes(k: int):
-    """First ``k`` planes of the seeded stream (prefix-stable in k)."""
-    if k <= _F13_MAX_PLANES:
-        return F13_PLANES[:k]
-    r = random.Random(42)
-    return [[r.uniform(-1.0, 1.0) for _ in range(64)] for _ in range(k)]
+    """First ``k`` planes of the seeded stream (prefix-stable in k).
+
+    Refuses k > _F13_MAX_PLANES instead of silently extending: the
+    DuckDB oracle inlines exactly _F13_MAX_PLANES literals and slices
+    ``[1:k]``, so a silently-extended Spark side would diverge from the
+    oracle (false FAIL) past ~4.2M vectors. Raising _F13_MAX_PLANES
+    regenerates BOTH sides from the same seeded prefix consistently."""
+    if k > _F13_MAX_PLANES:
+        raise ValueError(
+            f"f13 needs {k} hyperplanes but the prefix-stable plane set "
+            f"(and its inlined DuckDB oracle) holds _F13_MAX_PLANES="
+            f"{_F13_MAX_PLANES}; raise _F13_MAX_PLANES — both sides extend "
+            "the same seeded prefix, so the oracle stays exact."
+        )
+    return F13_PLANES[:k]
 
 
 def _f13_oracle() -> str:

@@ -90,13 +90,37 @@ def test_events_is_one_file_per_sf():
         )
 
 
+def test_d2_watermark_boundary_premise():
+    """d2's oracle exactness premise: the final watermark max(ts)-10min
+    must NOT land exactly on an hour boundary, else the append-mode
+    <=/< window-close seam becomes reachable and the batch twin could be
+    off by one window. Data-dependent — so assert it against every SF's
+    actual events file instead of trusting it (ADVICE r4)."""
+    import pyarrow.compute as pc
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        p = f"/root/testdata/{sf}/events.parquet"
+        ts = pq.read_table(p, columns=["ts"])["ts"]
+        max_us = pc.max(ts).cast(pa.int64()).as_py()
+        watermark_us = max_us - 10 * 60 * 1_000_000
+        assert watermark_us % 3_600_000_000 != 0, (
+            f"{p}: max(ts)-10min lands exactly on an hour boundary — "
+            "the d2 oracle's window-close boundary is now reachable; "
+            "re-derive the twin's <=/< semantics before trusting it"
+        )
+
+
 @pytest.mark.parametrize("unit", ["us", "ns"])
 def test_batch_read_ts_values(spark, tmp_path_factory, unit):
     sf_dir = _write_events(str(tmp_path_factory.mktemp("ev")), unit)
     assert events_ts_is_nanos(
         os.path.join(sf_dir, "events.parquet")
     ) == (unit == "ns")
-    assert _fmt(table(spark, sf_dir, "events")) == _EXPECT
+    df = table(spark, sf_dir, "events")
+    # both dispatch branches must yield the SAME column type (NTZ) so
+    # type-sensitive downstream code can't behave differently per unit
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    assert _fmt(df) == _EXPECT
 
 
 @pytest.mark.parametrize("unit", ["us", "ns"])
@@ -131,6 +155,36 @@ def test_batch_read_any_table_nanos_columns(spark, tmp_path_factory, unit):
         "1|2024-05-01 08:30:00.250000",
         "2|2024-05-02 09:00:00.000000",
     ]
+
+
+def test_footer_dispatch_cache_invalidation(tmp_path_factory):
+    """The footer-type cache is keyed on (path, mtime): rewriting the
+    same path with a different timestamp unit in-process must
+    re-dispatch, not serve the stale unit (ADVICE r4 footgun)."""
+    from nyc_taxi_data_engineering_project_spark.catalog import (
+        nanos_ts_columns,
+    )
+
+    tmpdir = str(tmp_path_factory.mktemp("cacheinv"))
+    sf_us = _write_events(tmpdir, "us")
+    p = os.path.join(sf_us, "events.parquet")
+    assert nanos_ts_columns(p) == ()
+    # rewrite the SAME path as nanos with a strictly newer mtime
+    cols = list(zip(*_ROWS))
+    t = pa.table(
+        {
+            "event_id": pa.array(cols[0], pa.int64()),
+            "ts": pa.array(cols[1], pa.timestamp("ns")),
+            "user_id": pa.array(cols[2], pa.int64()),
+            "event_type": pa.array(cols[3], pa.string()),
+            "value": pa.array(cols[4], pa.float64()),
+            "props": pa.array(cols[5], pa.string()),
+        }
+    )
+    pq.write_table(t, p, version="2.6", coerce_timestamps=None,
+                   store_schema=False)
+    os.utime(p, ns=(os.stat(p).st_atime_ns, os.stat(p).st_mtime_ns + 1))
+    assert nanos_ts_columns(p) == ("ts",)
 
 
 @pytest.mark.parametrize("unit", ["us", "ns"])
