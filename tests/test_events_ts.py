@@ -43,10 +43,10 @@ _EXPECT = [
 ]
 
 
-def _write_events(tmpdir: str, unit: str) -> str:
+def _write_events(tmpdir: str, unit: str, rows=None) -> str:
     sf_dir = os.path.join(tmpdir, unit)
     os.makedirs(sf_dir, exist_ok=True)
-    cols = list(zip(*_ROWS))
+    cols = list(zip(*(rows if rows is not None else _ROWS)))
     t = pa.table(
         {
             "event_id": pa.array(cols[0], pa.int64()),
@@ -195,6 +195,63 @@ def test_stream_read_ts_values(spark, tmp_path_factory, unit):
         f"ts_robust_{unit}",
     )
     assert _fmt(out) == _EXPECT
+
+
+# Rows exercising the stateful-join and dedup seams: clicks followed by
+# purchases inside/outside the 30-min interval, duplicate (user, type)
+# pairs, and microsecond-precision timestamps whose values would shift
+# visibly if the ns→us division were wrong by a factor anywhere.
+_STATEFUL_ROWS = [
+    (1, datetime.datetime(2024, 1, 1, 0, 0, 7, 123456), 10, "click", 1.0, "{}"),
+    (2, datetime.datetime(2024, 1, 1, 0, 10, 0, 500000), 10, "purchase", 2.0, "{}"),
+    (3, datetime.datetime(2024, 1, 1, 0, 50, 0, 0), 10, "purchase", 3.0, "{}"),
+    (4, datetime.datetime(2024, 1, 1, 1, 0, 0, 1), 11, "click", 4.0, "{}"),
+    (5, datetime.datetime(2024, 1, 1, 1, 29, 0, 999999), 11, "purchase", 5.0, "{}"),
+    (6, datetime.datetime(2024, 1, 1, 1, 5, 0, 0), 11, "click", 6.0, "{}"),
+    (7, datetime.datetime(2024, 1, 1, 2, 0, 0, 0), 12, "view", 7.0, "{}"),
+    (8, datetime.datetime(2024, 1, 1, 2, 1, 0, 0), 12, "view", 8.0, "{}"),
+]
+
+
+def test_stream_stateful_ops_unit_equivalence(spark, tmp_path_factory):
+    """The r3 incident fix is pinned for ts VALUES through the stream
+    reader, but the stateful operators downstream (watermarked
+    stream-stream interval join d11, dropDuplicatesWithinWatermark d12)
+    consume the dispatched column for state eviction and range matching
+    — drive both end-to-end over a nanos file and a micros file of the
+    SAME rows and require identical outputs (VERDICT r4 ask 3)."""
+    from nyc_taxi_data_engineering_project_spark.queries.streaming_q import (
+        d11_stream_stream_join,
+        d12_dedup_within_watermark,
+    )
+
+    tmpdir = str(tmp_path_factory.mktemp("evstate"))
+    results = {}
+    for unit in ("us", "ns"):
+        sf_dir = _write_events(tmpdir, unit, rows=_STATEFUL_ROWS)
+        join_rows = sorted(
+            tuple(r) for r in d11_stream_stream_join(spark, sf_dir).collect()
+        )
+        dedup_rows = sorted(
+            tuple(r) for r in d12_dedup_within_watermark(spark, sf_dir).collect()
+        )
+        results[unit] = (join_rows, dedup_rows)
+    join_us, dedup_us = results["us"]
+    join_ns, dedup_ns = results["ns"]
+    # value-level ground truth, not just cross-unit agreement: the two
+    # in-window click→purchase pairs, with second-boundary-crossing diffs
+    assert join_us == [
+        (1, 2, 10, 593),   # 00:00:07.123456 → 00:10:00.500000
+        (4, 5, 11, 1740),  # 01:00:00.000001 → 01:29:00.999999
+        (6, 5, 11, 1440),  # 01:05:00.000000 → 01:29:00.999999
+    ]
+    assert join_ns == join_us
+    assert dedup_us == [
+        (10, "click"), (10, "purchase"),
+        (11, "click"), (11, "purchase"),
+        (12, "view"),
+    ]
+    assert dedup_ns == dedup_us
 
 
 def test_directory_layout_events(spark, tmp_path_factory):
