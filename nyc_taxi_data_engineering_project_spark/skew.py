@@ -57,10 +57,15 @@ def salted_join(fact: DataFrame, dim: DataFrame, on: list[str],
     salted_dim = dim.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     )
-    # shuffle_hash hint: the whole point is the shuffle-join case (dim too
-    # big to broadcast); without it Spark would just broadcast a small dim
-    # and the salt would be dead weight
+    # merge hint: the point is the shuffle-join case (dim too big to
+    # broadcast; without a hint Spark would broadcast a small dim and
+    # the salt would be dead weight) — and it must be SORT-MERGE, not
+    # shuffle_hash: a shuffled-hash build side cannot spill, so one fat
+    # post-salt partition OOMs the task. Observed at the 100x stress run
+    # (scripts/stress100.py): the 16x-replicated orders side left
+    # ~7.5M-row per-task hash maps — "not enough memory to build hash
+    # map" — while sort-merge spills and still gets the salt's fan-out.
     joined = salted_fact.join(
-        salted_dim.hint("shuffle_hash"), on=[*on, _SALT], how=how
+        salted_dim.hint("merge"), on=[*on, _SALT], how=how
     )
     return joined.drop(_SALT)

@@ -1,0 +1,356 @@
+"""100x scale-up with INJECTED HOT KEYS (VERDICT r4 ask 1).
+
+scripts/stress.py proves ~linear scaling to 10x on *perturbed* replicas;
+this harness extends the evidence to 100x sf0.1 (~60 M lineitem rows,
+10 M events, 500 k documents) and deliberately plants the skew the 10x
+run lacked:
+
+- **hot user_id**: ~10% of ALL event rows are remapped to one user
+  (pmod(event_id, 10) == 0 -> HOT_USER; the id shift per replica is a
+  multiple of 10, so the fraction is exact at every K). This is the
+  bot-traffic shape that breaks per-user stateful ops.
+- **hot shingles**: ~10% of documents get the same 16-token passage
+  prepended (block-aligned, so it is ONE recurring 16-word block for
+  f26 and a shared shingle mass for f2's LSH buckets).
+
+Keys driven (the skew-exposed set from the verdict): f2, c33, c1, d11,
+f31, f26 — plus d2 (watermark state) and c36 (sessionize: the hot user
+is a genuine single-key straggler probe) for continuity with SCALE.md
+§9b. Streaming keys replay CHUNKED (64 time-ordered files) instead of
+the oracle harness's single batch: a single-batch replay never advances
+the watermark, so stream-stream join state holds EVERY hot-user row and
+the per-key state scan goes quadratic BY HARNESS CONSTRUCTION — chunked
+replay is the production-shaped run where watermarks evict state
+between batches.
+
+The hot user makes d11 a special case. A stream-stream join scans the
+per-key state list for every arriving row of that key; a key carrying
+10% of the stream therefore costs ~rows_hot x in-state_hot state-store
+row evaluations ON ONE PARTITION — at K=100 that is
+~200k clicks x ~2k in-window purchases ≈ 4x10^8 serial evals, an
+*inherent* property of per-key stream-join semantics (no engine
+partitions one key's state), not a plan defect. The harness therefore
+runs d11 twice: `d11_hot_probe` under a wall-clock budget, recording
+measured per-batch cost and batches completed (quantifying the floor),
+and `d11_botfiltered` — the production mitigation, a pre-join filter
+dropping the bot user — which must meet the linear-scaling criterion.
+
+Per-task metrics come from the Spark event log (SparkListenerTaskEnd),
+assigned to keys by wall-clock window; per key we report the worst
+max/median task-duration ratio over stages with >= 8 tasks and >= 0.2 s
+median (below that, constant task overhead dominates and the ratio is
+noise, not skew).
+
+Run:  python scripts/stress100.py [K] [workdir]
+Emits one JSON line per key and a trailing summary JSON with
+{key: {secs, rows, straggler, stage}} for SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from pyspark.sql import functions as F, types as T  # noqa: E402
+
+from nyc_taxi_data_engineering_project_spark import catalog, registry  # noqa: E402
+from nyc_taxi_data_engineering_project_spark.session import get_session  # noqa: E402
+
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_stress100"
+
+_SHIFT = 100_000_000  # divisible by 10: pmod hot-row selection is K-stable
+HOT_USER = 100_000_000_000  # above any shifted user_id at any sane K
+HOT_PASSAGE = " ".join(f"hotblk{i}" for i in range(16))  # one f26 block
+N_EVENT_FILES = 64   # time-ordered part files for the stream replay
+FILES_PER_BATCH = 4  # -> 16 micro-batches: the watermark advances ~2 d
+# of event time per batch at any K (the files split the SAME 30-day
+# range), bounding join state to ~one batch's span while keeping the
+# fixed per-micro-batch overhead (state-store commits, file listing,
+# planning) at 16x, not 64x — measured 4.3 s/batch for the two-sided
+# join at 32 state partitions, the dominant cost at small K
+
+_REKEY: dict[str, list[str]] = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+}
+
+BATCH_KEYS = [
+    "c1_smj_selfjoin", "c33_salted_join",
+    "f2_minhash_dedup", "f26_passage_dedup", "f31_training_order",
+    "c36_sessionize",  # hot user = deliberate single-key straggler probe
+]
+
+
+STREAM_BUDGET_S = 240  # wall budget for the hot-user probe
+
+
+def materialize(spark) -> None:
+    t0 = time.time()
+    for name, keys in _REKEY.items():
+        df = catalog.table(spark, SRC, name)
+        copies = None
+        for i in range(K):
+            c = df
+            for kcol in keys:
+                c = c.withColumn(kcol, F.col(kcol) + F.lit(i * _SHIFT))
+            if name == "documents" and i > 0:
+                # perturb content so replicas are DISTINCT docs (verbatim
+                # copies would widen every dup group K-fold — degenerate)
+                c = c.withColumn(
+                    "text", F.concat(F.lit(f"r{i} "), F.col("text"))
+                )
+            copies = c if copies is None else copies.unionAll(c)
+        if name == "events":
+            copies = copies.withColumn(
+                "user_id",
+                F.when(F.pmod("event_id", F.lit(10)) == 0,
+                       F.lit(HOT_USER)).otherwise(F.col("user_id")),
+            )
+            # time-ordered part files -> the file stream source replays
+            # them oldest-first and the watermark advances between
+            # micro-batches (range partition i holds ts range i)
+            copies = copies.repartitionByRange(N_EVENT_FILES, "ts")
+        if name == "documents":
+            # OUTERMOST prepend, after the replica prefix: the hot
+            # passage stays block-aligned at position 0 in every hot doc
+            copies = copies.withColumn(
+                "text",
+                F.when(F.pmod("doc_id", F.lit(10)) == 0,
+                       F.concat(F.lit(HOT_PASSAGE + " "), F.col("text"))
+                       ).otherwise(F.col("text")),
+            )
+        copies.write.mode("overwrite").parquet(f"{WORK}/{name}.parquet")
+    # enforce mtime order = ts order for the stream source's file sort
+    ev_dir = f"{WORK}/events.parquet"
+    parts = sorted(p for p in os.listdir(ev_dir) if p.endswith(".parquet"))
+    base = time.time() - len(parts) * 2
+    for i, p in enumerate(parts):
+        os.utime(os.path.join(ev_dir, p), (base + i * 2, base + i * 2))
+    print(f"materialized {K}x in {time.time()-t0:.0f}s -> {WORK}",
+          flush=True)
+
+
+def _chunked_events(spark):
+    """Chunked-replay twin of streaming.events_stream: same schema and
+    micros->timestamp cast, but one file per micro-batch so the
+    watermark advances and state evicts (see module docstring)."""
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", FILES_PER_BATCH)
+        .parquet(f"{WORK}/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def d11_chunked(spark, bot_filter: bool):
+    """queries/streaming_q.d11_stream_stream_join's exact join topology
+    (watermarks both sides, equi on user + 30-min interval), chunked.
+    ``bot_filter`` applies the production mitigation: drop the hot user
+    BEFORE the join (a codegen'd filter at the scan — the same pre-join
+    bot/abuse filter every large-scale event pipeline runs)."""
+    src = _chunked_events(spark)
+    if bot_filter:
+        src = src.filter(F.col("user_id") != HOT_USER)
+    clicks = (
+        src
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        src
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("click_id", "purchase_id",
+             F.col("c_user").alias("user_id"))
+
+
+def d2_chunked(spark):
+    """d2_watermark's aggregate (1 h tumbling windows, 10 min
+    watermark, append mode), chunked."""
+    return (
+        _chunked_events(spark)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("win_start"), "event_type", "n")
+    )
+
+
+def run_stream(sdf, name: str, budget_s: float | None = None) -> dict:
+    # 8 state partitions (frozen at query start), as run_available_now:
+    # each partition is a state store paying a commit per micro-batch —
+    # a fixed overhead that dwarfs per-row work even at 100x. The hot
+    # user lands in one of them by design; that task IS the probe.
+    spark = sdf.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sdf.writeStream.format("noop")
+            .option("checkpointLocation", f"{WORK}/ckpt_{name}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if budget_s is None:
+            q.awaitTermination()
+            return {}
+        done = q.awaitTermination(budget_s)
+        prog = q.recentProgress
+        if not done:
+            q.stop()
+            q.awaitTermination()
+        batches = [p for p in prog if p.get("numInputRows", 0) > 0]
+        per_batch = [round(p["batchDuration"] / 1e3, 1) for p in batches]
+        return {
+            "completed": bool(done),
+            "batches_done": len(batches),
+            "batch_secs": per_batch[-8:],
+            "input_rows": sum(p["numInputRows"] for p in batches),
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def straggler_from_eventlog(evlog_dir: str, windows: dict) -> dict:
+    """Per key: worst max/median task-duration ratio over qualifying
+    stages ( >= 8 tasks, >= 0.2 s median) whose tasks launched inside
+    the key's wall-clock window."""
+    tasks: dict[int, list[tuple[float, float]]] = {}  # stage -> [(launch, dur)]
+    paths = []
+    for root, _dirs, files in os.walk(evlog_dir):
+        # v1: one file named by app id; v2 rolling: events_N_* inside an
+        # eventlog_v2_* dir (plus an appstatus marker to skip)
+        paths += [os.path.join(root, f) for f in files
+                  if not f.startswith((".", "appstatus"))]
+    for path in paths:
+        with open(path) as fh:
+            for line in fh:
+                if '"SparkListenerTaskEnd"' not in line:
+                    continue
+                try:
+                    ev = json.loads(line)
+                    info = ev["Task Info"]
+                    dur = (info["Finish Time"] - info["Launch Time"]) / 1e3
+                    tasks.setdefault(ev["Stage ID"], []).append(
+                        (info["Launch Time"] / 1e3, dur)
+                    )
+                except (KeyError, json.JSONDecodeError):
+                    continue
+    out = {}
+    for key, (t0, t1) in windows.items():
+        worst, worst_stage = None, None
+        for sid, ts_ in tasks.items():
+            in_win = [d for (lt, d) in ts_ if t0 <= lt <= t1]
+            if len(in_win) < 8:
+                continue
+            med = statistics.median(in_win)
+            if med < 0.2:
+                continue
+            ratio = max(in_win) / med
+            if worst is None or ratio > worst:
+                worst, worst_stage = ratio, (sid, len(in_win), round(med, 2),
+                                             round(max(in_win), 2))
+        out[key] = {"straggler": round(worst, 2) if worst else None,
+                    "stage": worst_stage}
+    return out
+
+
+def main() -> None:
+    registry.load_all()
+    # reuse an existing materialization (pass --fresh to force rebuild);
+    # checkpoints and the event log always start clean
+    have_data = all(
+        os.path.isdir(f"{WORK}/{t}.parquet") for t in _REKEY
+    ) and "--fresh" not in sys.argv
+    if os.path.isdir(WORK) and not have_data:
+        shutil.rmtree(WORK)
+    for sub in os.listdir(WORK) if os.path.isdir(WORK) else []:
+        if sub.startswith(("ckpt_", "evlog")):
+            shutil.rmtree(os.path.join(WORK, sub))
+    os.makedirs(f"{WORK}/evlog", exist_ok=True)
+    spark = get_session(
+        "stress100",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file://{WORK}/evlog",
+            "spark.eventLog.compress": "false",
+        },
+    )
+    if not have_data:
+        materialize(spark)
+    else:
+        print(f"reusing materialized {WORK}", flush=True)
+
+    windows: dict[str, tuple[float, float]] = {}
+    results: dict[str, dict] = {}
+
+    def run(key, fn):
+        t0 = time.time()
+        try:
+            extra = fn() or {}
+            secs = round(time.time() - t0, 2)
+            results[key] = {"secs": secs, **extra}
+            windows[key] = (t0, time.time())
+            print(f"  {key}: {secs}s {extra if extra else ''}", flush=True)
+        except Exception as exc:  # noqa: BLE001
+            results[key] = {"secs": -1.0, "err": str(exc)[:200]}
+            print(f"  {key}: ERROR {exc}", flush=True)
+        spark.catalog.clearCache()
+
+    for key in BATCH_KEYS:
+        run(key, lambda k=key: registry.QUERIES[k](spark, WORK)
+            .write.format("noop").mode("overwrite").save())
+    run("d2_watermark", lambda: run_stream(d2_chunked(spark), "d2"))
+    run("d11_botfiltered",
+        lambda: run_stream(d11_chunked(spark, bot_filter=True), "d11bf"))
+    run("d11_hot_probe",
+        lambda: run_stream(d11_chunked(spark, bot_filter=False), "d11hot",
+                           budget_s=STREAM_BUDGET_S))
+
+    time.sleep(2)  # let the event log flush the last task ends
+    stragglers = straggler_from_eventlog(f"{WORK}/evlog", windows)
+    for key, s in stragglers.items():
+        results.setdefault(key, {}).update(s)
+    total = sum(r["secs"] for r in results.values() if r["secs"] > 0)
+    summary = {"K": K, "src": SRC, "total_secs": round(total, 1),
+               "hot_user_frac": 0.1, "hot_doc_frac": 0.1,
+               "results": results}
+    print(json.dumps(summary), flush=True)
+    with open(f"{WORK}/summary_K{K}.json", "w") as fh:
+        json.dump(summary, fh, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
