@@ -649,9 +649,11 @@ def c33_salted_join(spark, sf_dir):
     each hot l_orderkey spreads over 16 reducers instead of landing on
     one, at the cost of shuffling the orders side 16×. The technique a
     1000-executor job reaches for when the dim is too big to broadcast
-    and AQE's skew split doesn't apply (shuffled-hash path, aggregation
-    keyed on the hot key downstream). Plan shape (salt in the join keys,
-    shuffle join not broadcast) is asserted in tests/test_plans.py."""
+    and AQE's skew split doesn't apply (aggregation keyed on the hot
+    key downstream; stats unavailable). The join is sort-merge — a
+    shuffled-hash build side cannot spill and OOMed at the 100× stress
+    run (SCALE.md §10). Plan shape (salt in the join keys, shuffle join
+    not broadcast) is asserted in tests/test_plans.py."""
     from ..skew import salted_join
 
     li = table(spark, sf_dir, "lineitem").select(

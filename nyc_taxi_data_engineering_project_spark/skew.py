@@ -3,9 +3,9 @@
 A shuffle join hashes each key to exactly one reducer, so one hot key
 (a celebrity user, an empty-string default, a null-like sentinel) lands
 its entire row volume on a single task and the stage runs at the speed
-of that straggler. AQE's skew-join split handles the *sort-merge* case
-adaptively at runtime; salting is the plan-level form that also covers
-shuffled-hash joins and makes the fan-out explicit and testable.
+of that straggler. AQE's skew-join split handles this adaptively at
+runtime when it can; salting is the plan-level form that is explicit,
+testable, and independent of runtime statistics.
 
 Mechanics: the fact side gets a deterministic salt in ``[0, n_salt)``;
 the dim side is replicated ``n_salt`` times (one copy per salt value);
