@@ -171,12 +171,18 @@ def test_f29_vocab_lookup_broadcasts_when_small(spark):
 
 def test_c33_salt_reaches_join_keys_and_join_is_shuffled(spark):
     """The salted join must (a) carry the salt in its join keys — that IS
-    the skew fan-out — and (b) run as a shuffle join, since salting a
+    the skew fan-out — (b) run as a shuffle join, since salting a
     broadcast join would be dead weight (broadcast never partitions by
-    key at all)."""
+    key at all), and (c) be SORT-MERGE specifically: a shuffled-hash
+    build side cannot spill, and the 16×-replicated dim OOMed exactly
+    that way at the 100× stress run (SCALE.md §10) — this pin keeps the
+    hint from being reintroduced."""
     p = plan_of(registry.QUERIES["c33_salted_join"](spark, SF_DIR))
     assert "_salt" in p, "salt column never reached the physical plan"
-    assert ("ShuffledHashJoin" in p) or ("SortMergeJoin" in p)
+    assert "SortMergeJoin" in p
+    assert "ShuffledHashJoin" not in p, (
+        "shuffled-hash build side cannot spill — OOMs at scale"
+    )
     assert "BroadcastHashJoin" not in p
 
 
