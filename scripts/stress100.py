@@ -312,6 +312,22 @@ def main() -> None:
     else:
         print(f"reusing materialized {WORK}", flush=True)
 
+    # untimed warmup: the first timed key otherwise absorbs one-off JVM
+    # costs (codegen compiler warmup, parquet reader init, shuffle
+    # service spin-up) and its scale ratio reads better than it is —
+    # touch every table and exercise a join + agg + shuffle first
+    t0 = time.time()
+    for t in _REKEY:
+        catalog.table(spark, WORK, t).count()
+    li = catalog.table(spark, WORK, "lineitem").select("l_orderkey").limit(
+        500_000)
+    od = catalog.table(spark, WORK, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"))
+    li.join(od, "l_orderkey").groupBy(
+        F.pmod("l_orderkey", F.lit(97))).count().write.format(
+        "noop").mode("overwrite").save()
+    print(f"warmup {time.time()-t0:.1f}s", flush=True)
+
     windows: dict[str, tuple[float, float]] = {}
     results: dict[str, dict] = {}
 
