@@ -1262,10 +1262,11 @@ def f17_quality_filter(spark, sf_dir):
     "f18_pii_scrub",
     oracle="""
     SELECT doc_id,
-           len(regexp_extract_all(aug, '[a-z0-9._]+@[a-z0-9.]+[a-z]')) AS n_emails,
+           len(regexp_extract_all(aug,
+               '[a-z0-9._]{1,64}@[a-z0-9.]{1,255}[a-z]')) AS n_emails,
            len(regexp_extract_all(aug, 'https?://[^ ]+')) AS n_urls,
            md5(regexp_replace(regexp_replace(aug,
-                   '[a-z0-9._]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+                   '[a-z0-9._]{1,64}@[a-z0-9.]{1,255}[a-z]', '<EMAIL>', 'g'),
                    'https?://[^ ]+', '<URL>', 'g')) AS scrubbed_md5
     FROM (
         SELECT doc_id,
@@ -1283,14 +1284,23 @@ def f18_pii_scrub(spark, sf_dir):
     synthetic PII derived from the doc id so the mechanism is actually
     exercised (the word-soup testdata contains none). Pure regex
     projections, codegen'd, no shuffle; the patterns are RE2-compatible
-    so Spark (Java regex) and DuckDB (RE2) agree."""
+    so Spark (Java regex) and DuckDB (RE2) agree.
+
+    The quantifiers are RFC-bounded ({1,64} local part, {1,255} domain)
+    rather than unbounded ``+`` — not just correctness pedantry: under
+    Java's backtracking engine an unbounded ``[a-z0-9._]+@`` is
+    QUADRATIC on a long alpha run (each start position consumes the
+    whole run before failing the ``@``) — a single 1 MB single-token
+    document hung the scrub for minutes (caught by
+    tests/test_llm_edges.py). Bounded quantifiers cap per-position work
+    at 64 chars → linear scan; DuckDB's RE2 is linear either way."""
     aug = F.concat(
         F.col("text"),
         F.lit(" contact: user"), F.col("doc_id").cast("string"),
         F.lit("@example.com see http://site.example/"),
         F.col("doc_id").cast("string"),
     )
-    email_re = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+    email_re = "[a-z0-9._]{1,64}@[a-z0-9.]{1,255}[a-z]"
     url_re = "https?://[^ ]+"
     scrubbed = F.regexp_replace(
         F.regexp_replace(aug, email_re, "<EMAIL>"), url_re, "<URL>"
@@ -1525,7 +1535,7 @@ def f11_ngram_jaccard(spark, sf_dir):
                ROW_NUMBER() OVER (PARTITION BY lang
                                   ORDER BY md5(text), doc_id) AS rn,
                COUNT(*) OVER (PARTITION BY lang) AS n
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     )
     WHERE rn <= CEIL(n * 0.1)
     """,
@@ -1545,9 +1555,18 @@ def f22_stratified_sample(spark, sf_dir):
     the bucket's cumulative offset; offsets and stratum totals are a
     langs×256-row metadata frame, broadcast back. Global-per-stratum
     order ≡ (bucket, hash-within-bucket), so the selected set is
-    IDENTICAL to the single-window form."""
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.md5("text").alias("hk")
+    IDENTICAL to the single-window form.
+
+    Null-text docs are EXCLUDED explicitly, on both sides: md5(null) is
+    a null sort key, and null ordering is the one place the engines
+    disagree (Spark ASC sorts nulls first, DuckDB last) — and a null
+    bucket silently falls out of the offset equi-join while still
+    inflating the stratum total, eating a sample slot (caught by
+    tests/test_llm_edges.py on a corpus with a null text)."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "lang", F.md5("text").alias("hk"))
     )
     bucketed = docs.withColumn("bk", F.substring("hk", 1, 2))
     counts = bucketed.groupBy("lang", "bk").agg(

@@ -46,6 +46,8 @@ _DOCS = [
     (12, " ".join(f"q{i}" for i in range(16)) + " " + SHARED_PASSAGE
          + " " + SHARED_LINE + " " + " ".join(f"u{i}" for i in range(8))),
     (13, "line1\nline2\ttab  doublespace end"),    # non-space whitespace
+    (14, "reach me at alice.smith@corp.example or visit"
+         " https://site.example/path?q=1 thanks"),  # organic PII
     (20, BENCH_TEXT.strip().lower()),              # contaminated twin of 97
     (21, " ".join(f"tok{i}" for i in range(100))), # plain long-ish doc
     (97, BENCH_TEXT),                              # planted benchmark doc
@@ -251,3 +253,95 @@ def test_f27_chunk_reassembly_identity(spark, edge_sf_dir):
         for _, ctext, n in chunks:
             if ctext:
                 assert len(ctext.split(" ")) == n
+
+
+# ---- second batch: the remaining text-consuming F ops over the same
+# hostile corpus (beyond the r4 verdict's asked set — cheap insurance)
+
+def test_f15_f16_f17_split_pack_filter_edges(spark, edge_sf_dir):
+    """f15: every doc lands in exactly one split and exact dups share it
+    (content-hash property — the no-leakage guarantee). f16: pack_id
+    reproduces the cumulative-sum identity over Spark's own token
+    counts. f17: the keep flag is exactly the AND of its reason flags."""
+    split = {r[0]: r[2] for r in _rows(llm.f15_train_val_split(spark, edge_sf_dir))}
+    assert len(split) == len(_DOCS)
+    assert set(split.values()) <= {"train", "val", "test"}
+    assert split[6] == split[7]  # identical text → identical split
+
+    packs = sorted(_rows(llm.f16_pack_sequences(spark, edge_sf_dir)))
+    assert len(packs) == len(_DOCS)
+    cum = 0
+    for doc_id, lang, n_tokens, pack_id in packs:  # one lang, id-ordered
+        assert pack_id == cum // 512, (doc_id, cum, pack_id)
+        cum += n_tokens
+
+    f17 = _rows(llm.f17_quality_filter(spark, edge_sf_dir))
+    assert len(f17) == len(_DOCS)
+    for doc_id, ok_l, ok_d, ok_t, keep in f17:
+        if keep is not None:
+            assert keep == (ok_l and ok_d and ok_t)
+    keep_by_id = {r[0]: r[4] for r in f17}
+    assert keep_by_id[5] == 0  # the 1 MB single-token doc must not pass
+
+
+def test_f18_pii_scrub_edges(spark, edge_sf_dir):
+    """Planted PII (1 email + 1 URL per doc) plus doc 14's organic pair
+    must both be counted; null text propagates to null, not a crash."""
+    out = {r[0]: r for r in _rows(llm.f18_pii_scrub(spark, edge_sf_dir))}
+    assert len(out) == len(_DOCS)
+    assert out[21][1:3] == (1, 1)   # plain doc: planted only
+    assert out[14][1:3] == (2, 2)   # organic + planted
+    assert out[0][1] is None and out[0][3] is None  # null text → null
+
+
+def test_f22_f23_sample_repetition_edges(spark, edge_sf_dir):
+    """f22: exactly ceil(10%) of the single 'en' stratum, drawn from the
+    corpus. f23: exact repetition stats on the degenerate docs."""
+    nonnull_ids = {i for i, t in _DOCS if t is not None}
+    sampled = _rows(llm.f22_stratified_sample(spark, edge_sf_dir))
+    # null-text docs are excluded from universe AND stratum total
+    assert len(sampled) == -(-len(nonnull_ids) // 10)  # ceil
+    assert {r[0] for r in sampled} <= nonnull_ids
+
+    f23 = {r[0]: r[1:] for r in _rows(llm.f23_repetition_ratio(spark, edge_sf_dir))}
+    assert set(f23) == {i for i, t in _DOCS if t is not None}
+    assert f23[5] == (1, 0.0, 1.0)   # 1 MB single token
+    assert f23[2] == (4, 0.75, 1.0)  # "   " → 4 empty tokens, 1 distinct
+
+
+def test_f29_f30_lm_decontaminate_edges(spark, edge_sf_dir):
+    """f29: cross-entropy is positive and finite for every doc with
+    tokens. f30: the planted eval set (doc_id%89==0) is the NULL-text
+    doc here, so the gram set is empty and nothing may be flagged —
+    the null-benchmark degenerate case must behave as no-op."""
+    f29 = _rows(llm.f29_unigram_logprob(spark, edge_sf_dir))
+    assert {r[0] for r in f29} == {i for i, t in _DOCS if t is not None}
+    for _, xent in f29:
+        assert xent is not None and xent >= 0 and math.isfinite(xent)
+
+    f30 = _rows(llm.f30_ngram_decontaminate(spark, edge_sf_dir))
+    for _doc, _n_grams, n_hit, contaminated in [
+        (r[0], r[1], r[2], r[3]) if len(r) == 4 else (r[0], None, None, r[-1])
+        for r in f30
+    ]:
+        assert not contaminated
+
+
+def test_f32_f33_keepbest_quality_edges(spark, edge_sf_dir):
+    """f32: groups partition the corpus; the dup pair keeps the packed
+    arg-min winner (equal length → min doc_id). f33: the expectation
+    report counts exactly the planted violations (one null text) and
+    nothing else."""
+    f32 = _rows(llm.f32_keep_best_dedup(spark, edge_sf_dir))
+    assert sum(r[1] for r in f32) == len(_DOCS)
+    # lower(trim()) normalization collapses three groups, each keeping
+    # the LONGEST raw variant (ties → min doc_id):
+    #   6/7 identical → 6; bench 97 vs its stripped twin 20 → 97
+    #   (97's raw text is longer); "" (1) vs "   " (2) → 2 (3 chars > 0)
+    dups = sorted((r[2], r[1]) for r in f32 if r[1] > 1)
+    assert dups == [(2, 2), (6, 2), (97, 2)]
+
+    f33 = {r[0]: r[1] for r in _rows(llm.f33_data_quality(spark, edge_sf_dir))}
+    assert f33 == {
+        "null_text": 1, "bad_lang": 0, "nchars_mismatch": 0, "dup_doc_id": 0,
+    }
