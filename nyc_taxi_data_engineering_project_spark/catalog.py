@@ -29,41 +29,72 @@ TESTDATA_TABLES = (
 def nanos_ts_columns(path: str) -> tuple[str, ...]:
     """Names of columns the parquet footer types as TIMESTAMP(NANOS).
 
-    Driver-side footer peek (pyarrow metadata read, no data IO; cached —
-    keyed on (path, mtime) of the peeked file so an in-process rewrite
-    of the same path with a different unit re-dispatches instead of
-    hitting a stale footer type). The type of a driver-provided file has
-    CHANGED between rounds (events.ts nanos → micros, see TESTDATA.md),
-    silently breaking code that assumed one unit — so the batch and
-    stream readers dispatch on the actual footer type instead of
-    assuming, and they do it for EVERY timestamp column of every table
-    (orders/lineitem dates are timestamp[us] today and would break ~40
-    keys the same way if they flipped)."""
+    Driver-side footer peek (pyarrow metadata read, no data IO; cached).
+    The type of a driver-provided file has CHANGED between rounds
+    (events.ts nanos → micros, see TESTDATA.md), silently breaking code
+    that assumed one unit — so the batch and stream readers dispatch on
+    the actual footer type instead of assuming, and they do it for
+    EVERY timestamp column of every table (orders/lineitem dates are
+    timestamp[us] today and would break ~40 keys the same way if they
+    flipped).
+
+    Cache key (ADVICE r5): a single file keys on (path, mtime_ns,
+    size) — size is the cheap second discriminator for filesystems with
+    coarse mtime ticks, where an in-process rewrite can land in the
+    same tick. A directory keys on the FULL sorted part list with each
+    part's (mtime_ns, size), so adding/rewriting ANY part re-dispatches
+    (keying only parts[0] served stale answers when other parts moved).
+    Directories additionally peek first AND last part footers and
+    refuse a mixed-unit table loudly — a single-unit dispatch cannot
+    represent one."""
     import glob as _glob
 
-    if os.path.isdir(path):  # Spark-written table: peek one part file
+    if os.path.isdir(path):  # Spark-written table: peek part files
         parts = sorted(_glob.glob(os.path.join(path, "*.parquet")))
         if not parts:
             return ()
-        path = parts[0]
+        try:
+            fingerprint = tuple(
+                (os.path.basename(p), st.st_mtime_ns, st.st_size)
+                for p in parts for st in (os.stat(p),)
+            )
+        except OSError:
+            return ()
+        # first+last in sorted order: one footer can't represent a
+        # mixed-unit dir (an append by a different writer lands at one
+        # end); O(2) footer reads regardless of part count
+        peek = tuple(dict.fromkeys((parts[0], parts[-1])))
+        return _nanos_ts_columns_at(peek, fingerprint)
     try:
-        mtime = os.stat(path).st_mtime_ns
+        st = os.stat(path)
     except OSError:
         return ()
-    return _nanos_ts_columns_at(path, mtime)
+    return _nanos_ts_columns_at((path,), (st.st_mtime_ns, st.st_size))
 
 
 @functools.lru_cache(maxsize=256)
-def _nanos_ts_columns_at(path: str, mtime_ns: int) -> tuple[str, ...]:
+def _nanos_ts_columns_at(peek_paths: tuple, fingerprint: tuple
+                         ) -> tuple[str, ...]:
     import pyarrow.parquet as pq
 
-    try:
-        schema = pq.read_schema(path)
-    except Exception:
-        return ()
-    return tuple(
-        f.name for f in schema if getattr(f.type, "unit", None) == "ns"
-    )
+    per_part = []
+    for p in peek_paths:
+        try:
+            schema = pq.read_schema(p)
+        except Exception:
+            return ()
+        per_part.append(tuple(
+            f.name for f in schema if getattr(f.type, "unit", None) == "ns"
+        ))
+    if len(set(per_part)) > 1:
+        raise ValueError(
+            f"mixed TIMESTAMP units across part files of one table: "
+            f"{peek_paths[0]} has nanos columns {per_part[0]} but "
+            f"{peek_paths[-1]} has {per_part[-1]}; a single-unit reader "
+            "dispatch cannot represent this — rewrite the table with one "
+            "unit"
+        )
+    return per_part[0]
 
 
 def events_ts_is_nanos(path: str) -> bool:

@@ -139,7 +139,14 @@ LSH_PLANES = [
 # split planes come from an INDEPENDENT seed for the same reason (r3
 # drew them by CONTINUING the base rng after n_planes blocks, which
 # shifted them whenever n changed — unoraclable).
-_F13_MAX_PLANES = 16  # covers n ≈ 4M vectors; _f13_planes refuses past it
+# 40 planes covers n ≈ 64·2^40 ≈ 7e13 vectors (the plane-count rule is
+# k = round(log2(n/64 + 1))) — beyond any 100 TB corpus, so the
+# fail-fast guard in _f13_planes is unreachable in practice (ADVICE r5:
+# the r5 cap of 16 turned an oracle-only concern into a potential
+# production failure at ~4.2M vectors). Cost of the larger prefix: a
+# one-time module-import list build and a longer inlined oracle string;
+# the Spark side still uses only the first k planes.
+_F13_MAX_PLANES = 40
 _f13_rng = random.Random(42)
 F13_PLANES = [
     [_f13_rng.uniform(-1.0, 1.0) for _ in range(64)]

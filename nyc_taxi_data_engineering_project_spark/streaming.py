@@ -96,12 +96,14 @@ def run_available_now(sdf: DataFrame, name: str,
     return spark.table(name)
 
 
-def foreach_batch_idempotent_sink(sdf: DataFrame, target: str,
-                                  checkpoint: str) -> None:
-    """D10: exactly-once file sink — ``foreachBatch`` + checkpoint. The
-    batch function writes with deterministic overwrite per epoch, so a
-    replayed epoch converges instead of duplicating (the reference's
-    delete-before-insert A10 pattern, generalized to streams)."""
+def epoch_overwrite_writer(target: str):
+    """The D10 sink's per-batch function: write each epoch to its own
+    directory with deterministic overwrite, so a REPLAYED epoch (crash
+    between sink write and checkpoint commit) converges instead of
+    duplicating — the reference's delete-before-insert A10 pattern
+    (``python/ingest_data.py:160-166``), generalized to streams.
+    Module-level so the crash-recovery test injects failures around the
+    exact production writer, not a copy of it."""
 
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         (
@@ -110,8 +112,17 @@ def foreach_batch_idempotent_sink(sdf: DataFrame, target: str,
             .parquet(os.path.join(target, f"epoch={epoch_id}"))
         )
 
+    return write_epoch
+
+
+def foreach_batch_idempotent_sink(sdf: DataFrame, target: str,
+                                  checkpoint: str) -> None:
+    """D10: exactly-once file sink — ``foreachBatch`` + checkpoint.
+    Exactly-once = source offset tracking (checkpoint) + idempotent
+    epoch write (``epoch_overwrite_writer``); either alone gives only
+    at-least-once."""
     q = (
-        sdf.writeStream.foreachBatch(write_epoch)
+        sdf.writeStream.foreachBatch(epoch_overwrite_writer(target))
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

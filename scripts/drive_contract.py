@@ -18,6 +18,20 @@ import duckdb
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 REPO = "/root/repo"
 
+# footer-type drift gate BEFORE anything runs: the r3 incident class
+# (driver testdata silently changing a parquet logical type between
+# rounds) must fail the drive loudly, not surface as 40 mysterious
+# query mismatches. See scripts/check_testdata_types.py.
+sys.path.insert(0, f"{REPO}/scripts")
+from check_testdata_types import check as _check_types  # noqa: E402
+
+_drift = _check_types((SF_DIR,))
+if _drift:
+    print("TESTDATA FOOTER-TYPE DRIFT — fix TESTDATA_TYPES.json + readers:")
+    for _d in _drift:
+        print(f"  {_d}")
+    sys.exit(2)
+
 spec = importlib.util.spec_from_file_location(
     "__spark_entry__", f"{REPO}/__spark_entry__.py"
 )

@@ -194,6 +194,35 @@ def d11_chunked(spark, bot_filter: bool):
              F.col("c_user").alias("user_id"))
 
 
+def f2_planted_recall(spark) -> dict:
+    """Planted-pair recall at this K (r5 verdict ask 6): f2's
+    recall >= 0.9 gate runs at sf0.001/sf0.01 only, and hot-shingle
+    skew is exactly where LSH banding degrades SILENTLY — the shared
+    hot passage floods band buckets past the width cap, and capped
+    buckets are dropped before the pair join (llm.py's count-gated
+    caps), so lost planted pairs would show up nowhere else.
+    _planted_corpus plants 20 near-dup pairs (docs 0-19 minus their
+    last two tokens, ids shifted by planted_offset); docs 0 and 10
+    additionally carry the hot passage here, putting planted pairs
+    INSIDE the hot-shingle mass. Count how many survive banding over
+    the stressed corpus."""
+    from nyc_taxi_data_engineering_project_spark.queries.llm import (
+        planted_offset,
+    )
+
+    docs = catalog.table(spark, WORK, "documents")
+    off = planted_offset(docs)
+    out = registry.QUERIES["f2_minhash_dedup"](spark, WORK)
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in out.filter(F.col("doc_a") < 20).collect()
+    }
+    planted = {(i, i + off) for i in range(20)}
+    hit = len(planted & found)
+    return {"planted_pairs": 20, "found": hit,
+            "recall": round(hit / 20, 3)}
+
+
 def d2_chunked(spark):
     """d2_watermark's aggregate (1 h tumbling windows, 10 min
     watermark, append mode), chunked."""
@@ -347,6 +376,7 @@ def main() -> None:
     for key in BATCH_KEYS:
         run(key, lambda k=key: registry.QUERIES[k](spark, WORK)
             .write.format("noop").mode("overwrite").save())
+    run("f2_planted_recall", lambda: f2_planted_recall(spark))
     run("d2_watermark", lambda: run_stream(d2_chunked(spark), "d2"))
     run("d11_botfiltered",
         lambda: run_stream(d11_chunked(spark, bot_filter=True), "d11bf"))

@@ -187,6 +187,86 @@ def test_footer_dispatch_cache_invalidation(tmp_path_factory):
     assert nanos_ts_columns(p) == ("ts",)
 
 
+def _events_arrow_table(unit: str):
+    cols = list(zip(*_ROWS))
+    return pa.table(
+        {
+            "event_id": pa.array(cols[0], pa.int64()),
+            "ts": pa.array(cols[1], pa.timestamp(unit)),
+            "user_id": pa.array(cols[2], pa.int64()),
+            "event_type": pa.array(cols[3], pa.string()),
+            "value": pa.array(cols[4], pa.float64()),
+            "props": pa.array(cols[5], pa.string()),
+        }
+    )
+
+
+def test_footer_dispatch_cache_same_mtime_tick(tmp_path_factory):
+    """ADVICE r5: mtime granularity is filesystem-dependent — an
+    in-process rewrite can land in the SAME tick on 1s-granularity
+    filesystems, and the previous test only passed by manually bumping
+    mtime. st_size is now the second cache-key discriminator: rewrite
+    us→ns, force mtime back to the ORIGINAL value, and the dispatch
+    must still flip."""
+    from nyc_taxi_data_engineering_project_spark.catalog import (
+        nanos_ts_columns,
+    )
+
+    tmpdir = str(tmp_path_factory.mktemp("sametick"))
+    sf_us = _write_events(tmpdir, "us")
+    p = os.path.join(sf_us, "events.parquet")
+    st0 = os.stat(p)
+    assert nanos_ts_columns(p) == ()
+    pq.write_table(_events_arrow_table("ns"), p, version="2.6",
+                   coerce_timestamps=None, store_schema=False)
+    # simulate a coarse-mtime filesystem: identical mtime tick
+    os.utime(p, ns=(st0.st_atime_ns, st0.st_mtime_ns))
+    assert os.stat(p).st_size != st0.st_size, (
+        "probe premise broken: us and ns encodings landed on the same "
+        "byte size — vary _ROWS so the size discriminator is testable"
+    )
+    assert nanos_ts_columns(p) == ("ts",)
+
+
+def test_footer_dispatch_dir_keyed_on_all_parts(tmp_path_factory):
+    """ADVICE r5: directory dispatch used to cache on parts[0]'s
+    identity only, so ADDING a part (or rewriting a non-first one)
+    served a stale or unrepresentative answer. The key is now the full
+    sorted part list; and because a mixed-unit directory cannot be
+    represented by a single-unit dispatch, it is refused loudly instead
+    of half-read."""
+    from nyc_taxi_data_engineering_project_spark.catalog import (
+        nanos_ts_columns,
+    )
+
+    d = str(tmp_path_factory.mktemp("dirparts") / "events.parquet")
+    os.makedirs(d)
+    pq.write_table(_events_arrow_table("us"), os.path.join(d, "part-0.parquet"),
+                   version="2.6", coerce_timestamps=None, store_schema=False)
+    assert nanos_ts_columns(d) == ()
+    # append a nanos part WITHOUT touching part-0: the old parts[0]-keyed
+    # cache would still answer () from the stale entry; the full-list key
+    # re-dispatches and the first+last peek sees the unit conflict
+    pq.write_table(_events_arrow_table("ns"), os.path.join(d, "part-1.parquet"),
+                   version="2.6", coerce_timestamps=None, store_schema=False)
+    with pytest.raises(ValueError, match="mixed TIMESTAMP units"):
+        nanos_ts_columns(d)
+
+
+def test_footer_dispatch_dir_homogeneous_nanos(tmp_path_factory):
+    from nyc_taxi_data_engineering_project_spark.catalog import (
+        nanos_ts_columns,
+    )
+
+    d = str(tmp_path_factory.mktemp("dirns") / "events.parquet")
+    os.makedirs(d)
+    for i in range(2):
+        pq.write_table(_events_arrow_table("ns"),
+                       os.path.join(d, f"part-{i}.parquet"), version="2.6",
+                       coerce_timestamps=None, store_schema=False)
+    assert nanos_ts_columns(d) == ("ts",)
+
+
 @pytest.mark.parametrize("unit", ["us", "ns"])
 def test_stream_read_ts_values(spark, tmp_path_factory, unit):
     sf_dir = _write_events(str(tmp_path_factory.mktemp("ev")), unit)

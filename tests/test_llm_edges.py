@@ -240,11 +240,13 @@ def test_f27_chunk_reassembly_identity(spark, edge_sf_dir):
             continue
         toks = text.split(" ")
         chunks = sorted(by_doc[doc_id])
-        rebuilt = chunks[0][1].split(" ") if chunks[0][1] != "" else [""] \
-            if toks == [""] else []
-        # '' splits to [''] — normalize the empty-text degenerate case
-        if chunks[0][1] == "" and toks != [""]:
-            rebuilt = []
+        first = chunks[0][1]
+        if first == "":
+            # '' splits to [''] — the empty-text degenerate case, once:
+            # an empty first chunk rebuilds [""] only if the doc IS ""
+            rebuilt = [""] if toks == [""] else []
+        else:
+            rebuilt = first.split(" ")
         for _, ctext, _ in chunks[1:]:
             ctoks = ctext.split(" ")
             rebuilt.extend(ctoks[32 - 24:] if len(ctoks) > 8 else [])

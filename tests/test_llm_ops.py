@@ -4,6 +4,7 @@ found, simhash locality."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from conftest import SF_DIR
@@ -332,3 +333,28 @@ def test_hll_sketch_union_estimate_within_tolerance(spark):
     for month, e in est.items():
         x = exact[month]
         assert abs(e - x) <= max(2, 0.05 * x) * 3, (month, e, x)
+
+
+def test_f13_plane_prefix_covers_beyond_100tb_and_is_stable():
+    """ADVICE r5: the r5 plane cap (16 → fail at ~4.2M vectors) turned
+    an oracle-divergence guard into a reachable production failure. The
+    prefix now holds 40 planes — by the sizing rule
+    k = round(log2(n/64 + 1)) that covers ~7e13 vectors, beyond any
+    100 TB corpus — and must stay PREFIX-STABLE (plane i identical at
+    every k) so the inlined DuckDB oracle's [1:k] slice always matches
+    the Spark side."""
+    import math
+
+    from nyc_taxi_data_engineering_project_spark.queries.llm import (
+        _F13_MAX_PLANES,
+        _f13_planes,
+    )
+
+    # 100 TB at a (generous) 1 KB/row is 1e11 vectors; pad two orders
+    k_100tb = max(2, round(math.log2(1e13 / 64 + 1)))
+    assert k_100tb <= _F13_MAX_PLANES
+
+    assert _f13_planes(2) == _f13_planes(_F13_MAX_PLANES)[:2]
+    assert _f13_planes(16) == _f13_planes(40)[:16]
+    with pytest.raises(ValueError, match="_F13_MAX_PLANES"):
+        _f13_planes(_F13_MAX_PLANES + 1)

@@ -50,6 +50,40 @@ def test_salted_join_rejects_dim_preserving_types(frames):
             salted_join(li, orders, on=["l_orderkey"], how=how)
 
 
+def test_salted_join_deterministic_under_task_retry(tmp_path):
+    """skew.py:55's retry-determinism claim, observed instead of argued
+    (r5 verdict ask 4): a pass-through mapInPandas on the fact side
+    raises on the FIRST attempt of partition 0, so the salt-deriving
+    stage provably fails once and re-runs. Runs as a subprocess because
+    retries need a ``local[4,2]`` master (the shared session's plain
+    ``local[N]`` makes the first task failure fatal). The probe asserts
+    the injection fired (marker file), the salted join equals both the
+    clean salted run and the plain join, and — the discriminating check
+    — the per-row salt ASSIGNMENTS are identical with and without the
+    retry."""
+    import json
+    import subprocess
+    import sys
+
+    marker = str(tmp_path / "injection_fired")
+    probe = os.path.join(os.path.dirname(__file__),
+                         "retry_determinism_probe.py")
+    proc = subprocess.run(
+        [sys.executable, probe, SF_DIR, marker],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, (
+        f"probe failed\nstdout: {proc.stdout[-2000:]}\n"
+        f"stderr: {proc.stderr[-2000:]}"
+    )
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["injection_fired"], "failure injection never fired"
+    assert out["rows"] > 0
+    assert out["matches_clean_salted"]
+    assert out["matches_plain_join"]
+    assert out["salt_assignments_identical"]
+
+
 def test_aqe_splits_skewed_sort_merge_join(spark):
     """AQE's runtime skew split — the engine-native mitigation salting
     complements. A fact frame with one hot key (>90% of rows) joined

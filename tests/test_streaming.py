@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import uuid
 
+import pytest
 from pyspark.sql import functions as F
 
 from conftest import SF_DIR
@@ -121,6 +122,87 @@ def test_foreachbatch_restart_is_exactly_once(spark, tmp_path):
 
     expected = table(spark, SF_DIR, "events").count()
     assert n1 == n2 == expected
+
+
+def test_checkpoint_crash_recovery_resumes_batches(spark, tmp_path):
+    """The exactly-once claim under an ACTUAL mid-stream crash (r5
+    verdict ask 1), not just a clean re-run: a multi-batch query is
+    killed AFTER its sink write but BEFORE the checkpoint commit of
+    batch 1 (the worst-case window — output is on disk, the offset log
+    says the batch never happened), then restarted from the same
+    checkpoint. Recovery must (a) RESUME at the failed batch id, not
+    restart at 0, and (b) leave the sink equal to the source projection
+    — the replayed epoch's overwrite converges, so no dupes and no
+    loss."""
+    from pyspark.errors import StreamingQueryException
+
+    from nyc_taxi_data_engineering_project_spark.streaming import (
+        epoch_overwrite_writer,
+    )
+
+    src_dir = str(tmp_path / "src")
+    target, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    cols = ["event_id", "user_id", "value"]
+    source = table(spark, SF_DIR, "events").select(*cols)
+    # 4 part files + maxFilesPerTrigger=1 -> a genuinely multi-batch run
+    source.repartition(4).write.parquet(src_dir)
+
+    def stream():
+        return (
+            spark.readStream.schema(source.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+
+    writer = epoch_overwrite_writer(target)
+    CRASH_AT = 1
+    seen_run1: list[int] = []
+
+    def crashing_writer(batch_df, epoch_id):
+        writer(batch_df, epoch_id)  # sink write COMPLETES...
+        seen_run1.append(epoch_id)
+        if epoch_id == CRASH_AT:  # ...then the "process dies" before
+            raise RuntimeError("injected crash")  # the checkpoint commit
+
+    q = (
+        stream().writeStream.foreachBatch(crashing_writer)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination()
+
+    # crash landed where intended: batch 0 committed, batch 1 written to
+    # the sink but absent from the checkpoint's commit log
+    committed = {f.name for f in (tmp_path / "ckpt" / "commits").iterdir()
+                 if not f.name.startswith(".")}
+    assert "0" in committed and str(CRASH_AT) not in committed
+    assert seen_run1 == [0, CRASH_AT]
+
+    seen_run2: list[int] = []
+
+    def recovering_writer(batch_df, epoch_id):
+        seen_run2.append(epoch_id)
+        writer(batch_df, epoch_id)
+
+    q2 = (
+        stream().writeStream.foreachBatch(recovering_writer)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+
+    # batch ids RESUME: the restart replays the uncommitted batch 1 and
+    # continues 2, 3 — it does not start over at 0
+    assert seen_run2[0] == CRASH_AT
+    assert seen_run2 == [1, 2, 3]
+
+    # exactly once: sink multiset == source multiset (the replayed
+    # epoch's overwrite converged; batches 2-3 were not lost)
+    sink = spark.read.parquet(target).select(*cols)
+    assert _rows(sink, cols) == _rows(source, cols)
 
 
 def test_stateful_counts_match_batch_aggregation(spark):
