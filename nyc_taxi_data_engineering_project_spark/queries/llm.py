@@ -399,14 +399,27 @@ def f2_minhash_dedup(spark, sf_dir):
     Hot buckets are the known skew risk (boilerplate shingles; here, the
     synthetic corpus's tiny vocabulary makes one common shingle own the
     global minimum hash for many seeds, colliding thousands of docs into
-    one bucket — quadratic blowup). Two standard mitigations applied:
-    8 minhash rows per band (collision needs 8 shared minima, not 4) and
-    an explicit bucket-width cap — a windowed count per (band_id,
-    band_hash) drops buckets wider than MAX_BUCKET before the join, which
-    bounds candidate pairs at B·MAX_BUCKET² regardless of skew. True
-    near-dups still meet in their other, narrow bands. The verify step
-    rejoins shingle sets by doc id (broadcast-size here; bucketed join at
-    scale)."""
+    one bucket — quadratic blowup). Mitigations: 8 minhash rows per band
+    (collision needs 8 shared minima, not 4) and a bucket-width cap at
+    MAX_BUCKET — buckets at or under the cap expand all-pairs (bounded
+    at B·MAX_BUCKET² candidates regardless of skew); buckets OVER the
+    cap emit STAR pairs to the bucket's min-doc_id representative
+    (linear in width) instead of being dropped. Dropping was the r5
+    behavior and it failed at scale: the r6 100×-stress recall probe
+    measured planted-pair recall 0.15 (3/20) because every ~100-member
+    replica family flooded its band buckets past the cap and the cap
+    silently discarded them — i.e. the MOST-duplicated content is
+    exactly what a drop-cap misses. A mega-cluster's all-pairs output
+    is inherently quadratic (no sound algorithm emits it at linear
+    cost); the star pattern is the standard linear-cost answer that
+    keeps every true member reachable from the representative, which is
+    what downstream dedup (f14 connected components, f1-style
+    keep-min) actually consumes. Same exact-Jaccard verify applies to
+    star candidates, so soundness is unchanged. The verify step rejoins
+    shingle sets by doc id (broadcast-size here; bucketed join at
+    scale); a 10M-copy boilerplate family makes its representative a
+    hot verify-join key — AQE's skew split handles a replicated
+    single-array payload."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = _planted_corpus(docs)
     # Two materialization decisions, both measured (see BASELINE.md):
@@ -459,45 +472,67 @@ def f2_minhash_dedup(spark, sf_dir):
         )
         for b in range(n_bands)
     )
+    # pinned like the shingles: THREE consumers below (the stats agg and
+    # both bucket joins) would otherwise each re-derive all 32 minhashes
+    # from the shingle arrays — the dominant map cost of the whole
+    # operator. The payload is 4 rows of 3 longs per doc.
     bands = shingled.select(
         "doc_id",
         F.explode(F.expr(f"array({band_structs})")).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    ).select(
+        "doc_id", "band.band_id", "band.band_hash"
+    ).localCheckpoint(eager=True)
 
     # Candidate generation as a count-gated aggregation instead of a band
-    # self-join + window cap. TWO phases on the same bucket key:
-    # (1) a plain count per bucket — map-side-combinable, so a degenerate
-    #     hot bucket costs one counter, never a buffer;
+    # self-join + window cap. Phases on the same bucket key:
+    # (1) per-bucket stats (count + min doc_id) — map-side-combinable,
+    #     so a degenerate hot bucket costs one counter, never a buffer;
     # (2) collect_list ONLY over buckets that passed the 2..cap width
     #     gate, so no aggregation buffer can exceed cap ids. Gating
     #     BEFORE the list build matters: a width filter after
     #     collect_list would bound the pair *output* but still
     #     materialize the hot bucket's full doc array in one reduce task
     #     (OOM at 10^7-id buckets). Both phases and the gate join hash
-    #     on (band_id, band_hash), so the exchange is shared/aligned.
-    # Pair expansion is an array comprehension; work and shuffle are
-    # bounded by B·cap² however skewed the input.
+    #     on (band_id, band_hash), so the exchange is shared/aligned;
+    # (3) buckets OVER the cap: star pairs (rep=min doc_id → member) via
+    #     a broadcast-size join of the few hot-bucket keys back onto
+    #     bands — map-only, linear in bucket width, no per-bucket buffer
+    #     anywhere (see docstring: the r6 100× recall fix).
+    # All-pairs work and shuffle stay bounded by B·cap²; star work is
+    # linear however skewed the input.
     pair_expr = (
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), y -> "
         "named_struct('doc_a', least(x, y), 'doc_b', greatest(x, y)))))"
     )
     bucket_key = ["band_id", "band_hash"]
+    bucket_stats = bands.groupBy(*bucket_key).agg(
+        F.count(F.lit(1)).alias("w"), F.min("doc_id").alias("rep")
+    )
     ok_buckets = (
-        bands.groupBy(*bucket_key)
-        .agg(F.count(F.lit(1)).alias("w"))
+        bucket_stats
         .filter((F.col("w") >= 2) & (F.col("w") <= max_bucket))
         .select(*bucket_key)
     )
-    cand = (
+    all_pairs = (
         bands.join(ok_buckets, bucket_key)
         .groupBy(*bucket_key)
         .agg(F.collect_list("doc_id").alias("ids"))
         .filter(F.size("ids") >= 2)
         .select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.doc_a", "p.doc_b")
-        .distinct()
     )
+    hot_reps = (
+        bucket_stats.filter(F.col("w") > max_bucket)
+        .select(*bucket_key, "rep")
+    )
+    star_pairs = (
+        bands.join(hot_reps, bucket_key)
+        .filter(F.col("doc_id") != F.col("rep"))
+        # rep is the bucket MIN, so (rep, member) is already ordered
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    cand = all_pairs.unionByName(star_pairs).distinct()
     sh_a = shingled.select(F.col("doc_id").alias("doc_a"),
                            F.col("sh").alias("sh_a"))
     sh_b = shingled.select(F.col("doc_id").alias("doc_b"),

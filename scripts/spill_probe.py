@@ -33,6 +33,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 WORK = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_stress100"
 HEAP = sys.argv[2] if len(sys.argv) > 2 else "2g"
+# 8 threads, not 32: the probe wants memory pressure to land on the
+# SORT (the spillable path under test), and per-task execution memory is
+# heap-proportional/concurrency-inverse. At 32 threads on a 2g heap the
+# unspillable parquet-reader column batches of 32 concurrent scan tasks
+# exhaust the heap before any sort runs — an OOM that says nothing about
+# the join. ~150 MB/task at 8×2g puts the ~225 MB post-salt per-task
+# sorts firmly into the spill path instead.
+CPUS = sys.argv[3] if len(sys.argv) > 3 else "8"
 EVLOG = f"{WORK}/evlog_spill"
 
 
@@ -77,10 +85,19 @@ def main() -> None:
     registry.load_all()
     spark = get_session(
         "spill-probe",
+        cpus=CPUS,
         extra_conf={
             # driver memory IS executor memory in local mode; must land
             # before the JVM starts, hence a dedicated process
             "spark.driver.memory": HEAP,
+            # get_session ties shuffle.partitions to the thread count,
+            # which at 8 threads gives ~30M-row per-task sorts over the
+            # 16x-replicated dim — more than even a spilling sorter's
+            # in-memory bookkeeping can hold in a 150 MB task budget.
+            # The memory-constrained posture SCALE.md documents is more,
+            # smaller partitions; 64 here puts each sort a few times
+            # over the task budget: it must spill AND must complete.
+            "spark.sql.shuffle.partitions": "64",
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{EVLOG}",
             "spark.eventLog.compress": "false",

@@ -1,0 +1,35 @@
+"""Registry freeze guard (r5 verdict ask 7: "keys frozen at 138; the
+registry diff must be empty"). `REGISTRY_KEYS.txt` is the committed
+surface — one line per key with its oracle status. Any key appearing,
+vanishing, or silently losing/gaining its oracle fails here with the
+exact diff, so surface drift is a deliberate two-file change, never an
+accident."""
+
+from __future__ import annotations
+
+import os
+
+from nyc_taxi_data_engineering_project_spark import registry
+
+_FROZEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "REGISTRY_KEYS.txt",
+)
+
+
+def test_registry_matches_frozen_surface():
+    registry.load_all()
+    got = {
+        k: ("oracle" if k in registry.ORACLES else "rows-only")
+        for k in registry.QUERIES
+    }
+    with open(_FROZEN) as fh:
+        want = dict(line.split() for line in fh if line.strip())
+    added = sorted(set(got) - set(want))
+    removed = sorted(set(want) - set(got))
+    moved = sorted(k for k in set(got) & set(want) if got[k] != want[k])
+    assert not (added or removed or moved), (
+        f"registry surface drifted from REGISTRY_KEYS.txt: "
+        f"added={added} removed={removed} oracle-status-changed={moved}"
+    )
+    assert len(got) == 138 and sum(v == "oracle" for v in got.values()) == 127

@@ -205,6 +205,115 @@ def test_checkpoint_crash_recovery_resumes_batches(spark, tmp_path):
     assert _rows(sink, cols) == _rows(source, cols)
 
 
+def test_stateful_state_recovers_across_crash_restart(spark, tmp_path):
+    """State-store recovery under the same mid-stream crash: d8's
+    applyInPandasWithState per-user (count, max) over a 4-batch stream,
+    killed after batch 1's sink write but before its commit, restarted
+    from the checkpoint. The final per-user state must equal the batch
+    aggregate — which is only possible if the restarted query recovered
+    the pre-crash state-store versions instead of counting from zero
+    (the state commits WITH the batch, so the replayed batch re-applies
+    against the last committed state, not twice)."""
+    import pandas as pd
+    from pyspark.errors import StreamingQueryException
+    from pyspark.sql.streaming.state import GroupState
+
+    from nyc_taxi_data_engineering_project_spark.streaming import (
+        epoch_overwrite_writer,
+    )
+
+    src_dir = str(tmp_path / "src")
+    target, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    source = table(spark, SF_DIR, "events").select("user_id", "value")
+    source.repartition(4).write.parquet(src_dir)
+
+    # same state semantics as streaming_q.d8_stateful's track
+    def track(key, pdfs, state: GroupState):
+        n, vmax = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                vmax = max(vmax, float(pdf["value"].max()))
+        state.update((n, vmax))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [vmax]}
+        )
+
+    def stateful_stream():
+        return (
+            spark.readStream.schema(source.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                track,
+                outputStructType="user_id long, n_events long, "
+                                 "max_value double",
+                stateStructType="n long, vmax double",
+                outputMode="update",
+                timeoutConf="NoTimeout",
+            )
+        )
+
+    writer = epoch_overwrite_writer(target)
+    seen: list[int] = []
+
+    def crashing_writer(batch_df, epoch_id):
+        writer(batch_df, epoch_id)
+        seen.append(epoch_id)
+        if epoch_id == 1:
+            raise RuntimeError("injected crash")
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stateful_stream().writeStream.foreachBatch(crashing_writer)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(StreamingQueryException, match="injected crash"):
+            q.awaitTermination()
+        assert seen == [0, 1]
+
+        seen.clear()
+        q2 = (
+            stateful_stream().writeStream.foreachBatch(
+                lambda df, eid: (writer(df, eid), seen.append(eid)))
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert seen == [1, 2, 3]  # resumed at the failed batch
+
+    # final state per user = its update row from the LAST epoch that
+    # touched it (update mode emits only changed keys per batch)
+    sink = spark.read.option("basePath", target).parquet(target)
+    w = __import__("pyspark").sql.Window.partitionBy("user_id")
+    final = (
+        sink.withColumn("_last", F.max("_epoch").over(w))
+        .filter(F.col("_epoch") == F.col("_last"))
+        .select("user_id", "n_events", "max_value")
+    )
+    batch = (
+        table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.max("value").alias("max_value"))
+    )
+    got = {r.user_id: (r.n_events, round(r.max_value, 6))
+           for r in final.collect()}
+    want = {r.user_id: (r.n_events, round(r.max_value, 6))
+            for r in batch.collect()}
+    assert got == want
+
+
 def test_stateful_counts_match_batch_aggregation(spark):
     """d8's applyInPandasWithState per-user running (count, max) must,
     after a bounded replay, equal the plain batch aggregate — the
