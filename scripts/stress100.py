@@ -82,12 +82,19 @@ _REKEY: dict[str, list[str]] = {
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
+    # embeddings replicate with the VECTOR UNCHANGED (r6): K identical
+    # copies per vector is the maximal bucket-concentration skew for the
+    # hyperplane-LSH family — every replica family lands in ONE f13
+    # bucket by construction (identical sign bits on every plane), the
+    # embedding-space analog of f2's hot-shingle replica families.
+    "embeddings": ["vec_id"],
 }
 
 BATCH_KEYS = [
     "c1_smj_selfjoin", "c33_salted_join",
     "f2_minhash_dedup", "f26_passage_dedup", "f31_training_order",
     "c36_sessionize",  # hot user = deliberate single-key straggler probe
+    "f13_embedding_neardup",  # r6: identical-replica families (above)
 ]
 
 
@@ -221,6 +228,48 @@ def f2_planted_recall(spark) -> dict:
     hit = len(planted & found)
     return {"planted_pairs": 20, "found": hit,
             "recall": round(hit / 20, 3)}
+
+
+def f13_dup_recall(spark) -> dict:
+    """Exact-duplicate recall for the embedding near-dup path under
+    identical-replica skew (r6): for each of vectors 0-19, the pair
+    (v, v + _SHIFT) — the vector and its first replica, cosine exactly
+    1.0 — must surface. Identical vectors share every hyperplane sign
+    bit, so the family is IN one bucket by construction; what this
+    probes is the hot-bucket machinery (sub-split cannot separate
+    identical vectors; past the 512 width gate the pair must survive
+    via the star path's representative) and that the pair expansion is
+    not silently capped. The f13 analog of f2_planted_recall."""
+    out = registry.QUERIES["f13_embedding_neardup"](spark, WORK)
+    # every pair whose smaller id is an ORIGINAL vector (originals are
+    # the global id minimum, so this captures both direct family pairs
+    # and any >512-bucket star edges, whose representative is always an
+    # original); two metrics because the star path intentionally routes
+    # a family through its bucket rep rather than emitting every direct
+    # pair — DIRECT recall is the strict read, CONNECTED recall is what
+    # downstream dedup (connected components / keep-min) consumes.
+    edges = [
+        (r.id_a, r.id_b)
+        for r in out.filter(F.col("id_a") < 2000)
+        .select("id_a", "id_b").collect()
+    ]
+    edge_set = set(edges)
+    direct = sum((v, v + _SHIFT) in edge_set for v in range(20))
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    connected = sum(find(v) == find(v + _SHIFT) for v in range(20))
+    return {"dup_pairs": 20, "direct": direct, "connected": connected,
+            "n_edges_sampled": len(edges),
+            "recall": round(connected / 20, 3)}
 
 
 def d2_chunked(spark):
@@ -377,6 +426,7 @@ def main() -> None:
         run(key, lambda k=key: registry.QUERIES[k](spark, WORK)
             .write.format("noop").mode("overwrite").save())
     run("f2_planted_recall", lambda: f2_planted_recall(spark))
+    run("f13_dup_recall", lambda: f13_dup_recall(spark))
     run("d2_watermark", lambda: run_stream(d2_chunked(spark), "d2"))
     run("d11_botfiltered",
         lambda: run_stream(d11_chunked(spark, bot_filter=True), "d11bf"))

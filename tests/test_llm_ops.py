@@ -358,3 +358,34 @@ def test_f13_plane_prefix_covers_beyond_100tb_and_is_stable():
     assert _f13_planes(16) == _f13_planes(40)[:16]
     with pytest.raises(ValueError, match="_F13_MAX_PLANES"):
         _f13_planes(_F13_MAX_PLANES + 1)
+
+
+def test_f2_star_fallback_keeps_megacluster_connected(spark):
+    """Regression pin for the r6 100×-stress finding (SCALE.md §11a): a
+    duplicate family WIDER than the LSH bucket cap (64) used to be
+    dropped wholesale — planted recall 0.15 at K=100 — because every
+    band bucket it filled exceeded the cap. Over-cap buckets must now
+    emit star pairs to the bucket's min-id representative, so the
+    family stays connected (and here, where all members are identical,
+    every star pair verifies at Jaccard 1.0). 80 identical docs +
+    their 20 planted mutants ≈ a 100-member family: over the cap in
+    EVERY band, so nothing but the star path can surface it."""
+    import os
+    import tempfile
+
+    text = " ".join(f"tok{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(80)], "doc_id long, text string"
+    )
+    tmp = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    out = registry.QUERIES["f2_minhash_dedup"](spark, tmp).collect()
+    assert out, "mega-cluster dropped entirely (the r5 cap behavior)"
+    # rep = global min doc_id = 0; every other family member must be
+    # reachable from it in one hop
+    linked_to_rep = {r.doc_b for r in out if r.doc_a == 0}
+    assert set(range(1, 80)) <= linked_to_rep, (
+        sorted(set(range(1, 80)) - linked_to_rep)[:10]
+    )
+    for r in out:
+        assert r.jaccard >= 0.6  # soundness: star candidates verified
