@@ -272,6 +272,30 @@ def f13_dup_recall(spark) -> dict:
             "recall": round(connected / 20, 3)}
 
 
+def f14_family_resolution(spark) -> dict:
+    """End-to-end dedup pipeline at stress scale (r6): f2's pair graph
+    — star fallback included — through f14's distributed connected
+    components. Each ~K-member replica family (original doc v plus its
+    "r{i} "-prefixed copies, all pairwise near-dups) must resolve into
+    ONE cluster; with the r5 drop-cap, mega-families produced no edges
+    at all and every member became its own singleton cluster, i.e. the
+    100 TB boilerplate would survive dedup untouched. Probe: original v
+    and its first replica v+_SHIFT share a cluster_id, for v in 0-19
+    (tolerance for inherent banding misses, same as the f2 gate)."""
+    out = registry.QUERIES["f14_dedup_clusters"](spark, WORK)
+    probe = out.filter(
+        (F.col("doc_id") < 20)
+        | ((F.col("doc_id") >= _SHIFT) & (F.col("doc_id") < _SHIFT + 20))
+    ).collect()
+    cl = {r.doc_id: r.cluster_id for r in probe}
+    resolved = sum(
+        v in cl and v + _SHIFT in cl and cl[v] == cl[v + _SHIFT]
+        for v in range(20)
+    )
+    return {"families": 20, "resolved": resolved,
+            "recall": round(resolved / 20, 3)}
+
+
 def d2_chunked(spark):
     """d2_watermark's aggregate (1 h tumbling windows, 10 min
     watermark, append mode), chunked."""
@@ -427,6 +451,7 @@ def main() -> None:
             .write.format("noop").mode("overwrite").save())
     run("f2_planted_recall", lambda: f2_planted_recall(spark))
     run("f13_dup_recall", lambda: f13_dup_recall(spark))
+    run("f14_family_resolution", lambda: f14_family_resolution(spark))
     run("d2_watermark", lambda: run_stream(d2_chunked(spark), "d2"))
     run("d11_botfiltered",
         lambda: run_stream(d11_chunked(spark, bot_filter=True), "d11bf"))
