@@ -389,3 +389,30 @@ def test_f2_star_fallback_keeps_megacluster_connected(spark):
     )
     for r in out:
         assert r.jaccard >= 0.6  # soundness: star candidates verified
+
+
+def test_f13_star_path_megabucket(spark):
+    """The >512 hot-bucket star machinery in f13, exercised directly —
+    dormant on every other corpus in the suite (driver SFs and the 100×
+    stress both stay under the split threshold, SCALE.md §11e). 600
+    identical vectors: one bucket of width 600, the 8-bit sub-split
+    cannot separate identical sign patterns, so the star path is the
+    ONLY route — every member must pair with the min-id representative
+    at cosine 1.0, and no pair may be quadratic-expanded (exactly n-1
+    star edges, not n·(n-1)/2)."""
+    import os
+    import tempfile
+
+    vec = [float((i % 7) - 3) / 4.0 for i in range(64)]
+    emb = spark.createDataFrame(
+        [(i, vec, 0) for i in range(600)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    tmp = tempfile.mkdtemp()
+    emb.write.mode("overwrite").parquet(os.path.join(tmp, "embeddings.parquet"))
+    out = registry.QUERIES["f13_embedding_neardup"](spark, tmp).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert pairs == {(0, m) for m in range(1, 600)}, (
+        f"{len(pairs)} pairs; sample={sorted(pairs)[:5]}"
+    )
+    assert all(abs(r.cosine - 1.0) < 1e-9 for r in out)
