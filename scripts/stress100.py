@@ -308,7 +308,46 @@ def d2_chunked(spark):
     )
 
 
-def run_stream(sdf, name: str, budget_s: float | None = None) -> dict:
+def d8_chunked(spark):
+    """queries/streaming_q.d8_stateful's exact state topology (per-user
+    running (count, max) in GroupState via applyInPandasWithState),
+    chunked. The scale contrast with d11: the hot user carries 10% of
+    ALL rows here too, but d8's per-key state is O(1) — two scalars —
+    so the hot key costs one pandas group per micro-batch, not a
+    per-row scan of an O(n) state list. Arbitrary stateful processing
+    survives the bot user that serializes the stream-stream join; the
+    floor that remains is the Python-worker round-trip per key-batch,
+    which scales with DISTINCT KEYS per micro-batch (state cardinality
+    is ~200k users at K=100), not with the hot key's row count."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    def track(key, pdfs, state: GroupState):
+        n, vmax = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                vmax = max(vmax, float(pdf["value"].max()))
+        state.update((n, vmax))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [vmax]}
+        )
+
+    return (
+        _chunked_events(spark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType="user_id long, n_events long, max_value double",
+            stateStructType="n long, vmax double",
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+def run_stream(sdf, name: str, budget_s: float | None = None,
+               output_mode: str = "append") -> dict:
     # 8 state partitions (frozen at query start), as run_available_now:
     # each partition is a state store paying a commit per micro-batch —
     # a fixed overhead that dwarfs per-row work even at 100x. The hot
@@ -320,7 +359,7 @@ def run_stream(sdf, name: str, budget_s: float | None = None) -> dict:
         q = (
             sdf.writeStream.format("noop")
             .option("checkpointLocation", f"{WORK}/ckpt_{name}")
-            .outputMode("append")
+            .outputMode(output_mode)
             .trigger(availableNow=True)
             .start()
         )
@@ -453,6 +492,9 @@ def main() -> None:
     run("f13_dup_recall", lambda: f13_dup_recall(spark))
     run("f14_family_resolution", lambda: f14_family_resolution(spark))
     run("d2_watermark", lambda: run_stream(d2_chunked(spark), "d2"))
+    run("d8_stateful", lambda: run_stream(d8_chunked(spark), "d8",
+                                          budget_s=STREAM_BUDGET_S,
+                                          output_mode="update"))
     run("d11_botfiltered",
         lambda: run_stream(d11_chunked(spark, bot_filter=True), "d11bf"))
     run("d11_hot_probe",
