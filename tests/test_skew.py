@@ -128,3 +128,37 @@ def test_aqe_splits_skewed_sort_merge_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_salted_join_null_keys_and_dup_dim_rows(spark, how):
+    """The two key shapes the lineitem/orders fixture cannot produce,
+    pinned against the plain join for every supported type:
+
+    - NULL join keys — the canonical sentinel hot key that motivates
+      salting in the first place. SQL equality never matches null, so
+      null-key fact rows must drop (inner/semi), survive null-padded
+      (left), or be emitted (anti) — identically with and without salt.
+    - DUPLICATE dim keys — a non-unique dim multiplies matching fact
+      rows; each dim duplicate is replicated once per salt value, so a
+      fact row must meet every duplicate exactly once, not once per
+      replica."""
+    fact = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (None, "hot1"), (None, "hot2"),
+         (3, "d"), (None, "hot3")],
+        "k long, payload string",
+    )
+    dim = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (3, "z"), (None, "dimnull"), (4, "w")],
+        "k long, attr string",
+    )
+    plain = fact.join(dim, on=["k"], how=how)
+    salted = salted_join(fact, dim, on=["k"], n_salt=5, how=how)
+    assert sorted(salted.columns) == sorted(plain.columns)
+
+    def rows(df):  # key=repr: None is unorderable against ints
+        cols = sorted(df.columns)
+        return sorted((tuple(r) for r in df.select(*cols).collect()),
+                      key=repr)
+
+    assert rows(salted) == rows(plain)
