@@ -207,7 +207,17 @@ def c8_asof_join(spark, sf_dir):
     which is quadratic per key). DuckDB's native ASOF JOIN is the oracle.
     """
     ev = table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
+    # JOIN semantics for null keys (r6 edge finding): the window
+    # composition's partitionBy treats null user_id as a GROUP (null-user
+    # purchases would see null-user clicks), but an as-of JOIN never
+    # matches null keys. Null-user clicks therefore can't match anything
+    # and are dropped; null-user purchases survive the left join with a
+    # null last_click — byte-identical to DuckDB's native ASOF LEFT JOIN.
+    # Null-ts clicks need no filter: a null click_ts never updates
+    # last(ignorenulls), same as a null comparison never matching.
+    clicks = ev.filter(
+        (F.col("event_type") == "click") & F.col("user_id").isNotNull()
+    ).select(
         "user_id", "ts", F.col("ts").alias("click_ts"),
         F.lit(None).cast("long").alias("event_id"),
     )
@@ -433,12 +443,21 @@ def c12_rank(spark, sf_dir):
            LAG(o_totalprice) OVER w AS prev_price,
            LEAD(o_totalprice) OVER w AS next_price
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate NULLS FIRST, o_orderkey)
     """,
 )
 def c13_lag_lead(spark, sf_dir):
-    """Analytic windows — lag/lead along each customer's order history."""
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    """Analytic windows — lag/lead along each customer's order history.
+
+    Null ordering is EXPLICIT on both sides (r6 edge-corpus finding):
+    Spark's bare ASC is NULLS FIRST, DuckDB's is NULLS LAST, so a null
+    o_orderdate silently reorders the frame and shifts every lag/lead
+    in that partition. Dormant on clean driver data; real on any
+    corpus with unparsed dates."""
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_first(), "o_orderkey"
+    )
     return table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderkey").alias("orderkey"),
@@ -453,7 +472,8 @@ def c13_lag_lead(spark, sf_dir):
     oracle="""
     SELECT o_custkey AS custkey, o_orderkey AS orderkey,
            FLOOR(SUM(o_totalprice) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate NULLS FIRST, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) * 100.0 + 0.5) / 100.0 AS running_rev
     FROM orders
@@ -462,10 +482,12 @@ def c13_lag_lead(spark, sf_dir):
 def c14_running_sum(spark, sf_dir):
     """Aggregate window with an explicit ROWS frame — running revenue per
     customer. Frame order is pinned, so the float sum sequence is identical
-    across engines (rounding is belt-and-braces)."""
+    across engines (rounding is belt-and-braces). Null ordering explicit
+    on both sides — see c13's note (the running sum's PREFIX depends on
+    where null-dated orders sort)."""
     w = (
         W.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.col("o_orderdate").asc_nulls_first(), "o_orderkey")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return table(spark, sf_dir, "orders").select(
@@ -544,19 +566,23 @@ def c15_except(spark, sf_dir):
     SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day,
            o_totalprice
     FROM orders
-    ORDER BY o_orderdate ASC, o_totalprice DESC, o_orderkey
+    ORDER BY o_orderdate ASC NULLS FIRST,
+             o_totalprice DESC NULLS LAST, o_orderkey
     LIMIT 100
     """,
 )
 def c16_sort(spark, sf_dir):
     """Global multi-key sort — range-partitioned exchange (sampled
     boundaries) feeding per-partition sorts; with LIMIT, Spark instead
-    plans TakeOrderedAndProject (no full exchange)."""
+    plans TakeOrderedAndProject (no full exchange). Null ordering
+    explicit on both sides (see c13): with nulls in the sort keys the
+    engines' different defaults change WHICH rows survive the LIMIT,
+    not just their order."""
     return (
         table(spark, sf_dir, "orders")
         .orderBy(
-            F.col("o_orderdate").asc(),
-            F.col("o_totalprice").desc(),
+            F.col("o_orderdate").asc_nulls_first(),
+            F.col("o_totalprice").desc_nulls_last(),
             F.col("o_orderkey").asc(),
         )
         .limit(100)
@@ -755,7 +781,7 @@ _SESSION_GAP_S = 1800
                CASE WHEN date_diff('second',
                         lag(ts) OVER w, ts) <= {_SESSION_GAP_S}
                     THEN 0 ELSE 1 END AS is_new
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
         SELECT user_id, ts, value,
@@ -781,11 +807,13 @@ def c36_sessionize(spark, sf_dir):
     final aggregate (same partitioning, Catalyst reuses the exchange);
     everything after is per-partition sorted passes. The lag tie-break
     (ts, event_id) makes same-timestamp ordering deterministic across
-    engines."""
+    engines. Null event time excluded explicitly on both sides (r6
+    edge finding — see d3): a timeless event cannot belong to a
+    session, and the engines disagree on where null sorts."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     w_run = W.partitionBy("user_id").orderBy("ts", "event_id") \
         .rowsBetween(W.unboundedPreceding, 0)
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     marked = ev.select(
         "user_id", "ts", "value", "event_id",
         F.when(
@@ -815,7 +843,7 @@ def c36_sessionize(spark, sf_dir):
     SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
            COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days,
            COUNT(DISTINCT user_id) AS distinct_users
-    FROM events GROUP BY 1
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
     """,
 )
 def c37_bitmap_distinct_rollup(spark, sf_dir):
@@ -826,7 +854,11 @@ def c37_bitmap_distinct_rollup(spark, sf_dir):
     tiny bitmap partials; any later grain (week/month/arbitrary window)
     is a bitmap_or_agg + bitmap_count over partials. The oracle
     recomputes month-distinct from raw rows — matching it proves the
-    merge path is lossless (what HLL's c10/c38 trade away)."""
+    merge path is lossless (what HLL's c10/c38 trade away). Null
+    event time excluded explicitly on both sides (r6 edge finding —
+    see d3's note; here the null month group additionally fell out of
+    the rollup's USING(month) join while the oracle kept it, so the
+    engines even disagreed on the row COUNT)."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql("""
         WITH day_partials AS (      -- the incremental daily-job output
@@ -834,7 +866,7 @@ def c37_bitmap_distinct_rollup(spark, sf_dir):
                    date_format(ts, 'yyyy-MM-dd') AS day,
                    bitmap_bucket_number(user_id) AS bkt,
                    bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
-            FROM events GROUP BY 1, 2, 3
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3
         ), month_buckets AS (       -- rollup: merge partials, no rescan
             SELECT month, bkt, bitmap_count(bitmap_or_agg(bm)) AS c
             FROM day_partials GROUP BY month, bkt

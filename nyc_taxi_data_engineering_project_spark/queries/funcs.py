@@ -85,20 +85,34 @@ def c19_unpivot(spark, sf_dir):
            lower(c_mktsegment) AS seg_lower,
            substring(c_name, 1, 8) AS name_prefix,
            length(c_name) AS name_len,
-           concat(c_mktsegment, '#', c_name) AS tagged,
+           c_mktsegment || '#' || c_name AS tagged,
            lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
-           split_part(c_name, '#', 1) AS first_token,
+           CASE WHEN c_name IS NULL THEN NULL
+                ELSE split_part(c_name, '#', 1) END AS first_token,
            regexp_extract(c_name, '([0-9]+)', 1) AS digits,
            CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END AS has_one,
            levenshtein(c_mktsegment, 'BUILDING') AS seg_dist,
-           trim(concat(' ', c_name, ' ')) AS trimmed,
+           trim(' ' || c_name || ' ') AS trimmed,
            replace(c_name, '#', '-') AS dashed
     FROM customer
     """,
 )
 def c20_string_funcs(spark, sf_dir):
     """String function family — concat/case/substr/pad/split/regex/
-    like/levenshtein/trim/replace, all codegen'd JVM expressions."""
+    like/levenshtein/trim/replace, all codegen'd JVM expressions.
+
+    Oracle spellings chosen for null parity (r6 edge-corpus findings,
+    dormant on clean data): DuckDB's ``concat()`` SKIPS null arguments
+    where Spark's propagates null, so the oracle uses ``||`` (which
+    null-propagates in both engines); DuckDB's ``split_part(NULL,..)``
+    returns '' not NULL, hence the explicit CASE guard.
+
+    Known INHERENT seams this oracle cannot absorb (adjudicated, see
+    SWEEPS_r06.md edge section): ``levenshtein`` is codepoint-based in
+    Spark but byte-based in DuckDB (8 vs 14 on a CJK+multibyte string —
+    Spark's is the correct text-analysis semantic), and Java's locale
+    case mapping uppercases ß→SS where utf8proc does not. Both surface
+    only on non-ASCII inputs."""
     c = table(spark, sf_dir, "customer")
     return c.select(
         F.col("c_custkey").alias("custkey"),
@@ -133,14 +147,18 @@ def c20_string_funcs(spark, sf_dir):
            strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
            CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01')
                 AS INTEGER) AS days_to_1999,
-           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s
     FROM orders
     """,
 )
 def c21_date_funcs(spark, sf_dir):
     """Date/time function family. Engine-semantics notes: Spark
     ``dayofweek`` is 1=Sunday..7 while DuckDB's is 0=Sunday..6 (oracle
-    adds 1); DuckDB ``year()`` returns BIGINT (oracle casts to INT)."""
+    adds 1); DuckDB ``year()`` returns BIGINT (oracle casts to INT);
+    DuckDB ``epoch()`` keeps the sub-second fraction and CAST(double
+    AS BIGINT) ROUNDS it while Spark's unix_timestamp truncates — the
+    oracle floors first (r6 edge-corpus finding, visible only on
+    timestamps with microseconds)."""
     o = table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -287,13 +305,16 @@ def c25_map_funcs(spark, sf_dir):
     SELECT o_orderkey,
            o_custkey AS cust_from_struct,
            o_totalprice AS price_from_struct,
-           concat(o_orderstatus, '/', o_orderpriority) AS status_tag
+           o_orderstatus || '/' || o_orderpriority AS status_tag
     FROM orders
     """,
 )
 def c26_struct_funcs(spark, sf_dir):
     """Struct family — build a struct, project dotted fields back out
-    (flat output keeps the oracle engine-neutral)."""
+    (flat output keeps the oracle engine-neutral). The oracle's tag
+    concatenation uses ``||``, not DuckDB ``concat()``, which skips
+    null arguments where Spark's propagates (r6 edge-corpus finding —
+    see c20)."""
     o = table(spark, sf_dir, "orders")
     s = F.struct(
         F.col("o_custkey").alias("ck"),
@@ -313,14 +334,25 @@ def c26_struct_funcs(spark, sf_dir):
     "c27_json_funcs",
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
-           CAST(json_extract_string(props, '$.missing') AS INTEGER) AS missing_val
+           TRY_CAST(json_extract_string(
+               CASE WHEN json_valid(props) THEN props END, '$.k')
+               AS INTEGER) AS k_val,
+           TRY_CAST(json_extract_string(
+               CASE WHEN json_valid(props) THEN props END, '$.missing')
+               AS INTEGER) AS missing_val
     FROM events
     """,
 )
 def c27_json_funcs(spark, sf_dir):
     """JSON family — get_json_object / from_json over the events props
-    column (string-typed JSON, FIXTURES.md §4)."""
+    column (string-typed JSON, FIXTURES.md §4).
+
+    Oracle hardening (r6 edge-corpus finding): Spark's get_json_object
+    returns NULL on malformed JSON and a null-producing cast; DuckDB's
+    json_extract_string THROWS on malformed input and plain CAST throws
+    on non-numeric strings — it killed the whole contract drive until
+    guarded with json_valid + TRY_CAST. Identical on any corpus whose
+    props are all valid JSON (the driver testdata)."""
     e = table(spark, sf_dir, "events")
     return e.select(
         "event_id",
@@ -405,7 +437,9 @@ def c31_cte(spark, sf_dir):
     "c39_variant_shred",
     oracle="""
     WITH shredded AS (
-        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        SELECT TRY_CAST(json_extract_string(
+                   CASE WHEN json_valid(props) THEN props END, '$.k')
+               AS BIGINT) AS k
         FROM events
     )
     SELECT k % 10 AS k_bucket, COUNT(*) AS n,
@@ -421,9 +455,15 @@ def c39_variant_shred(spark, sf_dir):
     and every downstream access is a cheap binary probe — the difference
     between O(accesses) and O(1) parses per row, which is what makes
     wide semi-structured event payloads queryable at 100 TB (and the
-    encoding parquet shredding is being standardized on)."""
+    encoding parquet shredding is being standardized on).
+
+    ``try_parse_json``, not ``parse_json`` (r6 edge finding): the
+    strict form ABORTS THE QUERY on the first malformed payload — on a
+    100 TB crawl one bad record would kill the job. try_parse_json
+    yields null, the oracle mirrors with json_valid + TRY_CAST, and
+    malformed rows land in the null bucket both sides count."""
     e = table(spark, sf_dir, "events")
-    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    k = F.expr("variant_get(try_parse_json(props), '$.k', 'long')")
     return (
         e.select(k.alias("k"))
         .groupBy((F.col("k") % 10).alias("k_bucket"))

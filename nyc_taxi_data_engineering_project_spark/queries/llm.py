@@ -200,9 +200,10 @@ def _f13_oracle() -> str:
     WITH params AS (
         SELECT GREATEST(2, CAST(round(log2(GREATEST(COUNT(*), 1) / 64.0 + 1))
                                 AS INTEGER)) AS k
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     ), base AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE embedding IS NOT NULL
     ), tagged AS (
         SELECT vec_id, e,
                CAST(list_sum(([{base_bits}])[1:k]) AS BIGINT) AS bucket
@@ -256,7 +257,7 @@ def _lsh_ann_oracle() -> str:
     WITH tagged AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
                {bucket} AS bucket
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     ), probes AS (
         SELECT vec_id AS query_id, e AS qe,
                unnest([{probe_list}]) AS bucket
@@ -278,7 +279,20 @@ def _lsh_ann_oracle() -> str:
 
 
 def _embeddings(spark, sf_dir) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings")
+    """Shared embeddings source for the vector family (f3/f13/f21/f28).
+
+    Null vectors are EXCLUDED at the source (r6 edge finding): a 100 TB
+    embedding table will carry nulls (failed encoder calls), and they
+    crashed every downstream consumer differently — numpy refused the
+    ragged sample (k-means fit), DuckDB's list_inner_product raised on
+    NULL elements, and the Spark-side dot products silently yielded
+    null buckets. A vector with no value can hold no place in similarity
+    space; counting/alerting on them is a data-quality concern (f33's
+    class), not a similarity-operator one. Every vector-family oracle
+    carries the matching ``WHERE embedding IS NOT NULL``."""
+    e = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     emb = _as_double(F.col("embedding"))
     return e.select("vec_id", "label", emb.alias("emb"),
                     _norm(emb).alias("nrm"))
@@ -618,7 +632,9 @@ def f20_ml_minhash_lsh(spark, sf_dir):
                                                    CAST(c.embedding AS DOUBLE[]))
                             DESC, c.vec_id
                ) AS rk
-        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) q
+        JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) c
+          ON q.vec_id <> c.vec_id
         WHERE q.vec_id < 20
     ) WHERE rk <= 5
     """,
@@ -800,7 +816,9 @@ def f13_embedding_neardup(spark, sf_dir):
     # re-derives every hyperplane dot product from the scan (the
     # multi-consumer pathology of SCALE.md §5). localCheckpoint, not
     # persist: blocks are freed with the result.
-    n = table(spark, sf_dir, "embeddings").count()
+    n = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()).count()  # same population
+    # as _embeddings and the oracle params CTE (null vectors excluded)
     n_planes = max(2, round(math.log2(max(n, 1) / 64 + 1)))
     planes = _f13_planes(n_planes)
     split_planes = F13_SPLIT_PLANES
@@ -1076,8 +1094,18 @@ def f16_pack_sequences(spark, sf_dir):
     # thousands of times smaller than the corpus but still CORPUS-SCALING,
     # so the de-hint discipline (SCALE.md §3c) applies; AQE sizes the join
     # at runtime (broadcast while it fits, shuffle join past that).
+    # NULL-SAFE on lang (r6 edge finding): a plain equi join silently
+    # DROPPED every null-lang document — the two-phase decomposition
+    # must not change the single-window form's semantics, and a window's
+    # PARTITION BY keeps the null group. The null-lang stream packs like
+    # any other language stream.
+    offs = (
+        bucket_offsets.withColumnRenamed("lang", "_olang")
+        .withColumnRenamed("_bk", "_obk")
+    )
     return (
-        d.join(bucket_offsets, ["lang", "_bk"])
+        d.join(offs, d["lang"].eqNullSafe(F.col("_olang"))
+               & (d["_bk"] == F.col("_obk")))
         .select(
             "doc_id", "lang", "n_tokens",
             F.floor(
@@ -1129,11 +1157,20 @@ def f19_ml_tfidf_pipeline(spark, sf_dir):
     reduces the vector to deterministic scalars (active term count,
     L2 norm) — hashing and IDF are seed-free and data-deterministic.
     Scale: fit() is one aggregation over the corpus (document
-    frequencies); transform() is a map-only pass."""
+    frequencies); transform() is a map-only pass.
+
+    Null text is filtered at the source (r6 edge finding): pyspark.ml's
+    Tokenizer is not null-tolerant — its Scala lambda NPEs on the first
+    null document and kills the fit job. A library constraint, made an
+    explicit input contract here rather than a 100 TB-run surprise."""
     from pyspark.ml import Pipeline
     from pyspark.ml.feature import IDF, HashingTF, Tokenizer
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
     # 1024 features: the vector_to_array bridge densifies, so width sets
     # the Arrow transfer volume (4096-wide measured ~2x slower end-to-end
     # for no demo value — the 31-word test vocab fills nothing either way)
@@ -1238,16 +1275,22 @@ def f12_multimodal_decode(spark, sf_dir):
         for pdf in batches:
             payloads = pdf["payload"]
             # --- STUB DECODER: replace with real image/audio decode ---
+            # null payloads (a null source column encodes to null, and
+            # real pipelines carry missing media) yield null features —
+            # nullable extension dtypes keep the schema's long/int
             checksum = payloads.map(
-                lambda b: int.from_bytes(bytes(b)[:8].ljust(8, b"\0"), "big")
+                lambda b: None if b is None else
+                int.from_bytes(bytes(b)[:8].ljust(8, b"\0"), "big")
                 % (2**31)
             )
-            size_bucket = payloads.map(lambda b: len(b) // 64)
+            size_bucket = payloads.map(
+                lambda b: None if b is None else len(b) // 64
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "feat_checksum": checksum.astype("int64"),
-                    "feat_size_bucket": size_bucket.astype("int32"),
+                    "feat_checksum": checksum.astype("Int64"),
+                    "feat_size_bucket": size_bucket.astype("Int32"),
                 }
             )
 
@@ -1621,9 +1664,23 @@ def f22_stratified_sample(spark, sf_dir):
     )
     totals = counts.groupBy("lang").agg(F.sum("_n").alias("_total"))
     w = W.partitionBy("lang", "bk").orderBy("hk", "doc_id")
+    # NULL-SAFE on lang (r6 edge finding, same class as f16): plain
+    # equi joins dropped the null-lang stratum that the oracle's
+    # PARTITION BY lang keeps — undocumented-language docs are a
+    # stratum like any other, not discardable.
+    offs = (
+        offsets.withColumnRenamed("lang", "_olang")
+        .withColumnRenamed("bk", "_obk")
+    )
+    tot = totals.withColumnRenamed("lang", "_tlang")
     return (
-        bucketed.join(F.broadcast(offsets), ["lang", "bk"])
-        .join(F.broadcast(totals), "lang")
+        bucketed.join(
+            F.broadcast(offs),
+            bucketed["lang"].eqNullSafe(F.col("_olang"))
+            & (bucketed["bk"] == F.col("_obk")),
+        )
+        .join(F.broadcast(tot),
+              bucketed["lang"].eqNullSafe(F.col("_tlang")))
         .withColumn(
             "_rank", F.row_number().over(w).cast("long") + F.col("_off")
         )
@@ -1746,7 +1803,8 @@ _BOILERPLATE_W = 8
     "f25_boilerplate_removal",
     oracle=f"""
     WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE text IS NOT NULL
     ), b AS (
         SELECT doc_id, start // {_BOILERPLATE_W} AS pos,
                array_to_string(
@@ -1780,9 +1838,18 @@ def f25_boilerplate_removal(spark, sf_dir):
     are the few templates shared by many pages), so flagging broadcasts
     it and the corpus never shuffles for the join; reassembly is one
     groupBy(doc_id) whose collect_list carries (pos, block) so the
-    order-restoring sort is per-row array_sort, not a global sort."""
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", _tokens().alias("toks")
+    order-restoring sort is per-row array_sort, not a global sort.
+
+    A null-text document has no passages and is absent from the output
+    on BOTH sides (r6 edge finding: Spark's sequence/slice chain on a
+    null token array manufactured one null block per null doc, while
+    the oracle's range(NULL) produced none — the explicit filter makes
+    the contract visible instead of an expression-evaluation accident).
+    """
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", _tokens().alias("toks"))
     )
     blocks = docs.select(
         "doc_id",

@@ -87,15 +87,23 @@ def d2_watermark(spark, sf_dir):
            event_type,
            COUNT(*) AS n,
            FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS total_value
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
 )
 def d3_tumbling(spark, sf_dir):
     """D3: tumbling window aggregate — ``F.window`` in batch form (epoch-
     aligned 1h windows ≡ date_trunc hour). The identical plan runs as a
-    stream in tests/test_streaming.py::test_tumbling_batch_equivalence."""
+    stream in tests/test_streaming.py::test_tumbling_batch_equivalence.
+
+    Null event time is EXPLICITLY excluded on both sides (r6 edge
+    finding): Spark's window operator silently injects an
+    isnotnull(ts) filter while SQL date_trunc keeps a NULL group, so
+    the two diverge exactly when events carry no timestamp. An event
+    without event time cannot be windowed — production routes it to a
+    dead-letter/quality count (f33's class), never silently."""
     return (
         table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -117,15 +125,18 @@ def d3_tumbling(spark, sf_dir):
            COUNT(*) AS n
     FROM events
     CROSS JOIN (VALUES (0), (1), (2), (3)) k(k)
+    WHERE ts IS NOT NULL
     GROUP BY 1
     """,
 )
 def d4_sliding(spark, sf_dir):
     """D4: sliding window (1h length, 15min slide) — each event lands in 4
     overlapping windows; the oracle derives the same 4 starts from the
-    15-minute bucket."""
+    15-minute bucket. Null event time excluded explicitly on both
+    sides — see d3's note."""
     return (
         table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
         .groupBy(F.window("ts", "1 hour", "15 minutes"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
@@ -142,7 +153,7 @@ def d4_sliding(spark, sf_dir):
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
                     THEN 1 ELSE 0 END AS new_session
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), sessions AS (
         SELECT *, SUM(new_session) OVER (
@@ -161,9 +172,13 @@ def d5_session(spark, sf_dir):
     """D5: session windows (30-minute gap) — ``session_window`` in batch
     form; the oracle is the classic gap-island SQL (SURVEY.md §7.4 point 7).
     Session merge rule: an event at exactly prev_ts+30min starts a NEW
-    session (half-open session end), mirrored by ``>=`` in the oracle."""
+    session (half-open session end), mirrored by ``>=`` in the oracle.
+    Null event time excluded explicitly on both sides — see d3's note
+    (session_window drops nulls implicitly; the gap-island SQL would
+    otherwise sort them into the first session)."""
     return (
         table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
         .groupBy("user_id", F.session_window("ts", "30 minutes"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -23,7 +23,8 @@ from ..registry import query
     "e1_py_udf",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CASE WHEN l_discount < 0.03 THEN 'low'
+           CASE WHEN l_discount IS NULL THEN NULL
+                WHEN l_discount < 0.03 THEN 'low'
                 WHEN l_discount < 0.07 THEN 'mid'
                 ELSE 'high' END AS disc_band
     FROM lineitem
@@ -32,7 +33,13 @@ from ..registry import query
 def e1_py_udf(spark, sf_dir):
     """E1: row-at-a-time Python UDF (banding). Kept deliberately trivial:
     this is the ~100× slower path vs the equivalent CASE expression
-    (b5) — present for surface parity, not for use in hot paths."""
+    (b5) — present for surface parity, not for use in hot paths.
+
+    The oracle's CASE carries an explicit IS NULL branch (r6 edge
+    finding): a bare CASE's ELSE swallows NULL — ``NULL < 0.03`` is
+    unknown, so every null-discount row fell to 'high' in SQL while the
+    null-safe UDF returned NULL. The classic silent-ELSE trap; the
+    explicit branch states the intended three-valued semantics."""
 
     @F.udf("string")
     def band(d: float) -> str:
@@ -173,6 +180,8 @@ def e5_udtf(spark, sf_dir):
     @udtf(returnType="pos int, token string")
     class Tokenize:
         def eval(self, text: str):
+            if text is None:  # LATERAL over a null doc = zero rows,
+                return  # matching generate_series(1, NULL) in the oracle
             for i, tok in enumerate(text.split(" ")):
                 yield i + 1, tok
 
@@ -204,14 +213,22 @@ def e6_map_in_pandas(spark, sf_dir):
 
     def normalize(batches):
         for pdf in batches:
+            # null-safe like the SQL it twins (r6 edge finding): null
+            # text/lang/n_chars must yield NULL, but pandas renders
+            # string nulls as NaN — a plain astype("int64") throws and
+            # NaN == x is False where SQL says NULL. Nullable extension
+            # dtypes + explicit masks restore three-valued logic.
+            tl = pdf["text"].str.len()
+            eq = pd.Series((tl == pdf["n_chars"]).astype("int32"),
+                           dtype="Int32").mask(tl.isna()
+                                               | pdf["n_chars"].isna())
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "computed_chars": pdf["text"].str.len().astype("int64"),
-                    "len_matches": (
-                        pdf["text"].str.len() == pdf["n_chars"]
-                    ).astype("int32"),
-                    "lang_uc": pdf["lang"].str.upper(),
+                    "computed_chars": tl.astype("Int64"),
+                    "len_matches": eq,
+                    "lang_uc": pdf["lang"].str.upper()
+                    .where(pdf["lang"].notna(), None),
                 }
             )
             yield out

@@ -59,10 +59,14 @@ for name in ("region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(v):
+    # None and float-NaN unify: pandas already conflates null and NaN
+    # for float columns, and a NULLABLE INTEGER column round-trips as
+    # None from one engine and NaN from the other (r6 edge finding) —
+    # distinguishing them here only manufactures false mismatches
     if v is None:
-        return None
+        return "__null__"
     if isinstance(v, float):
-        return "NaN" if math.isnan(v) else round(v, 6)
+        return "__null__" if math.isnan(v) else round(v, 6)
     if isinstance(v, list):
         return tuple(canon(x) for x in v)
     return str(v)
@@ -90,7 +94,12 @@ for key in sorted(qs):
     if key not in oracles:
         print(f"  {key}: rows-only, {len(sdf)} rows, {dt:.1f}s")
         continue
-    odf = con.sql(oracles[key]).df()
+    try:
+        odf = con.sql(oracles[key]).df()
+    except Exception as exc:  # noqa: BLE001 — one bad oracle must not
+        fails.append((key, f"oracle error: {exc}"))  # kill the drive
+        print(f"  {key}: ORACLE ERROR {str(exc)[:200]}")
+        continue
     status = []
     if sorted(sdf.columns) != sorted(odf.columns):
         status.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")

@@ -39,12 +39,16 @@ def oracle_con():
 
 
 def _canon(v):
-    """Canonicalize a cell for order-insensitive comparison."""
+    """Canonicalize a cell for order-insensitive comparison. None and
+    float-NaN unify (r6): pandas conflates null/NaN for float columns,
+    and a nullable INTEGER column round-trips as None from one engine
+    and NaN from the other — the distinction is unrecoverable at this
+    layer and distinguishing manufactures false mismatches."""
     if v is None:
-        return None
+        return "__null__"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return "__null__"
         # collapse ulp-level cross-engine noise
         return round(v, 6)
     if isinstance(v, list):
