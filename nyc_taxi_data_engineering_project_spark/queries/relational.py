@@ -142,7 +142,9 @@ def b2_join_pickup_zone(spark, sf_dir):
     oracle="""
     SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
            COUNT(*) AS n_items,
-           FLOOR((SUM(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+           FLOOR(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(4,2))))
+                      AS DOUBLE) * 100.0 + 0.5) / 100.0 AS revenue
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -157,7 +159,16 @@ def b3_join_both_zones(spark, sf_dir):
     zones-as-dropoff pattern evidenced by the paired FK indexes
     (``sql/init.sql:46-47``). TPC-H Q7 shape: nation as customer-nation and
     supplier-nation. Both nation copies broadcast; the lineitem⋈orders
-    join is the only shuffle (AQE may still broadcast orders at small SF)."""
+    join is the only shuffle (AQE may still broadcast orders at small SF).
+
+    Revenue accumulates in DECIMAL, not double (r6 edge finding): a
+    double SUM's engine-specific accumulation order can land an ulp
+    either side of a .xx5 rounding boundary, splitting the 2-dp output
+    across engines. Prices and discounts carry ≤2 real decimals, so the
+    4-dp decimal products and their sum are EXACT and identical
+    everywhere; the one cast back to double is deterministic, so the
+    rounded output is too. The money-sum posture a 100 TB ledger needs
+    anyway — floats don't reconcile."""
     l = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
@@ -176,8 +187,14 @@ def b3_join_both_zones(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            fx.fround(F.sum(l.l_extendedprice * (1 - l.l_discount)), 2)
-            .alias("revenue"),
+            fx.fround(
+                F.sum(
+                    l.l_extendedprice.cast("decimal(18,2)")
+                    * (F.lit(1).cast("decimal(3,2)")
+                       - l.l_discount.cast("decimal(4,2)"))
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
         )
     )
 

@@ -15,13 +15,14 @@ null text (f19), numpy/DuckDB crashes on null embeddings, and more.
 Runs as a subprocess so the drive sees the repo exactly as the round
 driver does.
 
-Allowlisted inherent seams (adjudicated non-bugs, documented in the
-queries' docstrings + SWEEPS_r06.md):
-- b3_join_both_zones: a double-precision SUM whose engine-specific
-  accumulation order lands an ulp either side of a .xx5 rounding
-  boundary — unfixable without decimal arithmetic.
+Allowlisted inherent seam (adjudicated non-bug, documented in the
+query docstring + SWEEPS_r06.md):
 - c20_string_funcs: levenshtein is codepoint-based in Spark,
   byte-based in DuckDB; visible only on multibyte input.
+
+(b3's float-sum rounding boundary was initially allowlisted too, then
+ELIMINATED by accumulating the money sum in exact decimal on both
+sides — the correct ledger posture regardless.)
 """
 
 from __future__ import annotations
@@ -33,7 +34,7 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-INHERENT_SEAMS = {"b3_join_both_zones", "c20_string_funcs"}
+INHERENT_SEAMS = {"c20_string_funcs"}
 
 
 def test_edge_corpus_oracle_sweep(tmp_path):
