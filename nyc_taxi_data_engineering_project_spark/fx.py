@@ -11,6 +11,21 @@ spelling of the exact same expression in the oracle.
 
 Valid for |x|·10^n < 2^53 (exact double integers); inputs here are money
 and ratio magnitudes, far below that.
+
+Residual seam of the class, and the policy for it (r6): ``fround`` makes
+the ROUNDING step bit-stable, but the SUM feeding it is still a double
+accumulation whose order differs per engine — when the true sum sits
+within an ulp of a .xx5 boundary, the two engines can round apart (hit
+once, on b3, by the adversarial edge corpus). The full fix is exact
+DECIMAL accumulation, demonstrated on b3 (see its docstring): 2-dp
+money inputs make the products/sums exact, and one deterministic
+decimal→double cast feeds fround. The other money aggregates keep
+double+fround deliberately: the boundary is only reachable when the
+exact sum lands within ~1e-10 of a half-cent, the deterministic edge
+corpus proves none of them currently hit it, and at true ledger
+fidelity a 100 TB pipeline should carry DecimalType end-to-end from
+ingest (a schema decision, not a per-query patch). If a future corpus
+trips another key, convert that key the b3 way.
 """
 
 from __future__ import annotations
