@@ -44,9 +44,9 @@ def nanos_ts_columns(path: str) -> tuple[str, ...]:
     same tick. A directory keys on the FULL sorted part list with each
     part's (mtime_ns, size), so adding/rewriting ANY part re-dispatches
     (keying only parts[0] served stale answers when other parts moved).
-    Directories additionally peek first AND last part footers and
-    refuse a mixed-unit table loudly — a single-unit dispatch cannot
-    represent one."""
+    Directories additionally peek EVERY part footer and refuse a
+    mixed-unit table loudly — a single-unit dispatch cannot represent
+    one, and any subset peek can miss the odd part out."""
     import glob as _glob
 
     if os.path.isdir(path):  # Spark-written table: peek part files
@@ -60,11 +60,15 @@ def nanos_ts_columns(path: str) -> tuple[str, ...]:
             )
         except OSError:
             return ()
-        # first+last in sorted order: one footer can't represent a
-        # mixed-unit dir (an append by a different writer lands at one
-        # end); O(2) footer reads regardless of part count
-        peek = tuple(dict.fromkeys((parts[0], parts[-1])))
-        return _nanos_ts_columns_at(peek, fingerprint)
+        # peek EVERY part: first+last missed a differing unit in an
+        # interior part (partial compaction, or lexicographic part
+        # ordering interleaving two writers' files), silently misreading
+        # it — the exact incident class this guard exists to refuse.
+        # Footer reads are metadata-only (~ms each) and the result is
+        # cached per directory fingerprint, so the cost is one-time per
+        # table version; a 100 TB table with thousands of parts pays it
+        # once at first dispatch, not per query.
+        return _nanos_ts_columns_at(tuple(parts), fingerprint)
     try:
         st = os.stat(path)
     except OSError:
@@ -87,12 +91,17 @@ def _nanos_ts_columns_at(peek_paths: tuple, fingerprint: tuple
             f.name for f in schema if getattr(f.type, "unit", None) == "ns"
         ))
     if len(set(per_part)) > 1:
+        odd = [
+            (p, cols) for p, cols in zip(peek_paths, per_part)
+            if cols != per_part[0]
+        ]
         raise ValueError(
             f"mixed TIMESTAMP units across part files of one table: "
             f"{peek_paths[0]} has nanos columns {per_part[0]} but "
-            f"{peek_paths[-1]} has {per_part[-1]}; a single-unit reader "
-            "dispatch cannot represent this — rewrite the table with one "
-            "unit"
+            f"{odd[0][0]} has {odd[0][1]} "
+            f"({len(odd)} of {len(peek_paths)} parts differ); a "
+            "single-unit reader dispatch cannot represent this — "
+            "rewrite the table with one unit"
         )
     return per_part[0]
 

@@ -56,3 +56,22 @@ def sql_round(expr: str, n: int) -> str:
     """The oracle-side spelling of :func:`fround` (ANSI/DuckDB SQL)."""
     scale = float(10**n)
     return f"FLOOR(({expr}) * {scale} + 0.5) / {scale}"
+
+
+def nsize(col: Column) -> Column:
+    """``size()`` with NULL-in → NULL-out under EITHER ANSI setting.
+
+    Spark's legacy (``spark.sql.ansi.enabled=false`` — the posture
+    session.py pins) defines ``size(NULL) = -1``; ANSI mode defines it
+    as NULL. Every SQL oracle (and ANSI Spark) propagates NULL, so a
+    query whose size() lands in the OUTPUT silently emits -1 token/array
+    counts under the production session — and a -1 flows on into
+    ratios (-1/-1 = 1.0) and prefix sums (r6 edge-corpus finding: seven
+    keys diverged only under the production posture). A real array's
+    size is always ≥ 0, so ``nullif(size(c), -1)`` is exactly
+    null-propagation under legacy mode and a provable no-op under ANSI.
+    Use this for any size() that reaches the output or output-bound
+    arithmetic; bare ``F.size`` remains fine inside filters, where -1
+    and NULL both fail the predicate.
+    """
+    return F.nullif(F.size(col), F.lit(-1))

@@ -265,10 +265,13 @@ def c24_array_funcs(spark, sf_dir):
     are exercised in f3 (zip_with/aggregate for dot products)."""
     d = table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
+    # fx.nsize, not F.size: these counts land in the output, and legacy
+    # size(NULL) = -1 under the production ansi=false session (r6 edge
+    # finding — see fx.nsize)
     return d.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        fx.nsize(toks).alias("n_tokens"),
+        fx.nsize(F.array_distinct(toks)).alias("n_distinct"),
         F.element_at(toks, 1).alias("first_token"),
         F.element_at(toks, -1).alias("last_token"),
         F.array_join(F.slice(toks, 1, 3), ",").alias("top3"),

@@ -1072,7 +1072,12 @@ def f16_pack_sequences(spark, sf_dir):
     the bucket sequence aligned with the stream order, so cum (and
     every pack_id) is IDENTICAL to the single-window form."""
     bucket_w = 1024  # docs per sub-stream bucket
-    toks = F.size(_tokens())
+    # fx.nsize: a null document must carry NULL n_tokens, not legacy -1 —
+    # a -1 lands in the running prefix sum and shifts EVERY later
+    # document's pack_id in that language stream (r6 edge finding; NULL
+    # is skipped by SUM on both engines, so the stream packs as if the
+    # null doc contributed nothing, and its own pack_id is NULL)
+    toks = fx.nsize(_tokens())
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", toks.alias("n_tokens"),
         (F.col("doc_id") / bucket_w).cast("long").alias("_bk"),
@@ -1328,10 +1333,13 @@ def f17_quality_filter(spark, sf_dir):
     the auditable form a real pipeline needs (filter-rate monitoring per
     rule, not a silent AND). Pure projection: fuses with the scan."""
     toks = _tokens()
-    n_tok = F.size(toks).cast("double")
-    distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
-    avg_len = (F.length("text") - F.size(toks) + 1.0) / n_tok
-    ok_length = (F.size(toks) >= 5) & (F.size(toks) <= 1000)
+    # fx.nsize: the flags reach the output — a null document must emit
+    # NULL flags (unknown), not the legacy -1's confident 0/1 mix
+    # (-1/-1 = 1.0 "passes" the diversity rule; r6 edge finding)
+    n_tok = fx.nsize(toks).cast("double")
+    distinct_ratio = fx.nsize(F.array_distinct(toks)) / n_tok
+    avg_len = (F.length("text") - fx.nsize(toks) + 1.0) / n_tok
+    ok_length = (fx.nsize(toks) >= 5) & (fx.nsize(toks) <= 1000)
     ok_diversity = distinct_ratio > 0.2
     ok_token_len = (avg_len >= 2) & (avg_len <= 12)
     return table(spark, sf_dir, "documents").select(
@@ -1423,16 +1431,22 @@ def f6_text_stats(spark, sf_dir):
     diversity, stopword ratio, mean token length. Pure column expressions:
     the whole profile is one codegen'd projection, no shuffle at all."""
     toks = _tokens()
-    n_tok = F.size(toks).cast("double")
+    # fx.nsize throughout: every count/ratio here reaches the output, and
+    # legacy size(NULL) = -1 turns a null document into -1 tokens and
+    # -1/-1 = 1.0 ratios under the production ansi=false session (r6
+    # edge finding — see fx.nsize)
+    n_tok = fx.nsize(toks).cast("double")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_stop = fx.nsize(
+        F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     return table(spark, sf_dir, "documents").select(
         "doc_id",
         F.length("text").alias("n_chars"),
-        F.size(toks).alias("n_tokens"),
-        fx.r4(F.size(F.array_distinct(toks)) / n_tok).alias("distinct_ratio"),
+        fx.nsize(toks).alias("n_tokens"),
+        fx.r4(fx.nsize(F.array_distinct(toks)) / n_tok)
+        .alias("distinct_ratio"),
         fx.r4(n_stop / n_tok).alias("stopword_ratio"),
-        fx.r4((F.length("text") - F.size(toks) + 1.0) / n_tok)
+        fx.r4((F.length("text") - fx.nsize(toks) + 1.0) / n_tok)
         .alias("avg_token_len"),
     )
 
@@ -1464,7 +1478,11 @@ def f7_lang_id(spark, sf_dir):
 
     def score(words):
         arr = F.array(*[F.lit(s) for s in words])
-        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        # fx.nsize: null text must score NULL, not -1 — under the legacy
+        # -1, (-1 >= -1) satisfies the first argmax branch and mislabels
+        # every null document 'en'; NULL scores fall through to the
+        # CASE's ELSE exactly like the SQL oracle (r6 edge finding)
+        return fx.nsize(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
@@ -1523,7 +1541,9 @@ def f9_token_count(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(F.split("text", r"\s+")).alias("ws_tokens"),
+        # fx.nsize: output-bound count; legacy size(split(NULL)) = -1
+        # under the production ansi=false session (see fx.nsize)
+        fx.nsize(F.split("text", r"\s+")).alias("ws_tokens"),
         F.regexp_count("text", F.lit("[a-z]+")).cast("long")
         .alias("alpha_tokens"),
         F.regexp_count("text", F.lit("[0-9]+")).cast("long")
@@ -1994,7 +2014,12 @@ def f27_chunk_rag(spark, sf_dir):
     toked = table(spark, sf_dir, "documents").select(
         "doc_id", _tokens().alias("toks")
     )
-    n = F.size("toks")
+    # fx.nsize: n feeds the output-bound least(CHUNK, n - start) — legacy
+    # size(NULL) = -1 makes a null document's single chunk claim
+    # n_tokens = -1 where both ANSI Spark and the oracle agree on
+    # least(CHUNK) = CHUNK (greatest/least skip NULLs identically in
+    # both engines; r6 edge finding)
+    n = fx.nsize(F.col("toks"))
     last = (
         F.ceil(F.greatest(n - _CHUNK, F.lit(0)) / F.lit(float(_STRIDE)))
         * _STRIDE
@@ -2009,7 +2034,7 @@ def f27_chunk_rag(spark, sf_dir):
         F.col("chunk_id").cast("long").alias("chunk_id"),
         F.array_join(F.slice("toks", F.col("start") + 1, F.lit(_CHUNK)), " ")
         .alias("chunk_text"),
-        F.least(F.lit(_CHUNK), F.size("toks") - F.col("start"))
+        F.least(F.lit(_CHUNK), fx.nsize(F.col("toks")) - F.col("start"))
         .cast("long").alias("n_tokens"),
     )
 

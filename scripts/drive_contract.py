@@ -9,7 +9,7 @@ Usage: python scripts/drive_contract.py [sf_dir]
 from __future__ import annotations
 
 import importlib.util
-import math
+import os
 import sys
 import time
 
@@ -40,10 +40,20 @@ spec.loader.exec_module(mod)
 
 from pyspark.sql import SparkSession  # noqa: E402
 
+# ANSI posture is EXPLICIT, never inherited: a bare Spark 4 builder
+# defaults ansi=true while session.py (bench, tests, every get_session
+# consumer) pins ansi=false — and the two postures genuinely diverge on
+# hostile data (legacy size(NULL) = -1; r6 edge finding: seven keys
+# certified green under the gate's implicit ANSI-on were wrong under
+# the session the product actually runs). Default = the production
+# posture; SPARK_GRAFT_ANSI=true lets the edge sweep assert the surface
+# is posture-agnostic by driving BOTH.
+ANSI = os.environ.get("SPARK_GRAFT_ANSI", "false")
 spark = (
     SparkSession.builder.master("local[8]")
     .appName("drive-contract")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", ANSI)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 )
@@ -58,18 +68,7 @@ for name in ("region", "nation", "customer", "supplier", "part", "orders",
     )
 
 
-def canon(v):
-    # None and float-NaN unify: pandas already conflates null and NaN
-    # for float columns, and a NULLABLE INTEGER column round-trips as
-    # None from one engine and NaN from the other (r6 edge finding) —
-    # distinguishing them here only manufactures false mismatches
-    if v is None:
-        return "__null__"
-    if isinstance(v, float):
-        return "__null__" if math.isnan(v) else round(v, 6)
-    if isinstance(v, list):
-        return tuple(canon(x) for x in v)
-    return str(v)
+from canon import canon  # noqa: E402 — scripts/ on sys.path above
 
 
 t0 = time.time()

@@ -4,14 +4,19 @@ gate (row-count + column names + order-insensitive value compare)."""
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 
 import duckdb
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "scripts"))
+
+from canon import canon as _canon  # noqa: E402 — the ONE canonicalizer,
+# shared with scripts/drive_contract.py so the pytest comparator and the
+# contract drive can never disagree about what counts as a match
 
 from nyc_taxi_data_engineering_project_spark.catalog import TESTDATA_TABLES
 from nyc_taxi_data_engineering_project_spark.session import get_session
@@ -36,24 +41,6 @@ def oracle_con():
         )
     yield con
     con.close()
-
-
-def _canon(v):
-    """Canonicalize a cell for order-insensitive comparison. None and
-    float-NaN unify (r6): pandas conflates null/NaN for float columns,
-    and a nullable INTEGER column round-trips as None from one engine
-    and NaN from the other — the distinction is unrecoverable at this
-    layer and distinguishing manufactures false mismatches."""
-    if v is None:
-        return "__null__"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "__null__"
-        # collapse ulp-level cross-engine noise
-        return round(v, 6)
-    if isinstance(v, list):
-        return tuple(_canon(x) for x in v)
-    return str(v)
 
 
 def assert_df_matches_oracle(spark_df, con, sql, key=""):

@@ -2,7 +2,8 @@
 runs on a HOSTILE corpus (scripts/make_edge_corpus.py — nulls in every
 nullable column, duplicate/orphan keys, empty/unicode/whitespace
 strings, extreme dates, malformed JSON, null embeddings) and must agree
-with DuckDB exactly, except two adjudicated inherent engine seams.
+with DuckDB exactly — under BOTH ANSI postures — except one adjudicated
+inherent engine seam.
 
 This sweep found and drove 16 real fixes in r6: null ordering in
 windows (Spark ASC=NULLS FIRST vs DuckDB=NULLS LAST), null-key equi
@@ -23,6 +24,18 @@ query docstring + SWEEPS_r06.md):
 (b3's float-sum rounding boundary was initially allowlisted too, then
 ELIMINATED by accumulating the money sum in exact decimal on both
 sides — the correct ledger posture regardless.)
+
+Second r6 pass (found by adversarial self-review of the first): the
+gate's bare SparkSession inherited Spark 4's ansi=true default while
+session.py pins ansi=false, so everything above was certified under a
+posture the product never runs. Under the REAL posture, legacy
+``size(NULL) = -1`` diverged seven more keys (c24, f6, f7, f9, f16,
+f17, f27) — null documents got -1 token counts, -1/-1 = 1.0 "perfect"
+diversity ratios, an 'en' language label, and pack_id prefix sums
+shifted for every later document in the stream. Fixed via fx.nsize
+(nullif(size, -1) — exact null-propagation under legacy, no-op under
+ANSI); the sweep now drives BOTH postures so the surface is proven
+posture-agnostic, not just correct under whichever session built it.
 """
 
 from __future__ import annotations
@@ -32,35 +45,61 @@ import re
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Adjudicated inherent seams. The allowlist excuses MISMATCH ONLY —
+# never SPARK ERROR / ORACLE ERROR: the adjudicated seam is a value
+# divergence in one column (levenshtein, multibyte input); a key that
+# fails to RUN is always a regression, allowlisted or not.
 INHERENT_SEAMS = {"c20_string_funcs"}
 
 
-def test_edge_corpus_oracle_sweep(tmp_path):
-    corpus = str(tmp_path / "edge_sf")
+@pytest.fixture(scope="module")
+def edge_corpus(tmp_path_factory):
+    corpus = str(tmp_path_factory.mktemp("edge") / "edge_sf")
     gen = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "make_edge_corpus.py"),
          corpus],
-        capture_output=True, text=True, timeout=120,
+        capture_output=True, text=True, timeout=120, cwd=REPO,
     )
     assert gen.returncode == 0, gen.stdout + gen.stderr
+    return corpus
 
+
+@pytest.mark.parametrize("ansi", ["false", "true"])
+def test_edge_corpus_oracle_sweep(edge_corpus, ansi):
+    """The hostile-corpus oracle differential, under BOTH engine
+    postures: ansi=false is what session.py pins (the product), ansi=true
+    is what a bare Spark 4 builder defaults to (and what this gate
+    silently certified before r6 — hiding seven legacy size(NULL) = -1
+    divergences the production posture actually had). A key is only
+    hardened when the two postures and the oracle all agree.
+
+    cwd is pinned to the repo root: Spark's Python workers resolve the
+    package from the process cwd, so a pytest invocation from elsewhere
+    would fail a21/d13 with ModuleNotFoundError instead of testing them.
+    """
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "drive_contract.py"),
-         corpus],
-        capture_output=True, text=True, timeout=900,
+         edge_corpus],
+        capture_output=True, text=True, timeout=900, cwd=REPO,
+        env={**os.environ, "SPARK_GRAFT_ANSI": ansi},
     )
-    failing = {
+    hard_fail = {
         m.group(1)
         for m in re.finditer(
-            r"^  (\S+): (?:MISMATCH|SPARK ERROR|ORACLE ERROR)",
-            proc.stdout, re.M)
+            r"^  (\S+): (?:SPARK ERROR|ORACLE ERROR)", proc.stdout, re.M)
     }
-    unexpected = failing - INHERENT_SEAMS
+    mismatch = {
+        m.group(1)
+        for m in re.finditer(r"^  (\S+): MISMATCH", proc.stdout, re.M)
+    }
+    unexpected = hard_fail | (mismatch - INHERENT_SEAMS)
     assert not unexpected, (
-        f"edge-corpus divergence beyond the adjudicated seams: "
-        f"{sorted(unexpected)}\n"
+        f"[ansi={ansi}] edge-corpus divergence beyond the adjudicated "
+        f"seams: {sorted(unexpected)}\n"
         + "\n".join(line for line in proc.stdout.splitlines()
                     if any(k in line for k in unexpected))[:3000]
     )

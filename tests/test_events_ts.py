@@ -253,6 +253,26 @@ def test_footer_dispatch_dir_keyed_on_all_parts(tmp_path_factory):
         nanos_ts_columns(d)
 
 
+def test_footer_dispatch_dir_refuses_interior_odd_part(tmp_path_factory):
+    """ADVICE r6: the refusal used to peek only the FIRST and LAST
+    sorted parts, so a differing unit in an interior part (partial
+    compaction; lexicographic ordering interleaving two writers) passed
+    the guard and was silently misread. Every part footer is peeked
+    now: a nanos part-1 between micros part-0 and part-2 must refuse."""
+    from nyc_taxi_data_engineering_project_spark.catalog import (
+        nanos_ts_columns,
+    )
+
+    d = str(tmp_path_factory.mktemp("dirmid") / "events.parquet")
+    os.makedirs(d)
+    for i, unit in enumerate(["us", "ns", "us"]):
+        pq.write_table(_events_arrow_table(unit),
+                       os.path.join(d, f"part-{i}.parquet"), version="2.6",
+                       coerce_timestamps=None, store_schema=False)
+    with pytest.raises(ValueError, match="mixed TIMESTAMP units"):
+        nanos_ts_columns(d)
+
+
 def test_footer_dispatch_dir_homogeneous_nanos(tmp_path_factory):
     from nyc_taxi_data_engineering_project_spark.catalog import (
         nanos_ts_columns,

@@ -274,6 +274,11 @@ def test_f15_f16_f17_split_pack_filter_edges(spark, edge_sf_dir):
     assert len(packs) == len(_DOCS)
     cum = 0
     for doc_id, lang, n_tokens, pack_id in packs:  # one lang, id-ordered
+        if n_tokens is None:
+            # null text (fx.nsize): no tokens, no pack — and it must NOT
+            # shift any later document's pack (the legacy -1 did)
+            assert pack_id is None, (doc_id, pack_id)
+            continue
         assert pack_id == cum // 512, (doc_id, cum, pack_id)
         cum += n_tokens
 
