@@ -259,7 +259,16 @@ def c8_asof_join(spark, sf_dir):
 )
 def c9_rollup(spark, sf_dir):
     """ROLLUP — hierarchical subtotals (flag → flag+status → grand).
-    Spark expands to a union of grouping sets inside one hash aggregate."""
+    Spark expands to a union of grouping sets inside one hash aggregate.
+
+    Adjudicated empty-input seam (r6 empty-corpus sweep, applies to
+    c9_cube and c34 alike): over ZERO input rows Spark's rollup/cube/
+    grouping-sets emit no rows at all, while the SQL standard (DuckDB,
+    PostgreSQL) still emits the ``()`` grand-total group (count 0).
+    This engine keeps native Spark semantics — a user's Spark code
+    sees Spark's answer — and the empty-corpus gate allowlists the
+    difference rather than distorting the plan with an emptiness probe
+    and a synthesized union row."""
     return (
         table(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -286,7 +295,8 @@ def c9_rollup(spark, sf_dir):
     """,
 )
 def c9_cube(spark, sf_dir):
-    """CUBE — all grouping-set combinations."""
+    """CUBE — all grouping-set combinations. (Empty-input seam: see
+    c9_rollup — Spark emits no grand-total row over zero input rows.)"""
     return (
         table(spark, sf_dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
@@ -718,7 +728,8 @@ def c34_grouping_sets(spark, sf_dir):
     map-side per grain (Spark expands to a union of aggregates over one
     shuffle of the Expand output). COALESCE markers instead of
     grouping_id keep the output engine-portable (both columns are
-    non-null in the data, so 'ALL' is unambiguous)."""
+    non-null in the data, so 'ALL' is unambiguous). (Empty-input seam:
+    see c9_rollup — Spark emits no () group over zero input rows.)"""
     register_views(spark, sf_dir, ("lineitem",))
     # 100.0D: in Spark SQL text a bare 100.0 is a DECIMAL literal (the
     # DataFrame API's lit(100.0) is a double) and would drag the whole

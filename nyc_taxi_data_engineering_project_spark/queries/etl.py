@@ -200,7 +200,8 @@ def a23_snapshot_diff(spark, sf_dir):
     SELECT 'n_rows' AS metric, CAST(COUNT(*) AS DOUBLE) AS value
     FROM events
     UNION ALL
-    SELECT 'total_value', FLOOR(SUM(value) * 100.0 + 0.5) / 100.0
+    SELECT 'total_value',
+           COALESCE(FLOOR(SUM(value) * 100.0 + 0.5) / 100.0, 0.0)
     FROM events
     UNION ALL
     SELECT 'null_props', CAST(COUNT(*) FILTER (WHERE props IS NULL)

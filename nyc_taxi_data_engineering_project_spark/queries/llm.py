@@ -313,6 +313,14 @@ def _sampled_kmeans(emb, k, sample_cap=4096, iters=8, seed=42):
         [r.emb for r in emb.select("emb", "vec_id")
          .orderBy(F.xxhash64("vec_id")).limit(sample_cap).collect()]
     )
+    # empty-partition robustness: an empty corpus (a date-filtered run
+    # over an empty month) has no structure to fit — return None and
+    # let the caller emit its empty result instead of crashing in
+    # rng.choice; a corpus smaller than k fits what it has (fewer cells
+    # than asked is the correct degenerate quantizer, not an error)
+    if len(sample) == 0:
+        return None
+    k = min(k, len(sample))
     rng = np.random.default_rng(seed)
     centers = sample[rng.choice(len(sample), k, replace=False)]
     for _ in range(iters):
@@ -750,6 +758,10 @@ def f21_ivf_ann(spark, sf_dir):
     k, nprobe = 16, 4
     emb = _embeddings(spark, sf_dir)
     centers_np = _sampled_kmeans(emb, k=k)
+    if centers_np is None:  # empty corpus: no index, no neighbors
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rk int")
+    nprobe = min(nprobe, len(centers_np))  # k may have been clamped
     nearest_cell = _nearest_center_udf(centers_np)
     c_sq = (centers_np ** 2).sum(axis=1)
 
@@ -1186,6 +1198,14 @@ def f19_ml_tfidf_pipeline(spark, sf_dir):
     ])
     from pyspark.ml.functions import vector_to_array
 
+    # IDF.fit treeAggregates document frequencies and raises on an empty
+    # dataset (library constraint, like Tokenizer's null intolerance
+    # above) — an empty corpus has a defined answer: no documents, no
+    # rows. take(1) is the cheapest emptiness probe (stops at the first
+    # row of the first non-empty partition).
+    if not docs.take(1):
+        return spark.createDataFrame(
+            [], "doc_id long, n_active_terms int, tfidf_l2 double")
     fitted = pipe.fit(docs)
     # VectorUDT is not Arrow-native; vector_to_array exposes it as a
     # plain double array so the reductions run vectorized per batch
@@ -2054,6 +2074,10 @@ def f28_doc_clustering(spark, sf_dir):
     k = 8
     emb = _embeddings(spark, sf_dir)
     centers_np = _sampled_kmeans(emb, k=k)
+    if centers_np is None:  # empty corpus: no clusters to profile
+        return spark.createDataFrame(
+            [], "cluster_id long, n_vecs long, n_labels long, "
+                "avg_norm double")
     assign = _nearest_center_udf(centers_np)
     return (
         emb.withColumn("cluster_id", assign("emb"))
@@ -2108,7 +2132,10 @@ def f29_unigram_logprob(spark, sf_dir):
         tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=True)
     )
-    total = cnt.agg(F.sum("c")).collect()[0][0]
+    # SUM over an empty vocab is NULL; 1 keeps the log finite and the
+    # query's answer on an empty corpus is (correctly) zero rows — the
+    # empty-partition case a date-filtered 100 TB run hits routinely
+    total = cnt.agg(F.sum("c")).collect()[0][0] or 1
     # no broadcast hint: Zipf bounds mass concentration, not distinct-
     # term cardinality — a raw crawl's vocab (URLs, ids, junk) grows
     # with the corpus. AQE broadcasts the checkpointed vocab while it

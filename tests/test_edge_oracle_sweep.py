@@ -107,3 +107,53 @@ def test_edge_corpus_oracle_sweep(edge_corpus, ansi):
     n_ok = len(re.findall(r": OK ", proc.stdout))
     assert n_ok >= 120, f"only {n_ok} keys passed — drive died early?\n" + \
         proc.stdout[-2000:]
+
+
+# Spark emits NO rows for rollup/cube/grouping-sets over empty input;
+# the SQL standard (DuckDB) still emits the () grand-total group. This
+# engine keeps native Spark semantics (adjudicated; see c9_rollup's
+# docstring). MISMATCH only — these keys still must RUN clean.
+EMPTY_INPUT_SEAMS = {"c9_rollup", "c9_cube", "c34_grouping_sets"}
+
+
+def test_empty_corpus_oracle_sweep(tmp_path):
+    """Zero-row corpus (scripts/make_empty_corpus.py): every key must
+    produce its correct empty/zero answer, never a driver-side crash.
+    This is the routine 100 TB edge — an empty partition of a
+    date-partitioned table, a filter selecting an empty month, a
+    backfill from nothing. First run of this sweep found four crash
+    classes: rng.choice on an empty k-means sample (f21/f28),
+    float(None) from a SUM-over-empty scalar collect (f29), and
+    IDF.fit raising on an empty dataset (f19)."""
+    corpus = str(tmp_path / "empty_sf")
+    gen = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts",
+                                      "make_empty_corpus.py"), corpus],
+        capture_output=True, text=True, timeout=120, cwd=REPO,
+    )
+    assert gen.returncode == 0, gen.stdout + gen.stderr
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "drive_contract.py"),
+         corpus],
+        capture_output=True, text=True, timeout=900, cwd=REPO,
+    )
+    hard_fail = {
+        m.group(1)
+        for m in re.finditer(
+            r"^  (\S+): (?:SPARK ERROR|ORACLE ERROR)", proc.stdout, re.M)
+    }
+    mismatch = {
+        m.group(1)
+        for m in re.finditer(r"^  (\S+): MISMATCH", proc.stdout, re.M)
+    }
+    unexpected = hard_fail | (mismatch - EMPTY_INPUT_SEAMS)
+    assert not unexpected, (
+        f"empty-corpus divergence beyond the adjudicated grouping "
+        f"seams: {sorted(unexpected)}\n"
+        + "\n".join(line for line in proc.stdout.splitlines()
+                    if any(k in line for k in unexpected))[:3000]
+    )
+    n_ran = len(re.findall(r": (?:OK|rows-only)", proc.stdout))
+    assert n_ran >= 120, f"only {n_ran} keys ran — drive died early?\n" + \
+        proc.stdout[-2000:]
