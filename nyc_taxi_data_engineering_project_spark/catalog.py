@@ -85,23 +85,43 @@ def _nanos_ts_columns_at(peek_paths: tuple, fingerprint: tuple
     for p in peek_paths:
         try:
             schema = pq.read_schema(p)
-        except Exception:
+        except Exception as exc:
+            if len(peek_paths) > 1:
+                # a directory with one unreadable footer (mid-write,
+                # truncated) must refuse LOUDLY: swallowing it would
+                # return () for the whole table and silently disable
+                # both the nanos dispatch and the mixed-unit guard —
+                # the exact silent-misread this function exists to
+                # prevent. (A single bad file fails Spark's own read
+                # immediately, so () is harmless there.)
+                raise ValueError(
+                    f"unreadable parquet footer in part file {p} "
+                    f"(of {len(peek_paths)} parts): cannot determine "
+                    f"the table's timestamp unit — is a writer still "
+                    f"running? ({exc})"
+                ) from exc
             return ()
         per_part.append(tuple(
             f.name for f in schema if getattr(f.type, "unit", None) == "ns"
         ))
     if len(set(per_part)) > 1:
+        # report the MINORITY unit as the anomaly (the majority defines
+        # "the table"; blaming whichever cols differ from parts[0] would
+        # finger the nine good parts when the one stray sorts first)
+        from collections import Counter
+
+        majority = Counter(per_part).most_common(1)[0][0]
         odd = [
             (p, cols) for p, cols in zip(peek_paths, per_part)
-            if cols != per_part[0]
+            if cols != majority
         ]
         raise ValueError(
             f"mixed TIMESTAMP units across part files of one table: "
-            f"{peek_paths[0]} has nanos columns {per_part[0]} but "
-            f"{odd[0][0]} has {odd[0][1]} "
-            f"({len(odd)} of {len(peek_paths)} parts differ); a "
-            "single-unit reader dispatch cannot represent this — "
-            "rewrite the table with one unit"
+            f"{len(peek_paths) - len(odd)} of {len(peek_paths)} parts "
+            f"have nanos columns {majority} but {odd[0][0]} has "
+            f"{odd[0][1]} ({len(odd)} minority part(s)); a single-unit "
+            "reader dispatch cannot represent this — rewrite the table "
+            "with one unit"
         )
     return per_part[0]
 

@@ -26,3 +26,13 @@ def canon(v):
     if isinstance(v, list):
         return tuple(canon(x) for x in v)
     return str(v)
+
+
+def canon_rows(rows):
+    """Order-insensitive row multiset: the ONE row-level form too (the
+    cell canonicalizer alone left three hand-synced copies of the
+    sorted-tuples idiom across the gates). ``rows`` is any iterable of
+    sequence-like rows (pandas itertuples, Spark Row objects)."""
+    return sorted(
+        (tuple(canon(v) for v in row) for row in rows), key=repr
+    )

@@ -68,7 +68,7 @@ for name in ("region", "nation", "customer", "supplier", "part", "orders",
     )
 
 
-from canon import canon  # noqa: E402 — scripts/ on sys.path above
+from canon import canon_rows  # noqa: E402 — scripts/ on sys.path above
 
 
 t0 = time.time()
@@ -106,10 +106,8 @@ for key in sorted(qs):
         status.append(f"rowcount {len(sdf)} vs {len(odf)}")
     else:
         cols = sorted(sdf.columns)
-        srows = sorted((tuple(canon(v) for v in r)
-                        for r in sdf[cols].itertuples(index=False)), key=repr)
-        orows = sorted((tuple(canon(v) for v in r)
-                        for r in odf[cols].itertuples(index=False)), key=repr)
+        srows = canon_rows(sdf[cols].itertuples(index=False))
+        orows = canon_rows(odf[cols].itertuples(index=False))
         bad = [(a, b) for a, b in zip(srows, orows) if a != b]
         if bad:
             status.append(f"{len(bad)} value mismatches, first: {bad[0]}")

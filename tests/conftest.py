@@ -14,9 +14,10 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 sys.path.insert(0, os.path.join(_REPO, "scripts"))
 
-from canon import canon as _canon  # noqa: E402 — the ONE canonicalizer,
-# shared with scripts/drive_contract.py so the pytest comparator and the
-# contract drive can never disagree about what counts as a match
+# the ONE canonicalizer (row level; cell-level canon lives inside),
+# shared with scripts/drive_contract.py so the pytest comparator and
+# the contract drive can never disagree about what counts as a match
+from canon import canon_rows as _canon_rows  # noqa: E402
 
 from nyc_taxi_data_engineering_project_spark.catalog import TESTDATA_TABLES
 from nyc_taxi_data_engineering_project_spark.session import get_session
@@ -56,14 +57,8 @@ def assert_df_matches_oracle(spark_df, con, sql, key=""):
         f"{key}: row count differs: spark={len(sdf)} oracle={len(odf)}"
     )
     cols = sorted(sdf.columns)
-    srows = sorted(
-        (tuple(_canon(v) for v in row) for row in sdf[cols].itertuples(index=False)),
-        key=repr,
-    )
-    orows = sorted(
-        (tuple(_canon(v) for v in row) for row in odf[cols].itertuples(index=False)),
-        key=repr,
-    )
+    srows = _canon_rows(sdf[cols].itertuples(index=False))
+    orows = _canon_rows(odf[cols].itertuples(index=False))
     mismatches = [
         (i, a, b) for i, (a, b) in enumerate(zip(srows, orows)) if a != b
     ]

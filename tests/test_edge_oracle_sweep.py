@@ -137,6 +137,11 @@ def test_empty_corpus_oracle_sweep(tmp_path):
         [sys.executable, os.path.join(REPO, "scripts", "drive_contract.py"),
          corpus],
         capture_output=True, text=True, timeout=900, cwd=REPO,
+        # pin the production posture explicitly: a stray
+        # SPARK_GRAFT_ANSI=true in the developer's shell (the sibling
+        # posture sweep encourages exporting it) must not silently
+        # re-point this gate at a session the product never runs
+        env={**os.environ, "SPARK_GRAFT_ANSI": "false"},
     )
     hard_fail = {
         m.group(1)

@@ -273,6 +273,42 @@ def test_footer_dispatch_dir_refuses_interior_odd_part(tmp_path_factory):
         nanos_ts_columns(d)
 
 
+def test_footer_dispatch_dir_refuses_unreadable_part(tmp_path_factory):
+    """A directory with one corrupt/mid-write part footer must refuse
+    loudly, not silently return 'no nanos columns' for the whole table
+    (which would disable the dispatch AND the mixed-unit guard)."""
+    from nyc_taxi_data_engineering_project_spark.catalog import (
+        nanos_ts_columns,
+    )
+
+    d = str(tmp_path_factory.mktemp("dirbad") / "events.parquet")
+    os.makedirs(d)
+    pq.write_table(_events_arrow_table("ns"), os.path.join(d, "part-0.parquet"),
+                   version="2.6", coerce_timestamps=None, store_schema=False)
+    with open(os.path.join(d, "part-1.parquet"), "wb") as fh:
+        fh.write(b"PAR1truncated-mid-write")
+    with pytest.raises(ValueError, match="unreadable parquet footer"):
+        nanos_ts_columns(d)
+
+
+def test_footer_dispatch_mixed_error_blames_minority(tmp_path_factory):
+    """The mixed-unit message must finger the stray part, not the
+    majority — even when the stray sorts FIRST (computing 'odd' vs
+    parts[0] would blame every good part)."""
+    from nyc_taxi_data_engineering_project_spark.catalog import (
+        nanos_ts_columns,
+    )
+
+    d = str(tmp_path_factory.mktemp("dirminor") / "events.parquet")
+    os.makedirs(d)
+    for i, unit in enumerate(["ns", "us", "us", "us"]):  # stray first
+        pq.write_table(_events_arrow_table(unit),
+                       os.path.join(d, f"part-{i}.parquet"), version="2.6",
+                       coerce_timestamps=None, store_schema=False)
+    with pytest.raises(ValueError, match=r"part-0.*1 minority"):
+        nanos_ts_columns(d)
+
+
 def test_footer_dispatch_dir_homogeneous_nanos(tmp_path_factory):
     from nyc_taxi_data_engineering_project_spark.catalog import (
         nanos_ts_columns,

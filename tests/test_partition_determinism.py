@@ -47,7 +47,7 @@ import os
 
 import pytest
 
-from canon import canon
+from canon import canon_rows
 
 import __spark_entry__ as entry_mod
 
@@ -70,15 +70,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def resharded_sf(spark, tmp_path_factory):
     """Every source table rewritten as a 7-part directory — same rows,
     different physical layout. Written through Spark so the catalog's
-    directory dispatch (footer peek across all parts) is exercised too."""
+    directory dispatch (footer peek across all parts) is exercised too.
+    Read through catalog.table(), NOT bare spark.read.parquet: the
+    catalog owns the nanos-timestamp dispatch, and a bare read would
+    either crash on a nanos-typed driver file (the documented r3/r5
+    incident class) or reshard it un-normalized into a corpus whose
+    schema differs from the baseline the test compares against."""
     from nyc_taxi_data_engineering_project_spark.catalog import (
-        TESTDATA_TABLES,
+        TESTDATA_TABLES, table,
     )
 
     out = str(tmp_path_factory.mktemp("reshard"))
     for name in TESTDATA_TABLES:
-        src = os.path.join(SF_DIR, f"{name}.parquet")
-        (spark.read.parquet(src)
+        (table(spark, SF_DIR, name)
          .repartition(7)
          .write.mode("overwrite")
          .parquet(os.path.join(out, f"{name}.parquet")))
@@ -86,9 +90,7 @@ def resharded_sf(spark, tmp_path_factory):
 
 
 def _canon_rows(df):
-    return sorted(
-        (tuple(canon(v) for v in row) for row in df.collect()), key=repr
-    )
+    return canon_rows(df.collect())
 
 
 @pytest.mark.parametrize("key", DETERMINISTIC_ROWS_ONLY)
