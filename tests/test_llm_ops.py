@@ -255,6 +255,29 @@ def test_ivf_ann_recall_vs_bruteforce(spark):
             assert abs(exact_cos[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
 
 
+def test_sampled_kmeans_tiny_corpus_clamps_k(spark):
+    """r6 empty-sweep follow-through: the 0 < corpus < k band. A
+    3-vector corpus asked for k=16 cells must fit 3 centroids (the
+    vectors themselves, in some order), not crash in rng.choice; an
+    empty corpus must return None (the callers' emit-empty signal)."""
+    from nyc_taxi_data_engineering_project_spark.queries.llm import (
+        _sampled_kmeans,
+    )
+
+    tiny = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])],
+        "vec_id long, emb array<double>",
+    )
+    centers = _sampled_kmeans(tiny, k=16)
+    assert centers.shape == (3, 2)
+    assert sorted(map(tuple, centers.tolist())) == [
+        (0.0, 1.0), (1.0, 0.0), (1.0, 1.0),
+    ]
+
+    empty = spark.createDataFrame([], "vec_id long, emb array<double>")
+    assert _sampled_kmeans(empty, k=16) is None
+
+
 def test_boilerplate_removal_reassembly(spark):
     """f25: docs with nothing removed must reassemble to their original
     text exactly (blocks are a disjoint cover of the token stream), and
