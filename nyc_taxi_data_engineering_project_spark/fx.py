@@ -34,10 +34,20 @@ from pyspark.sql import Column, functions as F
 
 
 def fround(col: Column | str, n: int) -> Column:
-    """Half-up round to ``n`` decimals as a bit-stable double expression."""
+    """Half-up round to ``n`` decimals as a bit-stable double expression.
+
+    IEEE specials pass through untouched (r6 edge finding): Spark's
+    ``floor`` returns BIGINT with a saturating legacy cast, so under the
+    production ansi=false session ``fround(NaN)`` silently became 0.0
+    and ``fround(±Inf)`` became ±(2^63-1)/10^n, while DuckDB's FLOOR
+    stays double and propagates. ``c - c == 0`` is the cheap totality
+    probe: true for every finite value, false (or NULL) for NaN and
+    ±Inf — one codegen'd branch, no extra casts."""
     c = F.col(col) if isinstance(col, str) else col
     scale = float(10**n)
-    return F.floor(c * scale + F.lit(0.5)) / F.lit(scale)
+    return F.when(
+        c - c == 0, F.floor(c * scale + F.lit(0.5)) / F.lit(scale)
+    ).otherwise(c)
 
 
 def r2(col: Column | str) -> Column:

@@ -147,6 +147,17 @@ LSH_PLANES = [
 # one-time module-import list build and a longer inlined oracle string;
 # the Spark side still uses only the first k planes.
 _F13_MAX_PLANES = 40
+# Oracle-side spelling of _embeddings' usable-vector predicate (see its
+# docstring): squared norm finite and positive excludes null, NaN-
+# element, Inf-element, and all-zero vectors in one expression. The
+# isfinite() is load-bearing: DuckDB comparisons order NaN ABOVE every
+# number, so a bare `> 0` would happily keep a NaN-norm vector.
+_VEC_OK = (
+    "(embedding IS NOT NULL AND isfinite(list_sum(list_transform("
+    "CAST(embedding AS DOUBLE[]), x -> x * x))) AND list_sum("
+    "list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0)"
+)
+
 _f13_rng = random.Random(42)
 F13_PLANES = [
     [_f13_rng.uniform(-1.0, 1.0) for _ in range(64)]
@@ -200,10 +211,10 @@ def _f13_oracle() -> str:
     WITH params AS (
         SELECT GREATEST(2, CAST(round(log2(GREATEST(COUNT(*), 1) / 64.0 + 1))
                                 AS INTEGER)) AS k
-        FROM embeddings WHERE embedding IS NOT NULL
+        FROM embeddings WHERE {_VEC_OK}
     ), base AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-        FROM embeddings WHERE embedding IS NOT NULL
+        FROM embeddings WHERE {_VEC_OK}
     ), tagged AS (
         SELECT vec_id, e,
                CAST(list_sum(([{base_bits}])[1:k]) AS BIGINT) AS bucket
@@ -257,7 +268,7 @@ def _lsh_ann_oracle() -> str:
     WITH tagged AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
                {bucket} AS bucket
-        FROM embeddings WHERE embedding IS NOT NULL
+        FROM embeddings WHERE {_VEC_OK}
     ), probes AS (
         SELECT vec_id AS query_id, e AS qe,
                unnest([{probe_list}]) AS bucket
@@ -281,21 +292,31 @@ def _lsh_ann_oracle() -> str:
 def _embeddings(spark, sf_dir) -> DataFrame:
     """Shared embeddings source for the vector family (f3/f13/f21/f28).
 
-    Null vectors are EXCLUDED at the source (r6 edge finding): a 100 TB
-    embedding table will carry nulls (failed encoder calls), and they
-    crashed every downstream consumer differently — numpy refused the
-    ragged sample (k-means fit), DuckDB's list_inner_product raised on
-    NULL elements, and the Spark-side dot products silently yielded
-    null buckets. A vector with no value can hold no place in similarity
-    space; counting/alerting on them is a data-quality concern (f33's
-    class), not a similarity-operator one. Every vector-family oracle
-    carries the matching ``WHERE embedding IS NOT NULL``."""
+    Unusable vectors are EXCLUDED at the source (r6 edge findings): a
+    100 TB embedding table carries nulls (failed encoder calls), NaN
+    elements (encoders write garbage, not always null), and all-zero
+    vectors (norm 0 → every cosine is 0/0). Nulls crashed every
+    downstream consumer differently (numpy refused the ragged k-means
+    sample, DuckDB's list_inner_product raised, Spark dot products
+    silently yielded null buckets); NaN and zero-norm vectors are the
+    same poison one step later — NaN cosines rank nondeterministically
+    and 0/0 divides. One predicate covers all three: the squared norm
+    must be finite and positive (a NaN element makes it NaN, an Inf
+    element makes it Inf, all-zero makes it 0). A vector that can hold
+    no place in similarity space is excluded; counting/alerting on them
+    is a data-quality concern (f33's class), not a similarity-operator
+    one. Every vector-family oracle carries the matching ``_VEC_OK``
+    predicate."""
     e = table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
     emb = _as_double(F.col("embedding"))
-    return e.select("vec_id", "label", emb.alias("emb"),
-                    _norm(emb).alias("nrm"))
+    out = e.select("vec_id", "label", emb.alias("emb"),
+                   _norm(emb).alias("nrm"))
+    return out.filter(
+        ~F.isnan("nrm") & (F.col("nrm") > 0)
+        & (F.col("nrm") < F.lit(float("inf")))
+    )
 
 
 def _sampled_kmeans(emb, k, sample_cap=4096, iters=8, seed=42):
@@ -628,7 +649,7 @@ def f20_ml_minhash_lsh(spark, sf_dir):
 # ------------------------------------------- F3: similarity search (ANN)
 @query(
     "f3_cosine_topk",
-    oracle="""
+    oracle=f"""
     SELECT * FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                FLOOR(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
@@ -640,8 +661,8 @@ def f20_ml_minhash_lsh(spark, sf_dir):
                                                    CAST(c.embedding AS DOUBLE[]))
                             DESC, c.vec_id
                ) AS rk
-        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) q
-        JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) c
+        FROM (SELECT * FROM embeddings WHERE {_VEC_OK}) q
+        JOIN (SELECT * FROM embeddings WHERE {_VEC_OK}) c
           ON q.vec_id <> c.vec_id
         WHERE q.vec_id < 20
     ) WHERE rk <= 5

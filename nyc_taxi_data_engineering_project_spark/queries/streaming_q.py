@@ -212,9 +212,14 @@ def d6_stream_dedup(spark, sf_dir):
     "d8_stateful",
     # update-mode emits one row per user per micro-batch; the bounded
     # replay is ONE batch (single file), so the memory sink holds exactly
-    # each user's final state = the plain batch aggregate
+    # each user's final state = the plain batch aggregate. The FILTER
+    # spells the op's measurement contract (see track()): a NaN reading
+    # is as absent as a NULL one — the pandas state layer cannot tell
+    # them apart anyway (float64 has no null), and SQL's MAX would
+    # otherwise return NaN (both engines order NaN above +Inf).
     oracle="""
-    SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+    SELECT user_id, COUNT(*) AS n_events,
+           MAX(value) FILTER (WHERE NOT isnan(value)) AS max_value
     FROM events GROUP BY 1
     """,
 )
@@ -234,11 +239,22 @@ def d8_stateful(spark, sf_dir):
     from pyspark.sql.streaming.state import GroupState
 
     def track(key, pdfs, state: GroupState):
-        n, vmax = state.get if state.exists else (0, float("-inf"))
+        # measurement contract (r6 IEEE-specials finding): NaN readings
+        # are as absent as NULL ones — the float64 batch conflates them
+        # (pandas has no null double), and the previous bare .max()
+        # relied on pandas' silent skipna while SQL MAX returns NaN.
+        # notna() drops both; ±Inf are legitimate readings and survive.
+        # No -Inf init sentinel: a user whose only reading IS -Inf must
+        # be distinguishable from a user with no readings (None → NaN →
+        # NULL-equivalent at the sink).
+        n, vmax = state.get if state.exists else (0, None)
         for pdf in pdfs:
             n += len(pdf)
-            if len(pdf):
-                vmax = max(vmax, float(pdf["value"].max()))
+            v = pdf["value"]
+            v = v[v.notna()]
+            if len(v):
+                m = float(v.max())
+                vmax = m if vmax is None else max(vmax, m)
         state.update((n, vmax))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "max_value": [vmax]}

@@ -202,8 +202,15 @@ def main() -> None:
             [None if i % 67 == 0 else (5 if i % 3 == 0 else i % 40)
              for i in range(ne)], pa.int64()),
         "event_type": [ETYPES[i % len(ETYPES)] for i in range(ne)],
+        # IEEE specials in the metric double (r6 third wave): sensor
+        # glitches and upstream 0/0 land NaN/±Inf in real event streams;
+        # -0.0 probes sign-normalization in grouping/compare paths
         "value": pa.array(
-            [None if i % 37 == 0 else round(R.uniform(-10, 100), 3)
+            [float("nan") if i == 41 else
+             float("inf") if i == 83 else
+             float("-inf") if i == 167 else
+             -0.0 if i == 251 else
+             None if i % 37 == 0 else round(R.uniform(-10, 100), 3)
              for i in range(ne)], pa.float64()),
         "props": [props[i % len(props)] for i in range(ne)],
     }, [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
@@ -250,6 +257,11 @@ def main() -> None:
             embs.append([round(R.uniform(-1, 1), 4) for _ in range(64)])
     # two exact-duplicate vectors for near-dup checks
     embs[10] = embs[11] = [0.25] * 64
+    # a NaN element (failed encoder writes garbage, not always null)
+    # and an all-zero vector (norm 0 → cosine 0/0): both must be as
+    # harmless as a null vector to every similarity consumer
+    embs[13] = [float("nan")] + [0.5] * 63
+    embs[17] = [0.0] * 64
     write("embeddings", {
         "vec_id": pa.array(list(range(nv)), pa.int64()),
         "embedding": pa.array(embs, pa.list_(pa.float32())),

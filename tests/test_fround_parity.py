@@ -24,6 +24,11 @@ _ADVERSARIAL = [
     0.0005, -0.0005, 0.00005, -0.00005, 1e-12, -1e-12,
     123456.789012, -123456.789012, 9999.99995, -9999.99995,
     1.0 / 3.0, -1.0 / 3.0, math.pi, -math.pi, 2**31 / 100.0,
+    # IEEE specials (r6): Spark's floor is a BIGINT with a saturating
+    # legacy cast — fround(NaN) was 0.0 and fround(±Inf) was
+    # ±(2^63-1)/10^n until the pass-through branch; DuckDB FLOOR
+    # propagates. Both engines must now propagate identically.
+    float("nan"), float("inf"), float("-inf"),
 ]
 
 
@@ -67,7 +72,12 @@ def test_fround_bitwise_parity_spark_vs_duckdb(spark, oracle_con):
         mism = [
             (i, g, w)
             for i, (g, w) in enumerate(zip(got[col], want[col]))
-            if _bits(float(g)) != _bits(float(w))
+            # NaN compares by class, not payload: the dataframe bridges
+            # (pandas→Spark, pandas→DuckDB) may canonicalize or nullify
+            # NaN differently, and null/NaN unification is already the
+            # documented canon policy — bit-compare the rest
+            if not (math.isnan(float(g)) and math.isnan(float(w)))
+            and _bits(float(g)) != _bits(float(w))
         ]
         assert not mism, (
             f"{col}: {len(mism)} bitwise mismatches; first 3: {mism[:3]}"
