@@ -42,12 +42,28 @@ def fround(col: Column | str, n: int) -> Column:
     and ``fround(±Inf)`` became ±(2^63-1)/10^n, while DuckDB's FLOOR
     stays double and propagates. ``c - c == 0`` is the cheap totality
     probe: true for every finite value, false (or NULL) for NaN and
-    ±Inf — one codegen'd branch, no extra casts."""
+    ±Inf — one codegen'd branch, no extra casts.
+
+    Large finite magnitudes take a second branch (r6 review finding:
+    the specials branch alone still let |x|·10^n ≥ 2^63 saturate the
+    BIGINT floor — manufacturing (2^63-1)/10^n out of 1e300 — or throw
+    under ANSI). For |x|·10^n < 2^62 the long-typed floor is exact and
+    bit-agrees with DuckDB's double FLOOR (doubles ≥ 2^52 are where
+    they differ-by-parity BEFORE the floor, in the shared +0.5 add, so
+    both engines see the same operand). At |x|·10^n ≥ 2^62 every
+    double's ulp is ≥ 512: +0.5 is a provable no-op, the value is
+    already integral, and DuckDB's FLOOR(x·s+0.5)/s reduces to
+    (x·s)/s — which is the exact expression the branch computes, same
+    two IEEE roundings, bit-identical."""
     c = F.col(col) if isinstance(col, str) else col
     scale = float(10**n)
-    return F.when(
-        c - c == 0, F.floor(c * scale + F.lit(0.5)) / F.lit(scale)
-    ).otherwise(c)
+    lim = float(2**62) / scale
+    return (
+        F.when(~(c - c == 0), c)  # NaN/±Inf (and NULL: when(NULL)→next)
+        .when(F.abs(c) < F.lit(lim),
+              F.floor(c * scale + F.lit(0.5)) / F.lit(scale))
+        .otherwise((c * F.lit(scale)) / F.lit(scale))
+    )
 
 
 def r2(col: Column | str) -> Column:

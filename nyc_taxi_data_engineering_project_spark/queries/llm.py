@@ -148,14 +148,20 @@ LSH_PLANES = [
 # the Spark side still uses only the first k planes.
 _F13_MAX_PLANES = 40
 # Oracle-side spelling of _embeddings' usable-vector predicate (see its
-# docstring): squared norm finite and positive excludes null, NaN-
-# element, Inf-element, and all-zero vectors in one expression. The
-# isfinite() is load-bearing: DuckDB comparisons order NaN ABOVE every
-# number, so a bare `> 0` would happily keep a NaN-norm vector.
+# docstring): squared norm positive-finite excludes null, NaN-element,
+# Inf-element, and all-zero vectors; the explicit null-element check
+# exists because DuckDB's list_sum SKIPS null elements (a [1.0, NULL,
+# ...] vector would get a finite norm and be kept) while Spark's
+# fold-based norm nulls out and excludes it — parquet list<float>
+# permits null elements and a failed encoder can emit them (r6 review
+# finding). BETWEEN spells positive-and-finite off ONE subtree: NaN
+# fails `<= max` (DuckDB orders NaN above every number — a bare `> 0`
+# would KEEP a NaN norm), +Inf fails `<= max`, 0 fails `>= min`.
 _VEC_OK = (
-    "(embedding IS NOT NULL AND isfinite(list_sum(list_transform("
-    "CAST(embedding AS DOUBLE[]), x -> x * x))) AND list_sum("
-    "list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0)"
+    "(embedding IS NOT NULL"
+    " AND length(list_filter(embedding, x -> x IS NULL)) = 0"
+    " AND list_sum(list_transform(CAST(embedding AS DOUBLE[]),"
+    " x -> x * x)) BETWEEN 5e-324 AND 1.7976931348623157e308)"
 )
 
 _f13_rng = random.Random(42)
@@ -843,15 +849,17 @@ def f13_embedding_neardup(spark, sf_dir):
     pairs, and a vectorized kernel beats the interpreted higher-order
     fold by ~4× there; the JVM `_dot` stays in the exact-baseline ops
     where bit-identical accumulation against the oracle matters."""
-    # size from raw-table count (metadata-served: no norm/bucket exprs
-    # evaluate), then pin the tagged frame — the width gate and the
-    # refinement join both consume it, and unpinned each consumer
-    # re-derives every hyperplane dot product from the scan (the
-    # multi-consumer pathology of SCALE.md §5). localCheckpoint, not
-    # persist: blocks are freed with the result.
-    n = table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()).count()  # same population
-    # as _embeddings and the oracle params CTE (null vectors excluded)
+    # size from the USABLE population — the exact frame that gets
+    # bucketed and the population the oracle's params CTE counts (r6
+    # review finding: an IS-NOT-NULL count here and a _VEC_OK count
+    # there can land either side of a log2 rounding boundary and derive
+    # different plane counts, diverging every bucket id). One map-only
+    # count pass with the norm predicate; then pin the tagged frame —
+    # the width gate and the refinement join both consume it, and
+    # unpinned each consumer re-derives every hyperplane dot product
+    # from the scan (the multi-consumer pathology of SCALE.md §5).
+    # localCheckpoint, not persist: blocks are freed with the result.
+    n = _embeddings(spark, sf_dir).count()
     n_planes = max(2, round(math.log2(max(n, 1) / 64 + 1)))
     planes = _f13_planes(n_planes)
     split_planes = F13_SPLIT_PLANES

@@ -257,11 +257,14 @@ def main() -> None:
             embs.append([round(R.uniform(-1, 1), 4) for _ in range(64)])
     # two exact-duplicate vectors for near-dup checks
     embs[10] = embs[11] = [0.25] * 64
-    # a NaN element (failed encoder writes garbage, not always null)
-    # and an all-zero vector (norm 0 → cosine 0/0): both must be as
-    # harmless as a null vector to every similarity consumer
+    # a NaN element (failed encoder writes garbage, not always null),
+    # an all-zero vector (norm 0 → cosine 0/0), and a null ELEMENT
+    # (parquet list<float> permits it; DuckDB's list_sum would silently
+    # skip it where Spark's fold nulls out — both sides must exclude):
+    # all must be as harmless as a null vector to every consumer
     embs[13] = [float("nan")] + [0.5] * 63
     embs[17] = [0.0] * 64
+    embs[19] = [0.5] * 63 + [None]
     write("embeddings", {
         "vec_id": pa.array(list(range(nv)), pa.int64()),
         "embedding": pa.array(embs, pa.list_(pa.float32())),

@@ -29,6 +29,13 @@ _ADVERSARIAL = [
     # ±(2^63-1)/10^n until the pass-through branch; DuckDB FLOOR
     # propagates. Both engines must now propagate identically.
     float("nan"), float("inf"), float("-inf"),
+    # large finite magnitudes (r6 review): the same saturating cast
+    # fired for any |x|*10^n >= 2^63 — 1e17 at 2dp manufactured
+    # 92233720368547758.07 — until the magnitude branch; the values
+    # straddle the 2^62/scale branch point at every scale used
+    1e17, -1e17, 1e300, -1e300, 4.5e15, -4.5e15, 4.7e15,
+    2.0**62 / 100.0, 2.0**62 / 100.0 - 1.0, 2.0**62, 9e12, -9e12,
+    6e11, 7e13, 1e16, -1e16,
 ]
 
 

@@ -227,13 +227,20 @@ def test_stateful_state_recovers_across_crash_restart(spark, tmp_path):
     source = table(spark, SF_DIR, "events").select("user_id", "value")
     source.repartition(4).write.parquet(src_dir)
 
-    # same state semantics as streaming_q.d8_stateful's track
+    # same state semantics as streaming_q.d8_stateful's track (r6: the
+    # NaN-as-absent measurement contract — notna() filter, None init
+    # instead of a -inf sentinel; this copy must pin the PRODUCTION
+    # semantics or a regression in d8's contract would slip past the
+    # restart test)
     def track(key, pdfs, state: GroupState):
-        n, vmax = state.get if state.exists else (0, float("-inf"))
+        n, vmax = state.get if state.exists else (0, None)
         for pdf in pdfs:
             n += len(pdf)
-            if len(pdf):
-                vmax = max(vmax, float(pdf["value"].max()))
+            v = pdf["value"]
+            v = v[v.notna()]
+            if len(v):
+                m = float(v.max())
+                vmax = m if vmax is None else max(vmax, m)
         state.update((n, vmax))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "max_value": [vmax]}
@@ -305,11 +312,16 @@ def test_stateful_state_recovers_across_crash_restart(spark, tmp_path):
         table(spark, SF_DIR, "events")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.max("value").alias("max_value"))
+             # NaN-as-absent, matching track(): a bare F.max would
+             # return NaN for a NaN-carrying user (Spark orders NaN
+             # above +Inf) where the stateful op reports the finite max
+             F.max(F.when(~F.isnan("value"), F.col("value")))
+             .alias("max_value"))
     )
-    got = {r.user_id: (r.n_events, round(r.max_value, 6))
+    rnd = lambda v: None if v is None else round(v, 6)  # noqa: E731
+    got = {r.user_id: (r.n_events, rnd(r.max_value))
            for r in final.collect()}
-    want = {r.user_id: (r.n_events, round(r.max_value, 6))
+    want = {r.user_id: (r.n_events, rnd(r.max_value))
             for r in batch.collect()}
     assert got == want
 
@@ -339,11 +351,16 @@ def test_stateful_counts_match_batch_aggregation(spark):
         table(spark, SF_DIR, "events")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.max("value").alias("max_value"))
+             # NaN-as-absent, matching track(): a bare F.max would
+             # return NaN for a NaN-carrying user (Spark orders NaN
+             # above +Inf) where the stateful op reports the finite max
+             F.max(F.when(~F.isnan("value"), F.col("value")))
+             .alias("max_value"))
     )
-    got = {r.user_id: (r.n_events, round(r.max_value, 6))
+    rnd = lambda v: None if v is None else round(v, 6)  # noqa: E731
+    got = {r.user_id: (r.n_events, rnd(r.max_value))
            for r in final.collect()}
-    want = {r.user_id: (r.n_events, round(r.max_value, 6))
+    want = {r.user_id: (r.n_events, rnd(r.max_value))
             for r in batch.collect()}
     assert got == want
 
