@@ -26,6 +26,14 @@ corpus proves none of them currently hit it, and at true ledger
 fidelity a 100 TB pipeline should carry DecimalType end-to-end from
 ingest (a schema decision, not a per-query patch). If a future corpus
 trips another key, convert that key the b3 way.
+
+IEEE-specials scope (r6): NaN/±Inf are planted and guarded where they
+occur in practice — metric doubles (events.value) and embedding
+vectors. Money columns (prices, balances, revenue) carrying NaN is an
+upstream ingest-quality failure (f33's class, caught at validation),
+not a state the query layer guards per-expression; fround still
+passes specials through rather than fabricating finite values if one
+ever arrives.
 """
 
 from __future__ import annotations
@@ -79,9 +87,43 @@ def r6(col: Column | str) -> Column:
 
 
 def sql_round(expr: str, n: int) -> str:
-    """The oracle-side spelling of :func:`fround` (ANSI/DuckDB SQL)."""
+    """The oracle-side spelling of :func:`fround` (ANSI/DuckDB SQL).
+
+    No guards needed: DuckDB's FLOOR is double→double and already
+    propagates NaN/±Inf and survives any magnitude — the branches in
+    :func:`fround` exist to make SPARK match this behavior."""
     scale = float(10**n)
     return f"FLOOR(({expr}) * {scale} + 0.5) / {scale}"
+
+
+def spark_sql_round(expr: str, n: int) -> str:
+    """:func:`fround`'s guarded policy in Spark SQL TEXT — for keys
+    written as Spark-only ``spark.sql(...)`` strings (c34). A raw
+    ``FLOOR(x*s + 0.5)/s`` in Spark SQL has the same BIGINT-floor
+    seams fround closed on the DataFrame side (NaN→0, ±Inf and
+    |x|·10^n ≥ 2^63 → saturate); this emits the same three branches.
+
+    The SHARED-text keys (c30/c31/q11/q22 — one SQL string serves both
+    engines, including as the oracle) deliberately keep the raw FLOOR:
+    the D-suffix double literals this helper needs don't parse in
+    DuckDB, splitting the texts would reintroduce the copy-drift risk
+    the shared form exists to prevent, and their inputs are money
+    columns — in scope of the documented ingest-validation adjudication
+    (module docstring: IEEE specials live in metric doubles; money
+    carrying NaN is an upstream quality failure, f33's class).
+    ``x - x = 0`` is false for NaN under Spark SQL's NaN semantics
+    (NaN equals only NaN), NULL-safe (NULL falls through every WHEN to
+    the NULL-propagating ELSE), and the D-suffixed literals keep the
+    arithmetic DOUBLE — bare decimals in Spark SQL text are DECIMAL
+    and would drag the whole expression into decimal math."""
+    s = f"{float(10**n)!r}D"
+    lim = f"{float(2**62) / 10**n!r}D"
+    x = f"({expr})"
+    return (
+        f"CASE WHEN NOT ({x} - {x} = 0D) THEN {x} "
+        f"WHEN ABS({x}) < {lim} THEN FLOOR({x} * {s} + 0.5D) / {s} "
+        f"ELSE ({x} * {s}) / {s} END"
+    )
 
 
 def nsize(col: Column) -> Column:

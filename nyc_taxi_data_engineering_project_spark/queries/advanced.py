@@ -731,14 +731,13 @@ def c34_grouping_sets(spark, sf_dir):
     non-null in the data, so 'ALL' is unambiguous). (Empty-input seam:
     see c9_rollup — Spark emits no () group over zero input rows.)"""
     register_views(spark, sf_dir, ("lineitem",))
-    # 100.0D: in Spark SQL text a bare 100.0 is a DECIMAL literal (the
-    # DataFrame API's lit(100.0) is a double) and would drag the whole
-    # rounding expression into decimal arithmetic, breaking float parity
-    return spark.sql("""
+    # fx.spark_sql_round: the guarded fround policy in SQL-text form
+    # (D-suffixed double literals, specials/magnitude branches)
+    return spark.sql(f"""
         SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
                COALESCE(l_linestatus, 'ALL') AS linestatus,
                COUNT(*) AS n,
-               FLOOR(SUM(l_quantity) * 100.0D + 0.5D) / 100.0D AS qty
+               {fx.spark_sql_round('SUM(l_quantity)', 2)} AS qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                                 (l_returnflag), ())
