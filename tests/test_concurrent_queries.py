@@ -1,0 +1,63 @@
+"""Concurrent-query correctness on ONE shared SparkSession.
+
+An analytics engine is multi-tenant in practice: a query server (or a
+notebook team) submits many queries against one SparkSession at once,
+and Spark schedules them as concurrent jobs on the shared context.
+Everything else in the suite runs keys serially; this gate proves the
+registry surface is thread-safe under that pattern — no shared mutable
+state inside query construction, no temp-view name collisions, no
+cross-talk through the session — by racing a representative slice of
+the surface and requiring results identical to the serial run.
+
+The slice deliberately mixes the shapes that would collide if anything
+were shared: temp-view-based SQL keys, broadcast joins, the salted
+join, window functions, Arrow-batched Python evals, and the two-phase
+rank keys. Streaming-replay and write-path keys are excluded — their
+checkpoint/output dirs are per-invocation mkdtemp (safe by
+construction, pinned by their own tests) but replaying streams in a
+race adds minutes of runtime for no added signal; c29/c11_approx are
+excluded as the documented partition/estimate-dependent keys.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+
+from canon import canon_rows
+from conftest import SF_DIR
+
+from nyc_taxi_data_engineering_project_spark import registry
+
+registry.load_all()
+
+KEYS = [
+    "flagship_daily_region_revenue",  # broadcast dims + agg
+    "b3_join_both_zones",             # double dim join, decimal money
+    "c1_smj_selfjoin",                # shuffle join
+    "c12_rank",                       # window functions
+    "c27_json_funcs",                 # expression-heavy projection
+    "c31_cte",                        # spark.sql + temp views
+    "c33_salted_join",                # salted sort-merge
+    "e2_pandas_udf",                  # Arrow-batched Python eval
+    "f1_exact_dedup",                 # hash groupBy dedup
+    "f22_stratified_sample",          # two-phase rank + broadcasts
+    "f9_token_count",                 # text surface
+    "tpch_q5",                        # 6-table join tree
+    "tpch_q21",                       # decorrelated double-EXISTS
+]
+
+
+def _run(spark, key):
+    return canon_rows(registry.QUERIES[key](spark, SF_DIR).collect())
+
+
+def test_concurrent_results_equal_serial(spark):
+    serial = {k: _run(spark, k) for k in KEYS}
+    with ThreadPoolExecutor(max_workers=len(KEYS)) as pool:
+        futures = {k: pool.submit(_run, spark, k) for k in KEYS}
+        concurrent = {k: f.result(timeout=300) for k, f in futures.items()}
+    for k in KEYS:
+        assert concurrent[k] == serial[k], f"{k} diverged under concurrency"
+    # non-degenerate: the race ran real work (tpch_q21 is legitimately
+    # empty at sf0.001 — its waiting-supplier predicate selects nothing)
+    assert sum(1 for k in KEYS if serial[k]) >= len(KEYS) - 1
