@@ -422,21 +422,151 @@ def f1_exact_dedup(spark, sf_dir):
     )
 
 
-@query("f2_minhash_dedup")  # rows-only: see recall note below
+# f2's tuning constants — module-level so the implementation and its
+# DuckDB oracle read the SAME literals (the F13_PLANES pattern).
+F2_N_HASHES, F2_N_BANDS, F2_MAX_BUCKET = 32, 4, 64
+
+# Universal-hash permutation constants for the 32 minhash seeds:
+# perm_j(x) = (a_j * x + b_j) mod p with p = 2^31 - 1 and x = s mod p
+# (s is the 56-bit packed gram hash). a_j*x < 2^62, so the arithmetic
+# never overflows a signed long under EITHER ANSI posture, and both
+# engines compute it exactly. Fixed literals (seeded once, pasted) so
+# the values cannot drift between processes or Python versions; a
+# per-seed Kirsch-Mitzenmacher h1 + j*h2 was tried first and REJECTED:
+# for large j the argmin gram is dominated by min(h2), correlating the
+# minhash rows across seeds and dropping banding recall to 0.86 —
+# below the 0.9 gate (classic LSH folklore, measured here).
+F2_HASH_P = 2147483647
+F2_PERMS = (
+    (1571058545, 730493951), (1660058740, 1293707555),
+    (1122761735, 1579482913), (72772567, 776319282),
+    (1809802580, 1088400265), (1716185262, 1854787490),
+    (1376580201, 1232262116), (126093127, 1718349004),
+    (1255154079, 929465993), (1495162255, 1110399376),
+    (253380337, 223979956), (331484110, 2008330132),
+    (554108161, 2135836560), (84440658, 430566606),
+    (287728255, 1463639562), (1926419603, 34250603),
+    (492340083, 377114938), (1370280527, 1486839300),
+    (1398888244, 2122241593), (1078376802, 462006862),
+    (988049140, 2126155473), (827766902, 1307509404),
+    (1105680809, 1314894100), (2032715449, 109028814),
+    (2091592247, 1492510468), (1748677567, 1091064767),
+    (791347239, 583621836), (1267255616, 288603717),
+    (146926940, 761214734), (923038556, 1674215711),
+    (1858616511, 193761614), (804076797, 119361460),
+)
+
+
+def _f2_oracle_ctes() -> str:
+    """The full f2 pipeline as DuckDB CTEs (through ``verified``), shared
+    by the f2 and f14 oracles. Reproducible cross-engine because every
+    hash is md5-derived (see f2's docstring): base shingle hash = two
+    28-bit md5-hex halves packed into a 56-bit long; per-seed minhash =
+    universal hashing (a_j·(s mod p) + b_j) mod p, p = 2^31−1 (< 2^62,
+    exact integer arithmetic in both engines, no overflow under either
+    ANSI posture); band hash = md5 of the 8 pipe-joined minhash values
+    + the band id."""
+    rpb = F2_N_HASHES // F2_N_BANDS
+    m_cols = ", ".join(
+        "list_min(list_transform(sh, s -> "
+        f"({a} * (s % {F2_HASH_P}) + {b}) % {F2_HASH_P}"
+        f")) AS m{j}"
+        for j, (a, b) in enumerate(F2_PERMS)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, ('0x' || substring(md5({cat}), 1, 15))::BIGINT AS band_hash FROM minh"
+        .format(
+            b=b,
+            cat=" || '|' || ".join(
+                f"m{j}::VARCHAR" for j in range(b * rpb, (b + 1) * rpb)
+            ) + f" || '|{b}'",
+        )
+        for b in range(F2_N_BANDS)
+    )
+    return f"""
+    toked AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), corpus AS (
+        SELECT doc_id, toks FROM toked WHERE len(toks) >= 3
+        UNION ALL
+        SELECT doc_id + (SELECT COALESCE(MAX(doc_id) + 1, 1) FROM documents),
+               toks[1:len(toks) - 2]
+        FROM toked WHERE doc_id < 20 AND len(toks) >= 5
+    ), shingled AS (
+        SELECT doc_id,
+               list_transform(
+                   list_transform(
+                       list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                      FOR i IN generate_series(1, len(toks) - 2)]),
+                       g -> md5(g)),
+                   m -> ('0x' || substring(m, 1, 7))::BIGINT * 268435456
+                        + ('0x' || substring(m, 8, 7))::BIGINT) AS sh
+        FROM corpus
+    ), minh AS (
+        SELECT doc_id, sh, {m_cols} FROM shingled
+    ), bands AS (
+        {band_selects}
+    ), bucket_stats AS (
+        SELECT band_id, band_hash, COUNT(*) AS w, MIN(doc_id) AS rep
+        FROM bands GROUP BY 1, 2
+    ), all_pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                    AND a.doc_id < b.doc_id
+        JOIN bucket_stats s ON s.band_id = a.band_id
+                           AND s.band_hash = a.band_hash
+        WHERE s.w BETWEEN 2 AND {F2_MAX_BUCKET}
+    ), star_pairs AS (
+        SELECT s.rep AS doc_a, b.doc_id AS doc_b
+        FROM bands b
+        JOIN bucket_stats s ON s.band_id = b.band_id
+                           AND s.band_hash = b.band_hash
+        WHERE s.w > {F2_MAX_BUCKET} AND b.doc_id <> s.rep
+    ), cand AS (
+        SELECT DISTINCT doc_a, doc_b
+        FROM (SELECT * FROM all_pairs UNION ALL SELECT * FROM star_pairs)
+    ), verified AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+        FROM cand c
+        JOIN shingled a ON a.doc_id = c.doc_a
+        JOIN shingled b ON b.doc_id = c.doc_b
+    )"""
+
+
+@query(
+    "f2_minhash_dedup",
+    oracle="WITH " + _f2_oracle_ctes() + """
+    SELECT doc_a, doc_b,
+           FLOOR(j * 10000.0 + 0.5) / 10000.0 AS jaccard
+    FROM verified WHERE j >= 0.6
+    """,
+)
 def f2_minhash_dedup(spark, sf_dir):
     """F2: MinHash+LSH near-duplicate detection, built from scratch in
     DataFrame ops (shingle → 32 minhashes → 4 bands of 8 → hot-bucket cap
     → band-bucket join → exact-Jaccard verify ≥ 0.6).
 
-    Why rows-only: the natural SQL twin — exact all-pairs Jaccard ≥ 0.6 —
-    is NOT equal to this output, because banding recall is < 1 by design
-    (measured r4: 58/59 exact pairs found at sf 0.001, 44/46 at sf 0.01;
-    the misses are band-collision probability, not bugs). And the minhash
-    path itself is built on Spark's xxhash64, which DuckDB cannot
-    reproduce. The honest check is therefore behavioral, in
-    tests/test_llm_ops.py: soundness (every emitted pair IS an exact
-    ≥ 0.6 pair with the right Jaccard) + recall ≥ 0.9 vs the exact
-    baseline + planted-pair recovery.
+    Oracle-checked as of r6: previously rows-only because the minhash
+    path was built on Spark's xxhash64, which DuckDB cannot reproduce.
+    The hash family is now cross-engine exact: ONE md5 per distinct
+    shingle, its first 14 hex chars packed into a 56-bit long ``s``,
+    and the 32 per-seed permutations computed by the classic universal
+    family ``(a_j·(s mod p) + b_j) mod p`` with p = 2^31−1 (F2_PERMS
+    literals) — four long ops per gram per seed, cheaper than the
+    xxhash64 it replaces, and bit-identical in both engines, so the
+    ENTIRE pipeline including banding recall has an exact SQL twin
+    (_f2_oracle_ctes) and the key is value-hash-verified. a_j·x < 2^62,
+    so the arithmetic is ANSI-posture-agnostic (a wraparound long
+    multiply would throw under ansi=true, the edge sweep's second
+    posture; nothing here can overflow). Band hash = md5 of the
+    pipe-joined minhash octet + band id (4 md5s per doc — off the hot
+    path). Banding recall vs the exact all-pairs baseline is still < 1
+    by design (an LSH property); the behavioral gates in
+    tests/test_llm_ops.py (soundness + recall ≥ 0.9 + planted-pair
+    recovery) stay as the semantic check.
 
     The corpus is documents ∪ planted near-duplicates (docs 0-19 with
     the last two tokens dropped, ids shifted past max(doc_id) — see
@@ -495,29 +625,46 @@ def f2_minhash_dedup(spark, sf_dir):
     shingled = (
         corpus.select(
             "doc_id",
-            F.transform(_shingles(F.col("toks")), lambda g: F.xxhash64(g))
-            .alias("sh"),
+            # two-level transform: the inner one materializes md5(g) so
+            # the two substring reads share ONE md5 evaluation per gram
+            # (a single-level lambda referencing md5(g) twice computes
+            # it twice — measured 1.7× on this stage)
+            F.transform(
+                F.transform(_shingles(F.col("toks")), lambda g: F.md5(g)),
+                lambda m: F.conv(F.substring(m, 1, 7), 16, 10).cast("long")
+                * F.lit(268435456).cast("long")
+                + F.conv(F.substring(m, 8, 7), 16, 10).cast("long"),
+            ).alias("sh"),
         )
         .repartition(F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
 
-    n_hashes, n_bands, max_bucket = 32, 4, 64
+    n_hashes, n_bands, max_bucket = F2_N_HASHES, F2_N_BANDS, F2_MAX_BUCKET
     rows_per_band = n_hashes // n_bands
     # one minhash expression per seed, each referenced exactly once in
     # its band hash — no expression is duplicated, so nothing recomputes.
     # Built as a single SQL string: the equivalent Column-API construction
     # (32 Python lambdas) costs seconds of py4j round-trips per call;
     # F.expr ships the whole tree to the JVM parser in one hop.
+    # Hash spellings mirror _f2_oracle_ctes exactly (md5-derived base,
+    # universal-hash permutations — see F2_PERMS), band hash over the
+    # pipe-joined minhash octet.
     minh = [
-        f"array_min(transform(sh, s -> xxhash64(s, {j})))"
-        for j in range(n_hashes)
+        f"array_min(transform(sh, s -> ({a} * (s % {F2_HASH_P}) + {b}) "
+        f"% {F2_HASH_P}))"
+        for a, b in F2_PERMS
     ]
     band_structs = ", ".join(
-        "named_struct('band_id', {b}, 'band_hash', xxhash64({args}, {b}))"
+        "named_struct('band_id', {b}, 'band_hash', "
+        "cast(conv(substr(md5(concat_ws('|', {args}, '{b}')), 1, 15), "
+        "16, 10) as bigint))"
         .format(
             b=b,
-            args=", ".join(minh[b * rows_per_band:(b + 1) * rows_per_band]),
+            args=", ".join(
+                f"cast({m} as string)"
+                for m in minh[b * rows_per_band:(b + 1) * rows_per_band]
+            ),
         )
         for b in range(n_bands)
     )
@@ -958,7 +1105,36 @@ def f13_embedding_neardup(spark, sf_dir):
     )
 
 
-@query("f14_dedup_clusters")  # rows-only: input is f2's LSH pairs (recall<1)
+@query(
+    "f14_dedup_clusters",
+    # Oracle-checked as of r6 (was rows-only): f2's pair set now has an
+    # exact SQL twin (md5-derived hashes, see f2), so connected
+    # components over it does too — a recursive CTE computes the true
+    # transitive closure and takes MIN(label) per node. Spark's 10-round
+    # propagation cap equals true CC whenever every component's
+    # label-propagation radius is <= 10; star pairs keep hot clusters at
+    # radius <= 2, and the driver's value-hash at three SFs is exactly
+    # the check that the premise holds on real data.
+    oracle="WITH RECURSIVE " + _f2_oracle_ctes() + """
+    , pairs AS (
+        SELECT doc_a, doc_b FROM verified WHERE j >= 0.6
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ), nodes AS (
+        SELECT doc_id FROM documents
+        UNION
+        SELECT src FROM edges
+    ), reach(id, lab) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT e.dst, r.lab FROM edges e JOIN reach r ON r.id = e.src
+    )
+    SELECT id AS doc_id, MIN(lab) AS cluster_id, MIN(lab) = id AS keep
+    FROM reach GROUP BY id
+    """,
+)
 def f14_dedup_clusters(spark, sf_dir):
     """F14: duplicate-cluster resolution — connected components over the
     near-duplicate pair graph (f2's output), turning pairwise matches
@@ -967,19 +1143,28 @@ def f14_dedup_clusters(spark, sf_dir):
     and a keep flag on the cluster representative — so "keep rows where
     keep" is the complete deduplicated corpus, not just the pair members.
 
-    Algorithm: min-label propagation. Each vertex starts labeled with its
-    own id; each round, every vertex takes the minimum label among itself
-    and its neighbors; converged when a round changes nothing. Rounds are
-    bounded by component diameter — near-dup clusters are tiny and dense,
-    so this converges in 2-3 rounds (hard cap 10).
+    Algorithm: min-label propagation WITH pointer jumping. Each vertex
+    starts labeled with its own id; each round, every vertex takes the
+    minimum label among itself and its neighbors, then a path-halving
+    step replaces each label with its label's label — so label chains
+    collapse exponentially and rounds-to-converge is O(log diameter),
+    not O(diameter). Converged when a round changes nothing; if the
+    round cap (1 fused + 9) is ever insufficient the query REFUSES
+    loudly instead of returning near-converged labels (the r6 edge
+    corpus caught exactly that: a chain component whose diameter
+    exceeded the cap left 7 docs one hop above the component min, and
+    the plain-propagation loop exited silently — found by the f14
+    oracle differential the same day it was added).
 
-    Scale notes: the per-round work is one equi join edges⋈labels plus a
-    min-aggregate — both shuffle-partitioned on vertex id. Each round's
-    result is localCheckpoint()ed: without lineage truncation an
-    iterative loop's plan doubles per round and the job dies at plan
-    compile time long before data size matters. The convergence check is
-    a scalar count per round (a driver-side decision, not a data
-    collect)."""
+    Scale notes: the per-round work is two equi joins (edges⋈labels and
+    labels⋈labels) plus a min-aggregate — all shuffle-partitioned on
+    vertex id. Each round's result is localCheckpoint()ed: without
+    lineage truncation an iterative loop's plan doubles per round and
+    the job dies at plan compile time long before data size matters;
+    the checkpoint also makes the labels⋈labels self-join read
+    materialized blocks instead of recomputing the round. The
+    convergence check is a scalar count per round (a driver-side
+    decision, not a data collect)."""
     pairs = f2_minhash_dedup(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -1002,6 +1187,7 @@ def f14_dedup_clusters(spark, sf_dir):
         )
         .localCheckpoint(eager=False)
     )
+    changed = -1
     for _ in range(9):
         nbr_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -1011,21 +1197,46 @@ def f14_dedup_clusters(spark, sf_dir):
         new_label = F.least(
             F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
         )
-        # carry the changed flag through the checkpoint so convergence is
-        # a filter-count on materialized data, not a second join per round
+        # prev rides along so _changed can compare against the label the
+        # round STARTED with (neighbor-min and the jump below both lower)
         stepped = (
             labels.join(nbr_min, labels.id == nbr_min.src, "left")
             .select(
                 "id",
                 new_label.alias("label"),
-                (new_label < F.col("label")).alias("_changed"),
+                F.col("label").alias("prev"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = stepped.filter("_changed").count()
-        labels = stepped.drop("_changed")
+        # pointer jump (path halving): label ← min(label, label's label).
+        # Self-join on the checkpointed frame — materialized blocks, no
+        # recompute — collapses label chains exponentially.
+        s, j = stepped.alias("s"), stepped.alias("j")
+        jump_label = F.least(
+            F.col("s.label"),
+            F.coalesce(F.col("j.label"), F.col("s.label")),
+        )
+        jumped = (
+            s.join(j, F.col("s.label") == F.col("j.id"), "left")
+            .select(
+                F.col("s.id").alias("id"),
+                jump_label.alias("label"),
+                (jump_label < F.col("s.prev")).alias("_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = jumped.filter("_changed").count()
+        labels = jumped.drop("_changed")
         if changed == 0:
             break
+    if changed != 0:
+        # the cap is ~2^9 effective diameter with path halving; hitting
+        # it means labels may be near-converged-but-wrong — refuse, the
+        # repo's fail-fast posture (silent near-answers corrupt dedup)
+        raise ValueError(
+            "f14: label propagation did not converge within the round "
+            "cap — component diameter exceeds the documented bound"
+        )
     # cover the WHOLE corpus, not just docs that appear in a pair:
     # singletons are their own (kept) cluster — a consumer keeping
     # keep=true rows must not silently lose every unique document.
@@ -1600,10 +1811,45 @@ def f9_token_count(spark, sf_dir):
     )
 
 
-@query("f10_simhash")  # rows-only: xxhash64 bits, unreproducible in DuckDB
+def _f10_oracle() -> str:
+    """DuckDB twin of f10_simhash: same md5-derived 64-bit token hash,
+    same ±1 votes, same sign reassembly. The signature's bit 63 cannot be
+    built with BIGINT shifts (DuckDB raises on ``1::BIGINT << 63``), so
+    the bits sum in HUGEINT and one wraparound subtract maps [2^63, 2^64)
+    to the negative longs — exactly Java's signed-64 bit pattern."""
+    votes = ", ".join(
+        "SUM(CASE WHEN ({src} >> {s}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        .format(src="lo" if b < 32 else "hi", s=b % 32, b=b)
+        for b in range(64)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (1::HUGEINT << {b}) ELSE 0::HUGEINT END)"
+        for b in range(64)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ), h AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(tok), 1, 8))::BIGINT AS hi,
+               ('0x' || substring(md5(tok), 9, 8))::BIGINT AS lo
+        FROM toks
+    ), votes AS (
+        SELECT doc_id, {votes} FROM h GROUP BY doc_id
+    )
+    SELECT doc_id,
+           (CASE WHEN sig >= 9223372036854775808::HUGEINT
+                 THEN sig - 18446744073709551616::HUGEINT
+                 ELSE sig END)::BIGINT AS simhash64
+    FROM (SELECT doc_id, {bits} AS sig FROM votes)
+    """
+
+
+@query("f10_simhash", oracle=_f10_oracle())
 def f10_simhash(spark, sf_dir):
-    """F10: 64-bit SimHash — per-token xxhash64, each bit votes ±1, the
-    signature is the sign vector. Shape: explode distinct tokens →
+    """F10: 64-bit SimHash — per-token 64-bit hash, each bit votes ±1,
+    the signature is the sign vector. Shape: explode distinct tokens →
     groupBy(doc_id) with 64 conditional-sum aggregates (one per bit) →
     reassemble the signature from the vote signs. All codegen'd scalar
     arithmetic; the only shuffle is the per-doc partial-aggregated
@@ -1612,12 +1858,31 @@ def f10_simhash(spark, sf_dir):
     carries ~one row per doc. This deliberately replaces a pure
     higher-order-array formulation (aggregate/zip_with over 64-wide
     arrays), which is evaluated interpreted, not codegen'd — 5× slower
-    measured at sf0.1."""
+    measured at sf0.1.
+
+    Hash family (r6): the token hash is the first 16 hex chars of
+    md5(token), reassembled as a signed long from two 32-bit halves —
+    chosen over xxhash64 because BOTH engines compute it bit-identically
+    (DuckDB has no xxhash64), which upgrades this key from rows-only to
+    value-hash-verified. The construction is ANSI-posture-agnostic: conv
+    of 8 hex chars is < 2^32, and shiftleft/bitwiseOR never overflow-
+    throw. Measured cost of md5 over xxhash64 at sf0.1: ~0.5 s on this
+    key (1.44 → 1.91 s) — the price of cross-engine verifiability,
+    documented in BASELINE.md."""
     toks = _tokens()
-    h = F.xxhash64("tok")
+    # staged projections: md5 and then the reassembled hash materialize
+    # as named columns, so the 64 vote expressions all read ONE attribute
+    # instead of re-evaluating the hash tree 64× (CollapseProject leaves
+    # multiply-referenced non-cheap aliases in their own projection, so
+    # the stage survives optimization)
+    h = F.shiftleft(
+        F.conv(F.substring(F.col("m"), 1, 8), 16, 10).cast("long"), 32
+    ).bitwiseOR(
+        F.conv(F.substring(F.col("m"), 9, 8), 16, 10).cast("long")
+    )
     votes = [
         F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1)
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
             .otherwise(-1)
         ).alias(f"v{b}")
         for b in range(64)
@@ -1625,6 +1890,8 @@ def f10_simhash(spark, sf_dir):
     per_bit = (
         table(spark, sf_dir, "documents")
         .select("doc_id", F.explode(F.array_distinct(toks)).alias("tok"))
+        .select("doc_id", F.md5("tok").alias("m"))
+        .select("doc_id", h.alias("h"))
         .groupBy("doc_id")
         .agg(*votes)
     )

@@ -23,7 +23,9 @@ and the two outputs must be multiset-identical under the shared canon
 
 Why each key is CLAIMED deterministic (the test pins the claim):
   c10/c38 — HLL register merge is commutative/associative/idempotent;
-  f10 — pure xxhash64 arithmetic per row;
+  f10 — pure per-row hash arithmetic (md5-derived since r6, when
+      f2/f10/f14 also gained DuckDB oracles; kept here as a second,
+      layout-focused angle on the same determinism claim);
   f2/f14 — deterministic hash bands; min-label propagation converges to
       the component minimum regardless of visit order;
   f19/f20 — hashingTF counts are exact integers, IDF derives from them,
