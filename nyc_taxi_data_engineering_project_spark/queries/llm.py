@@ -1144,11 +1144,11 @@ def f14_dedup_clusters(spark, sf_dir):
     keep" is the complete deduplicated corpus, not just the pair members.
 
     Algorithm: min-label propagation WITH pointer jumping. Each vertex
-    starts labeled with its own id; each round, every vertex takes the
-    minimum label among itself and its neighbors, then a path-halving
-    step replaces each label with its label's label — so label chains
-    collapse exponentially and rounds-to-converge is O(log diameter),
-    not O(diameter). Converged when a round changes nothing; if the
+    starts labeled with its own id; each round, every vertex takes
+    min(own label, neighbors' labels, label-of-own-label) — the last
+    term is the path-halving jump, fused into the same round plan — so
+    label chains collapse exponentially and rounds-to-converge is
+    O(log diameter), not O(diameter). Converged when a round changes nothing; if the
     round cap (1 fused + 9) is ever insufficient the query REFUSES
     loudly instead of returning near-converged labels (the r6 edge
     corpus caught exactly that: a chain component whose diameter
@@ -1194,39 +1194,36 @@ def f14_dedup_clusters(spark, sf_dir):
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_label = F.least(
-            F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+        # pointer jump (path halving) fused into the same round plan:
+        # the PRE-round labels serve as their own label→label lookup
+        # (they are already checkpointed, so the self-reference reads
+        # materialized blocks), and the update takes
+        #   min(own, min-neighbor, label-of-label)
+        # in one pass — label chains still collapse exponentially, but
+        # the round costs ONE checkpoint + ONE convergence count, not
+        # two of each.
+        lookup = labels.select(
+            F.col("id").alias("jid"), F.col("label").alias("jlabel")
         )
-        # prev rides along so _changed can compare against the label the
-        # round STARTED with (neighbor-min and the jump below both lower)
+        new_label = F.least(
+            F.col("label"),
+            F.coalesce(F.col("nbr_label"), F.col("label")),
+            F.coalesce(F.col("jlabel"), F.col("label")),
+        )
+        # carry the changed flag through the checkpoint so convergence is
+        # a filter-count on materialized data, not a second join per round
         stepped = (
             labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .join(lookup, labels.label == lookup.jid, "left")
             .select(
-                "id",
+                labels.id,
                 new_label.alias("label"),
-                F.col("label").alias("prev"),
+                (new_label < labels.label).alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
-        # pointer jump (path halving): label ← min(label, label's label).
-        # Self-join on the checkpointed frame — materialized blocks, no
-        # recompute — collapses label chains exponentially.
-        s, j = stepped.alias("s"), stepped.alias("j")
-        jump_label = F.least(
-            F.col("s.label"),
-            F.coalesce(F.col("j.label"), F.col("s.label")),
-        )
-        jumped = (
-            s.join(j, F.col("s.label") == F.col("j.id"), "left")
-            .select(
-                F.col("s.id").alias("id"),
-                jump_label.alias("label"),
-                (jump_label < F.col("s.prev")).alias("_changed"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = jumped.filter("_changed").count()
-        labels = jumped.drop("_changed")
+        changed = stepped.filter("_changed").count()
+        labels = stepped.drop("_changed")
         if changed == 0:
             break
     if changed != 0:
