@@ -32,4 +32,5 @@ def test_registry_matches_frozen_surface():
         f"registry surface drifted from REGISTRY_KEYS.txt: "
         f"added={added} removed={removed} oracle-status-changed={moved}"
     )
-    assert len(got) == 138 and sum(v == "oracle" for v in got.values()) == 127
+    # 130 oracle / 8 rows-only since the r6 f2/f10/f14 oracle upgrade
+    assert len(got) == 138 and sum(v == "oracle" for v in got.values()) == 130
