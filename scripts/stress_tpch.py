@@ -75,6 +75,10 @@ _FIXED = ["region", "nation"]
 
 KEYS = ["flagship_daily_region_revenue"] + [f"tpch_q{i}" for i in
                                             range(1, 23)]
+# comma-separated subset for long-haul probes (e.g. K=1000, where the
+# full battery would take hours): SPARK_GRAFT_TPCH_KEYS=tpch_q1,tpch_q21
+if os.environ.get("SPARK_GRAFT_TPCH_KEYS"):
+    KEYS = [k for k in os.environ["SPARK_GRAFT_TPCH_KEYS"].split(",") if k]
 
 
 def materialize(spark) -> None:
@@ -179,7 +183,7 @@ def main() -> None:
         secs = []
         sdf = None
         try:
-            for _ in range(2):
+            for _ in range(int(os.environ.get("SPARK_GRAFT_TPCH_REPS", "2"))):
                 t0 = time.time()
                 sdf = registry.QUERIES[key](spark, WORK).toPandas()
                 secs.append(round(time.time() - t0, 2))
