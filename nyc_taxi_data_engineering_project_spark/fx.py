@@ -25,7 +25,13 @@ exact sum lands within ~1e-10 of a half-cent, the deterministic edge
 corpus proves none of them currently hit it, and at true ledger
 fidelity a 100 TB pipeline should carry DecimalType end-to-end from
 ingest (a schema decision, not a per-query patch). If a future corpus
-trips another key, convert that key the b3 way.
+trips another key, convert that key the b3 way — which the K=1000
+probe did for tpch_q1 (SCALE.md §13): at ~600 M rows the accumulation-
+order drift grows past double's precision floor (~2.6 absolute on a
+~2e13 sum, BEYOND the 2-dp quantum, no boundary coincidence needed),
+so the pricing-ledger key now accumulates in decimal like b3. The
+residual-class keys remain safe far past that scale because their
+sums are orders of magnitude smaller per group.
 
 IEEE-specials scope (r6): NaN/±Inf are planted and guarded where they
 occur in practice — metric doubles (events.value) and embedding

@@ -33,12 +33,18 @@ _REV = "l_extendedprice * (1 - l_discount)"
 
 @query(
     "tpch_q1",
-    oracle=f"""
+    oracle="""
     SELECT l_returnflag, l_linestatus,
            SUM(l_quantity) AS sum_qty,
-           FLOOR(SUM(l_extendedprice) * 100.0 + 0.5) / 100.0 AS sum_base_price,
-           FLOOR(SUM({_REV}) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
-           FLOOR(SUM({_REV} * (1 + l_tax)) * 100.0 + 0.5) / 100.0 AS sum_charge,
+           FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                      AS DOUBLE) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+           FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2))))
+                      AS DOUBLE) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+           FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                          * (1 + CAST(l_tax AS DECIMAL(4,2))))
+                      AS DOUBLE) * 100.0 + 0.5) / 100.0 AS sum_charge,
            FLOOR(AVG(l_quantity) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
            FLOOR(AVG(l_discount) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
            COUNT(*) AS count_order
@@ -48,17 +54,39 @@ _REV = "l_extendedprice * (1 - l_discount)"
     """,
 )
 def tpch_q1(spark, sf_dir):
-    """TPC-H Q1 pricing summary report (adapted dates)."""
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    """TPC-H Q1 pricing summary report (adapted dates).
+
+    The three money sums accumulate in DECIMAL (the b3 posture): at the
+    K=1000 probe (~600 M rows, SCALE.md §13) the double sums drifted
+    ~2.6 absolute on a ~2e13 total — engine-specific accumulation order
+    at double's precision floor, exactly the fx.py residual class —
+    which is past the 2-dp rounding quantum, so the pricing LEDGER key
+    pays for exactness like b3 does. Prices/discounts/taxes carry ≤2
+    real decimals, so the 6-dp decimal products and their 38-digit
+    accumulation are exact and identical in both engines at any scale.
+    sum_qty stays a double SUM deliberately: quantities are integers,
+    and integer-valued double addition is exact (order-independent)
+    until 2^53 — no drift class exists for it. The avgs keep
+    double+fround per the documented policy (relative drift ~1e-13 on a
+    ~0.05 mean is 9 orders below the 4-dp quantum)."""
+    dec_price = F.col("l_extendedprice").cast("decimal(12,2)")
+    one_m_disc = (F.lit(1).cast("decimal(3,2)")
+                  - F.col("l_discount").cast("decimal(4,2)"))
+    one_p_tax = (F.lit(1).cast("decimal(3,2)")
+                 + F.col("l_tax").cast("decimal(4,2)"))
     return (
         table(spark, sf_dir, "lineitem")
         .filter(F.col("l_shipdate") <= F.lit("2001-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            fx.r2(F.sum("l_extendedprice")).alias("sum_base_price"),
-            fx.r2(F.sum(rev)).alias("sum_disc_price"),
-            fx.r2(F.sum(rev * (1 + F.col("l_tax")))).alias("sum_charge"),
+            fx.fround(F.sum(dec_price).cast("double"), 2)
+            .alias("sum_base_price"),
+            fx.fround(F.sum(dec_price * one_m_disc).cast("double"), 2)
+            .alias("sum_disc_price"),
+            fx.fround(
+                F.sum(dec_price * one_m_disc * one_p_tax).cast("double"), 2
+            ).alias("sum_charge"),
             fx.r4(F.avg("l_quantity")).alias("avg_qty"),
             fx.r4(F.avg("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),

@@ -153,7 +153,16 @@ def compare(sdf, odf) -> tuple[str, str]:
 
 
 def main() -> None:
-    spark = get_session()
+    # SCALE.md §2/§13: shuffle partitions are sized to the input so a
+    # partition fits executor memory — the session default (32, sized
+    # for sf0.1 on local[32]) is ~19M rows/partition at K=1000, which
+    # OOMs stage-level hash aggregates exactly as the sizing rule
+    # predicts (observed: q21 heap OOM at K=1000 under the default).
+    # Scale the initial count linearly with K and let AQE coalesce.
+    n_shuffle = int(os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(32, (32 * K) // 100))))
+    spark = get_session(
+        extra_conf={"spark.sql.shuffle.partitions": str(n_shuffle)})
     spark.sparkContext.setLogLevel("ERROR")
     registry.load_all()
     if not os.path.exists(f"{WORK}/lineitem.parquet"):
