@@ -44,6 +44,13 @@ noise, not skew).
 Run:  python scripts/stress100.py [K] [workdir]
 Emits one JSON line per key and a trailing summary JSON with
 {key: {secs, rows, straggler, stage}} for SCALE.md.
+
+Long-haul subsets (the stress_tpch.py convention): set
+SPARK_GRAFT_STRESS_KEYS=f2_minhash_dedup,f14_family_resolution,... to
+run only those stages; only the tables they read are materialized
+(e.g. the K=1000 dedup probe replicates documents/embeddings without
+paying for 600 M lineitem rows it never reads). Shuffle partitions
+scale linearly with K (override: SPARK_GRAFT_SHUFFLE_PARTITIONS).
 """
 
 from __future__ import annotations
@@ -100,23 +107,79 @@ BATCH_KEYS = [
 
 STREAM_BUDGET_S = 240  # wall budget for the hot-user probe
 
+# Optional comma-separated stage subset for long-haul probes (the
+# stress_tpch.py convention) — e.g. the K=1000 dedup-pipeline run,
+# where materializing 600 M lineitem rows for stages that never read
+# them would dominate the probe:
+#   SPARK_GRAFT_STRESS_KEYS=f2_minhash_dedup,f14_family_resolution
+# Only the tables the selected stages read are materialized.
+_ONLY = {k.strip() for k in
+         os.environ.get("SPARK_GRAFT_STRESS_KEYS", "").split(",")
+         if k.strip()}
+
+_TABLES_FOR: dict[str, set[str]] = {
+    "c1_smj_selfjoin": {"lineitem"},
+    "c33_salted_join": {"lineitem", "orders"},
+    "f2_minhash_dedup": {"documents"},
+    "f26_passage_dedup": {"documents"},
+    "f31_training_order": {"documents"},
+    "c36_sessionize": {"events"},
+    "f13_embedding_neardup": {"embeddings"},
+    "f2_planted_recall": {"documents"},
+    "f13_dup_recall": {"embeddings"},
+    "f14_family_resolution": {"documents"},
+    "d2_watermark": {"events"},
+    "d8_stateful": {"events"},
+    "d11_botfiltered": {"events"},
+    "d11_hot_probe": {"events"},
+}
+
+_unknown = _ONLY - set(_TABLES_FOR)
+if _unknown:
+    sys.exit(f"unknown SPARK_GRAFT_STRESS_KEYS: {sorted(_unknown)}")
+
+NEEDED_TABLES: set[str] = (
+    set().union(*(_TABLES_FOR[k] for k in _ONLY)) if _ONLY
+    else set(_REKEY)
+)
+
+
+def _want(key: str) -> bool:
+    return not _ONLY or key in _ONLY
+
 
 def materialize(spark) -> None:
+    # one map-only explode(sequence) pass per table (the stress_tpch.py
+    # shape): the original K-way unionAll loop built a K-arm plan whose
+    # analysis cost grows with K and stops analyzing around K≈1000.
+    # Output rows are identical: same key shifts, same per-replica
+    # "r{i} " document prefix, same hot-row selections (the shift is a
+    # multiple of 10, so pmod selections are K-stable either way).
     t0 = time.time()
     for name, keys in _REKEY.items():
+        if name not in NEEDED_TABLES:
+            continue
         df = catalog.table(spark, SRC, name)
-        copies = None
-        for i in range(K):
-            c = df
-            for kcol in keys:
-                c = c.withColumn(kcol, F.col(kcol) + F.lit(i * _SHIFT))
-            if name == "documents" and i > 0:
-                # perturb content so replicas are DISTINCT docs (verbatim
-                # copies would widen every dup group K-fold — degenerate)
-                c = c.withColumn(
-                    "text", F.concat(F.lit(f"r{i} "), F.col("text"))
-                )
-            copies = c if copies is None else copies.unionAll(c)
+        copies = df.withColumn(
+            "_i", F.explode(F.sequence(F.lit(0), F.lit(K - 1)))
+        )
+        for kcol in keys:
+            copies = copies.withColumn(
+                kcol,
+                F.col(kcol) + F.col("_i").cast("long") * F.lit(_SHIFT),
+            )
+        if name == "documents":
+            # perturb content so replicas are DISTINCT docs (verbatim
+            # copies would widen every dup group K-fold — degenerate)
+            copies = copies.withColumn(
+                "text",
+                F.when(
+                    F.col("_i") > 0,
+                    F.concat(F.lit("r"), F.col("_i").cast("string"),
+                             F.lit(" "), F.col("text")),
+                ).otherwise(F.col("text")),
+            )
+        copies = copies.drop("_i")
         if name == "events":
             copies = copies.withColumn(
                 "user_id",
@@ -139,10 +202,12 @@ def materialize(spark) -> None:
         copies.write.mode("overwrite").parquet(f"{WORK}/{name}.parquet")
     # enforce mtime order = ts order for the stream source's file sort
     ev_dir = f"{WORK}/events.parquet"
-    parts = sorted(p for p in os.listdir(ev_dir) if p.endswith(".parquet"))
-    base = time.time() - len(parts) * 2
-    for i, p in enumerate(parts):
-        os.utime(os.path.join(ev_dir, p), (base + i * 2, base + i * 2))
+    if os.path.isdir(ev_dir):
+        parts = sorted(
+            p for p in os.listdir(ev_dir) if p.endswith(".parquet"))
+        base = time.time() - len(parts) * 2
+        for i, p in enumerate(parts):
+            os.utime(os.path.join(ev_dir, p), (base + i * 2, base + i * 2))
     print(f"materialized {K}x in {time.time()-t0:.0f}s -> {WORK}",
           flush=True)
 
@@ -432,7 +497,7 @@ def main() -> None:
     # reuse an existing materialization (pass --fresh to force rebuild);
     # checkpoints and the event log always start clean
     have_data = all(
-        os.path.isdir(f"{WORK}/{t}.parquet") for t in _REKEY
+        os.path.isdir(f"{WORK}/{t}.parquet") for t in NEEDED_TABLES
     ) and "--fresh" not in sys.argv
     if os.path.isdir(WORK) and not have_data:
         shutil.rmtree(WORK)
@@ -440,12 +505,18 @@ def main() -> None:
         if sub.startswith(("ckpt_", "evlog")):
             shutil.rmtree(os.path.join(WORK, sub))
     os.makedirs(f"{WORK}/evlog", exist_ok=True)
+    # shuffle-partition sizing rule (SCALE.md §2/§13): scale the initial
+    # count linearly with K so a partition fits executor memory; AQE
+    # coalesces the excess at small K
+    n_shuffle = int(os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(32, (32 * K) // 100))))
     spark = get_session(
         "stress100",
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{WORK}/evlog",
             "spark.eventLog.compress": "false",
+            "spark.sql.shuffle.partitions": str(n_shuffle),
         },
     )
     if not have_data:
@@ -458,15 +529,24 @@ def main() -> None:
     # service spin-up) and its scale ratio reads better than it is —
     # touch every table and exercise a join + agg + shuffle first
     t0 = time.time()
-    for t in _REKEY:
+    for t in sorted(NEEDED_TABLES):
         catalog.table(spark, WORK, t).count()
-    li = catalog.table(spark, WORK, "lineitem").select("l_orderkey").limit(
-        500_000)
-    od = catalog.table(spark, WORK, "orders").select(
-        F.col("o_orderkey").alias("l_orderkey"))
-    li.join(od, "l_orderkey").groupBy(
-        F.pmod("l_orderkey", F.lit(97))).count().write.format(
-        "noop").mode("overwrite").save()
+    if {"lineitem", "orders"} <= NEEDED_TABLES:
+        li = catalog.table(spark, WORK, "lineitem").select(
+            "l_orderkey").limit(500_000)
+        od = catalog.table(spark, WORK, "orders").select(
+            F.col("o_orderkey").alias("l_orderkey"))
+        li.join(od, "l_orderkey").groupBy(
+            F.pmod("l_orderkey", F.lit(97))).count().write.format(
+            "noop").mode("overwrite").save()
+    else:
+        # subset run without the fact tables: still force one shuffle +
+        # agg + codegen round before the first timed stage
+        t = sorted(NEEDED_TABLES)[0]
+        df = catalog.table(spark, WORK, t)
+        df.limit(500_000).groupBy(
+            F.pmod(F.hash(df.columns[0]), F.lit(97))
+        ).count().write.format("noop").mode("overwrite").save()
     print(f"warmup {time.time()-t0:.1f}s", flush=True)
 
     windows: dict[str, tuple[float, float]] = {}
@@ -486,20 +566,26 @@ def main() -> None:
         spark.catalog.clearCache()
 
     for key in BATCH_KEYS:
-        run(key, lambda k=key: registry.QUERIES[k](spark, WORK)
-            .write.format("noop").mode("overwrite").save())
-    run("f2_planted_recall", lambda: f2_planted_recall(spark))
-    run("f13_dup_recall", lambda: f13_dup_recall(spark))
-    run("f14_family_resolution", lambda: f14_family_resolution(spark))
-    run("d2_watermark", lambda: run_stream(d2_chunked(spark), "d2"))
-    run("d8_stateful", lambda: run_stream(d8_chunked(spark), "d8",
-                                          budget_s=STREAM_BUDGET_S,
-                                          output_mode="update"))
-    run("d11_botfiltered",
-        lambda: run_stream(d11_chunked(spark, bot_filter=True), "d11bf"))
-    run("d11_hot_probe",
-        lambda: run_stream(d11_chunked(spark, bot_filter=False), "d11hot",
-                           budget_s=STREAM_BUDGET_S))
+        if _want(key):
+            run(key, lambda k=key: registry.QUERIES[k](spark, WORK)
+                .write.format("noop").mode("overwrite").save())
+    stages = [
+        ("f2_planted_recall", lambda: f2_planted_recall(spark)),
+        ("f13_dup_recall", lambda: f13_dup_recall(spark)),
+        ("f14_family_resolution", lambda: f14_family_resolution(spark)),
+        ("d2_watermark", lambda: run_stream(d2_chunked(spark), "d2")),
+        ("d8_stateful", lambda: run_stream(d8_chunked(spark), "d8",
+                                           budget_s=STREAM_BUDGET_S,
+                                           output_mode="update")),
+        ("d11_botfiltered",
+         lambda: run_stream(d11_chunked(spark, bot_filter=True), "d11bf")),
+        ("d11_hot_probe",
+         lambda: run_stream(d11_chunked(spark, bot_filter=False), "d11hot",
+                            budget_s=STREAM_BUDGET_S)),
+    ]
+    for key, fn in stages:
+        if _want(key):
+            run(key, fn)
 
     time.sleep(2)  # let the event log flush the last task ends
     stragglers = straggler_from_eventlog(f"{WORK}/evlog", windows)
