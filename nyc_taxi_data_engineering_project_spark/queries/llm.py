@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 
 from .. import fx
 from ..catalog import table
+from ..pinning import pin, unpin
 from ..registry import query
 
 # --------------------------------------------------------------- helpers
@@ -606,18 +607,20 @@ def f2_minhash_dedup(spark, sf_dir):
     #   across the cluster before the expensive minhash stage, and stops
     #   projection collapse from substituting the shingle transform into
     #   all 32 minhash lambdas (14× recompute without it);
-    # - localCheckpoint(eager=True) pins the shingled frame, which three
-    #   plan branches consume (band generation + both sides of the verify
-    #   join) and which Spark would otherwise re-evaluate per branch —
-    #   exchange reuse does not fire across differently-aliased subtrees.
-    #   Unlike persist(), whose CacheManager entry lives for the session
-    #   unless explicitly unpersisted, checkpoint blocks are owned by the
-    #   returned plan and released by the ContextCleaner once the caller
-    #   drops the result — no cross-query cache accumulation. At 100 TB
-    #   this is persist(DISK_ONLY) or a checkpoint table (localCheckpoint
-    #   trades executor-loss tolerance for speed); the payload is only
-    #   doc_id + hashed-gram arrays (~8·|grams| B/doc), far smaller than
-    #   the text it derives from.
+    # - pinning.pin() pins the shingled frame, which three plan branches
+    #   consume (band generation + both sides of the verify join) and
+    #   which Spark would otherwise re-evaluate per branch — exchange
+    #   reuse does not fire across differently-aliased subtrees. The pin
+    #   MECHANISM is the session's spark.spark_graft.pin_mode (pinning.py):
+    #   localCheckpoint for single-node/bench (blocks owned by the plan,
+    #   self-cleaning, not executor-loss tolerant), persist(DISK_ONLY)
+    #   or a checkpoint table for clusters. bucket_key="doc_id" makes
+    #   the checkpoint_table layout hash-bucketed+sorted on doc_id, so
+    #   the verify join below plans with ZERO Exchange on both shingle
+    #   sides (SCALE.md §7's 100 TB posture, proved in
+    #   tests/test_bucketing.py). The payload is only doc_id +
+    #   hashed-gram arrays (~8·|grams| B/doc), far smaller than the
+    #   text it derives from.
     # NB: no filter on size(sh) here — the toks-size filter above already
     # guarantees ≥1 gram, and a post-projection filter on `sh` would be
     # pushed below the projection, re-evaluating the entire shingle
@@ -637,8 +640,8 @@ def f2_minhash_dedup(spark, sf_dir):
             ).alias("sh"),
         )
         .repartition(F.col("doc_id"))
-        .localCheckpoint(eager=True)
     )
+    shingled = pin(shingled, "f2_shingled", bucket_key="doc_id")
 
     n_hashes, n_bands, max_bucket = F2_N_HASHES, F2_N_BANDS, F2_MAX_BUCKET
     rows_per_band = n_hashes // n_bands
@@ -672,12 +675,13 @@ def f2_minhash_dedup(spark, sf_dir):
     # both bucket joins) would otherwise each re-derive all 32 minhashes
     # from the shingle arrays — the dominant map cost of the whole
     # operator. The payload is 4 rows of 3 longs per doc.
-    bands = shingled.select(
-        "doc_id",
-        F.explode(F.expr(f"array({band_structs})")).alias("band"),
-    ).select(
-        "doc_id", "band.band_id", "band.band_hash"
-    ).localCheckpoint(eager=True)
+    bands = pin(
+        shingled.select(
+            "doc_id",
+            F.explode(F.expr(f"array({band_structs})")).alias("band"),
+        ).select("doc_id", "band.band_id", "band.band_hash"),
+        "f2_bands",
+    )
 
     # Candidate generation as a count-gated aggregation instead of a band
     # self-join + window cap. Phases on the same bucket key:
@@ -777,11 +781,11 @@ def f20_ml_minhash_lsh(spark, sf_dir):
                    numFeatures=1 << 14, binary=True)
     # pin: approxSimilarityJoin references this frame on both join sides
     # and inside the model transform — without pinning, every task
-    # re-derives it from the parquet scan. localCheckpoint (not persist):
-    # blocks die with the result frame instead of holding a session-wide
-    # CacheManager entry.
-    feat = (tf.transform(shingled).select("doc_id", "features")
-            .localCheckpoint(eager=True))
+    # re-derives it from the parquet scan. Mode-switchable (pinning.py):
+    # default localCheckpoint blocks die with the result frame instead
+    # of holding a session-wide CacheManager entry.
+    feat = pin(tf.transform(shingled).select("doc_id", "features"),
+               "f20_feat")
     lsh = MinHashLSH(inputCol="features", outputCol="hashes",
                      numHashTables=4, seed=42)
     model = lsh.fit(feat)
@@ -948,11 +952,9 @@ def f21_ivf_ann(spark, sf_dir):
         return pd.Series(list(order[:, :nprobe]))
 
     # cells: one map pass; pinned so the probe join's two reads (query
-    # side + corpus side) don't recompute the scan+assignment
-    # (localCheckpoint: released with the result, no session cache entry)
-    tagged = emb.withColumn(
-        "cell", nearest_cell("emb")
-    ).localCheckpoint(eager=True)
+    # side + corpus side) don't recompute the scan+assignment (mode per
+    # pinning.py; default localCheckpoint is released with the result)
+    tagged = pin(emb.withColumn("cell", nearest_cell("emb")), "f21_cells")
     q = (
         tagged.filter(F.col("vec_id") < 20)
         .select(
@@ -1010,10 +1012,10 @@ def f13_embedding_neardup(spark, sf_dir):
     n_planes = max(2, round(math.log2(max(n, 1) / 64 + 1)))
     planes = _f13_planes(n_planes)
     split_planes = F13_SPLIT_PLANES
-    tagged = (
+    tagged = pin(
         _embeddings(spark, sf_dir)
-        .withColumn("bucket", _hyperplane_bucket(planes, F.col("emb")))
-        .localCheckpoint(eager=True)
+        .withColumn("bucket", _hyperplane_bucket(planes, F.col("emb"))),
+        "f13_tagged",
     )
     # Hot-bucket SPLIT (not drop): plane count targets an EXPECTED width
     # of 64 under uniformity, but clustered corpora — the very thing a
@@ -1043,8 +1045,8 @@ def f13_embedding_neardup(spark, sf_dir):
             ).otherwise(bucket_l * 257),
         )
         .drop("_w")
-        .localCheckpoint(eager=True)
     )
+    refined = pin(refined, "f13_refined")
     w2 = refined.groupBy("bucket").agg(F.count(F.lit(1)).alias("_w"))
     flagged = refined.join(w2, "bucket")
     cold = flagged.filter(F.col("_w") <= max_bucket)
@@ -1110,11 +1112,14 @@ def f13_embedding_neardup(spark, sf_dir):
     # Oracle-checked as of r6 (was rows-only): f2's pair set now has an
     # exact SQL twin (md5-derived hashes, see f2), so connected
     # components over it does too — a recursive CTE computes the true
-    # transitive closure and takes MIN(label) per node. Spark's 10-round
-    # propagation cap equals true CC whenever every component's
-    # label-propagation radius is <= 10; star pairs keep hot clusters at
-    # radius <= 2, and the driver's value-hash at three SFs is exactly
-    # the check that the premise holds on real data.
+    # transitive closure and takes MIN(label) per node. The Spark side
+    # (1 fused init + 9 pointer-jumping rounds, path halving) equals
+    # true CC whenever every component's effective diameter is within
+    # the ~2^9 bound the halving gives, and REFUSES loudly otherwise —
+    # so a converged Spark result always matches this oracle; star
+    # pairs keep hot clusters at radius <= 2, and the driver's
+    # value-hash at three SFs is exactly the check that the premise
+    # holds on real data.
     oracle="WITH RECURSIVE " + _f2_oracle_ctes() + """
     , pairs AS (
         SELECT doc_a, doc_b FROM verified WHERE j >= 0.6
@@ -1158,11 +1163,13 @@ def f14_dedup_clusters(spark, sf_dir):
 
     Scale notes: the per-round work is two equi joins (edges⋈labels and
     labels⋈labels) plus a min-aggregate — all shuffle-partitioned on
-    vertex id. Each round's result is localCheckpoint()ed: without
-    lineage truncation an iterative loop's plan doubles per round and
-    the job dies at plan compile time long before data size matters;
-    the checkpoint also makes the labels⋈labels self-join read
-    materialized blocks instead of recomputing the round. The
+    vertex id. Each round's result is pinned (pinning.pin — mode
+    switchable between localCheckpoint / persist(DISK_ONLY) /
+    checkpoint table; rounds N-1's pin is released as soon as round N
+    materializes): without lineage truncation an iterative loop's plan
+    doubles per round and the job dies at plan compile time long before
+    data size matters; the pin also makes the labels⋈labels self-join
+    read materialized blocks instead of recomputing the round. The
     convergence check is a scalar count per round (a driver-side
     decision, not a data collect)."""
     pairs = f2_minhash_dedup(spark, sf_dir).select("doc_a", "doc_b")
@@ -1172,10 +1179,10 @@ def f14_dedup_clusters(spark, sf_dir):
             pairs.select(F.col("doc_b").alias("src"),
                          F.col("doc_a").alias("dst"))
         )
-        # consumed every propagation round + the final corpus union;
-        # localCheckpoint also cuts the f2 lineage out of the loop plans
-        .localCheckpoint(eager=True)
     )
+    # consumed every propagation round + the final corpus union; the pin
+    # also cuts the f2 lineage out of the loop plans (mode per pinning.py)
+    edges = pin(edges, "f14_edges")
     # round 1 fused into initialization: with labels starting equal to
     # ids, the first propagation is exactly min(id, min neighbor id) —
     # one aggregation instead of a full join+aggregate+checkpoint round
@@ -1185,8 +1192,9 @@ def f14_dedup_clusters(spark, sf_dir):
         .select(
             "id", F.least(F.col("id"), F.col("_mn")).alias("label")
         )
-        .localCheckpoint(eager=False)
     )
+    labels = pin(labels, "f14_labels0", eager=False)
+    prev_pin = labels
     changed = -1
     for _ in range(9):
         nbr_min = (
@@ -1212,17 +1220,23 @@ def f14_dedup_clusters(spark, sf_dir):
         )
         # carry the changed flag through the checkpoint so convergence is
         # a filter-count on materialized data, not a second join per round
-        stepped = (
+        stepped = pin(
             labels.join(nbr_min, labels.id == nbr_min.src, "left")
             .join(lookup, labels.label == lookup.jid, "left")
             .select(
                 labels.id,
                 new_label.alias("label"),
                 (new_label < labels.label).alias("_changed"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            "f14_round",
         )
         changed = stepped.filter("_changed").count()
+        # round N is materialized: round N-1's pin is dead — release it
+        # in the tracked modes so cluster disk footprint stays one round
+        # deep (no-op under localCheckpoint, where the ContextCleaner
+        # owns block lifetime)
+        unpin(prev_pin)
+        prev_pin = stepped
         labels = stepped.drop("_changed")
         if changed == 0:
             break
@@ -2421,9 +2435,9 @@ def f29_unigram_logprob(spark, sf_dir):
     # consumers (the scalar total and the broadcast lookup), and an
     # unpinned frame would re-run the full corpus explode+shuffle for
     # each (SCALE.md §5 multi-consumer rule). Vocab-sized → cheap pin.
-    cnt = (
-        tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
+    cnt = pin(
+        tok.groupBy("term").agg(F.count(F.lit(1)).alias("c")),
+        "f29_vocab",
     )
     # SUM over an empty vocab is NULL; 1 keeps the log finite and the
     # query's answer on an empty corpus is (correctly) zero rows — the
