@@ -134,6 +134,16 @@ _TABLES_FOR: dict[str, set[str]] = {
     "d11_hot_probe": {"events"},
 }
 
+# drift guard (r6 ADVICE): every registered batch stage must be
+# selectable — a BATCH_KEYS entry missing from _TABLES_FOR would be
+# permanently unselectable via SPARK_GRAFT_STRESS_KEYS (hard exit
+# below), and the dict otherwise only drifts silently as stages are
+# added. Stream stages are checked where they are defined.
+_uncovered = set(BATCH_KEYS) - set(_TABLES_FOR)
+assert not _uncovered, (
+    f"BATCH_KEYS not covered by _TABLES_FOR: {sorted(_uncovered)} — "
+    "add their table sets so they stay subsettable")
+
 _unknown = _ONLY - set(_TABLES_FOR)
 if _unknown:
     sys.exit(f"unknown SPARK_GRAFT_STRESS_KEYS: {sorted(_unknown)}")

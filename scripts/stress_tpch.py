@@ -118,7 +118,26 @@ def _quantum(col_vals_a, col_vals_b) -> float:
     return worst
 
 
-def compare(sdf, odf) -> tuple[str, str]:
+def _column_quanta(oracle_sql: str) -> dict[str, float]:
+    """Per-column rounding quantum inferred from the key's own oracle:
+    every fround'ed output is spelled ``FLOOR((expr) * 10^n + 0.5) /
+    10^n AS alias`` (fx.sql_round), so the divisor right before the
+    alias IS the column's quantum scale. Columns without the pattern
+    (raw reads, integral sums) get no entry and fall back to the canon
+    layer's 1e-6 — their values are not engine-computed roundings, so
+    no rounding-drift allowance is owed (r6 ADVICE: a global 0.01 let
+    4-dp columns drift 100x their own quantum and still pass)."""
+    import re
+
+    quanta: dict[str, float] = {}
+    for m in re.finditer(
+            r"/\s*(\d+(?:\.\d+)?)\s*(?:AS\s+DOUBLE\s*\))?\s*AS\s+(\w+)",
+            oracle_sql, re.IGNORECASE):
+        quanta[m.group(2).lower()] = 1.0 / float(m.group(1))
+    return quanta
+
+
+def compare(sdf, odf, oracle_sql: str = "") -> tuple[str, str]:
     """-> (status, note); status in exact|quantum|MISMATCH."""
     scols, ocols = sorted(sdf.columns), sorted(odf.columns)
     if scols != ocols:
@@ -130,45 +149,129 @@ def compare(sdf, odf) -> tuple[str, str]:
     if s == o:
         return "exact", ""
     # numeric-tolerance pass: sort both frames by the non-float columns
-    # (keys/dates/counts — must match exactly), then bound per-column
-    # numeric drift by one quantum of the coarsest fround in the repo
-    # (r2 -> 0.01), scaled by 1+eps for the boundary-flip case.
+    # (keys/dates/counts — must match exactly), then bound each float
+    # column's drift by ITS OWN fround quantum (parsed from the oracle
+    # SQL; unrounded columns get the canon 1e-6), scaled by 1+eps for
+    # the boundary-flip case.
     keycols = [c for c in scols
                if str(sdf[c].dtype) not in ("float64", "float32")]
     numcols = [c for c in scols if c not in keycols]
     if not numcols:
         return "MISMATCH", "non-numeric values differ"
-    ss = sdf.sort_values(keycols or scols).reset_index(drop=True)
-    oo = odf.sort_values(keycols or scols).reset_index(drop=True)
+    if not keycols:
+        return "MISMATCH", ("ambiguous alignment: no non-float columns "
+                            "to align rows by")
+    ss = sdf.sort_values(keycols).reset_index(drop=True)
+    oo = odf.sort_values(keycols).reset_index(drop=True)
+    # alignment soundness: duplicate key tuples would let rows pair up
+    # arbitrarily across engines (r6 ADVICE) — refuse instead of
+    # producing a spurious verdict in either direction
+    if ss.duplicated(subset=keycols).any():
+        return "MISMATCH", ("ambiguous alignment: duplicate key tuples "
+                            f"in {keycols}")
     for c in keycols:
         if list(ss[c]) != list(oo[c]):
             return "MISMATCH", f"key column {c} differs"
+    quanta = _column_quanta(oracle_sql)
     worst = {c: _quantum(ss[c], oo[c]) for c in numcols}
-    bad = {c: w for c, w in worst.items() if w > 0.01 * 1.0000001}
+    bad = {
+        c: (w, quanta.get(c.lower(), 1e-6))
+        for c, w in worst.items()
+        if w > quanta.get(c.lower(), 1e-6) * 1.0000001
+    }
     if bad:
-        return "MISMATCH", f"numeric drift beyond quantum: {bad}"
+        return "MISMATCH", f"numeric drift beyond per-column quantum: {bad}"
     return "quantum", (
-        "float-sum rounding drift <= one r2 quantum in: "
+        "float-sum rounding drift <= the column's own fround quantum in: "
         + ", ".join(f"{c}={w:.4g}" for c, w in worst.items() if w > 0))
 
 
+# Order-insensitive IN-ENGINE value hash for keys whose verified result
+# is too large to canonicalize driver-side (q18 at K=1000 is ~15 M
+# rows; the driver compare, not the Spark plan, was the bottleneck —
+# SCALE.md §13b). Both engines aggregate SUM(md5-56bit(row-string)) +
+# COUNT(*) over the SAME canonical row rendering, so no result row ever
+# leaves the engine (the CORRECTNESS recipe: cross-engine md5, floats
+# integerized at their own quantum so no float-to-string rendering is
+# ever compared). Summing 56-bit values over 10^8 rows needs exact wide
+# arithmetic: DECIMAL(38,0) in Spark, HUGEINT in DuckDB. NB concat_ws
+# skips NULLs — only safe because these keys' outputs are null-free
+# (inner-join group keys + aggregates over them).
+_HASHED_ROW = {
+    "tpch_q18": {
+        "spark": ("concat_ws('|', name, custkey, orderkey, orderdate, "
+                  "cast(floor(totalprice * 100 + 0.5) as bigint), "
+                  "cast(floor(sum_qty + 0.5) as bigint))"),
+        "duck": ("concat_ws('|', name, custkey, orderkey, orderdate, "
+                 "cast(floor(totalprice * 100 + 0.5) as bigint), "
+                 "cast(floor(sum_qty + 0.5) as bigint))"),
+    },
+}
+# hashed mode kicks in at K >= this (driver-side canonical compare is
+# the STRONGER check — keep it wherever it is feasible)
+HASH_MIN_K = int(os.environ.get("SPARK_GRAFT_TPCH_HASH_MIN_K", "500"))
+
+
+def hashed_compare(spark, con, key: str, sdf_builder) -> dict:
+    """Run the Spark query and its oracle with the whole comparison
+    reduced in-engine to (row count, order-insensitive 56-bit-md5 sum).
+    Returns a result record shaped like the driver-compare path's."""
+    row_s = _HASHED_ROW[key]["spark"]
+    row_d = _HASHED_ROW[key]["duck"]
+    t0 = time.time()
+    sdf_builder().createOrReplaceTempView("_hashed_result")
+    srow = spark.sql(
+        "SELECT COUNT(*) AS n, "
+        f"SUM(CAST(conv(substr(md5({row_s}), 1, 14), 16, 10) "
+        "AS DECIMAL(38,0))) AS h FROM _hashed_result"
+    ).collect()[0]
+    secs = round(time.time() - t0, 2)
+    t0 = time.time()
+    orow = con.sql(
+        "SELECT COUNT(*) AS n, "
+        f"SUM((('0x' || substring(md5({row_d}), 1, 14))::BIGINT)::HUGEINT)"
+        " AS h "
+        f"FROM ({registry.ORACLES[key]}) _o"
+    ).fetchone()
+    osecs = round(time.time() - t0, 2)
+    n_s, h_s = int(srow["n"]), (None if srow["h"] is None else int(srow["h"]))
+    n_o, h_o = int(orow[0]), (None if orow[1] is None else int(orow[1]))
+    if n_s != n_o:
+        status, note = "MISMATCH", f"rowcount {n_s} vs {n_o}"
+    elif h_s != h_o:
+        status, note = "MISMATCH", f"value-hash {h_s} vs {h_o}"
+    else:
+        status, note = "exact", "hashed in-engine compare (no driver rows)"
+    return {"secs": secs, "reps": [secs], "rows": n_s, "duck_secs": osecs,
+            "match": status, "note": note, "mode": "hashed"}
+
+
 def main() -> None:
-    # SCALE.md §2/§13: shuffle partitions are sized to the input so a
-    # partition fits executor memory — the session default (32, sized
-    # for sf0.1 on local[32]) is ~19M rows/partition at K=1000, which
-    # OOMs stage-level hash aggregates exactly as the sizing rule
-    # predicts (observed: q21 heap OOM at K=1000 under the default).
-    # Scale the initial count linearly with K and let AQE coalesce.
-    n_shuffle = int(os.environ.get(
-        "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(32, (32 * K) // 100))))
-    spark = get_session(
-        extra_conf={"spark.sql.shuffle.partitions": str(n_shuffle)})
+    spark = get_session()
     spark.sparkContext.setLogLevel("ERROR")
     registry.load_all()
     if not os.path.exists(f"{WORK}/lineitem.parquet"):
         materialize(spark)
     else:
         print(f"reusing {WORK}", flush=True)
+    # SCALE.md §2/§13: initial shuffle partitions are sized from the
+    # INPUT BYTES so a partition fits executor memory (the session
+    # default, sized for sf0.1, is ~19M rows/partition at K=1000 and
+    # OOMs stage-level hash aggregates exactly as the sizing rule
+    # predicts). This is now the engine's own heuristic
+    # (session.shuffle_partitions_for — ~32 MB parquet per partition,
+    # AQE coalesces the overshoot), not a harness-side K formula; the
+    # env override remains for probing other settings.
+    from nyc_taxi_data_engineering_project_spark.session import (
+        shuffle_partitions_for,
+    )
+
+    n_shuffle = int(os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+        str(shuffle_partitions_for(WORK))))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
+    print(f"shuffle partitions: {n_shuffle} (input-bytes heuristic)",
+          flush=True)
 
     con = duckdb.connect()
     for name in list(_REKEY) + _FIXED:
@@ -189,6 +292,22 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     for key in KEYS:
+        if key in _HASHED_ROW and K >= HASH_MIN_K:
+            try:
+                r = hashed_compare(
+                    spark, con, key,
+                    lambda k=key: registry.QUERIES[k](spark, WORK))
+            except Exception as exc:  # noqa: BLE001
+                results[key] = {"secs": -1.0, "err": str(exc)[:200]}
+                print(f"  {key}: SPARK ERROR {exc}", flush=True)
+                continue
+            if key in bench and bench[key] > 0:
+                r["per_row_vs_sf01"] = round(r["secs"] / (K * bench[key]), 3)
+            results[key] = r
+            print(f"  {key}: {r['match']} {r['rows']} rows (hashed), "
+                  f"spark {r['secs']}s, duck {r['duck_secs']}s "
+                  f"[{r['note']}]", flush=True)
+            continue
         secs = []
         sdf = None
         try:
@@ -203,7 +322,7 @@ def main() -> None:
         t0 = time.time()
         odf = con.sql(registry.ORACLES[key]).df()
         osecs = round(time.time() - t0, 2)
-        status, note = compare(sdf, odf)
+        status, note = compare(sdf, odf, registry.ORACLES[key])
         r = {"secs": min(secs), "reps": secs, "rows": len(sdf),
              "duck_secs": osecs, "match": status}
         if note:
