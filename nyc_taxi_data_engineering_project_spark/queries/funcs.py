@@ -389,10 +389,48 @@ def c28_collect(spark, sf_dir):
 @query("c29_sample")  # rows-only: samplers are engine-specific
 def c29_sample(spark, sf_dir):
     """Bernoulli sampling with a fixed seed — deterministic within Spark
-    (per-partition seeds), but no cross-engine oracle exists."""
+    (per-partition seeds), but no cross-engine oracle exists; the
+    oracle-checked form of the same operation is
+    :func:`c29_deterministic_sample` (kept as the library-API parity
+    demo the same way e1 demos the row-Python UDF surface)."""
     return (
         table(spark, sf_dir, "lineitem")
         .sample(fraction=0.1, seed=42)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@query(
+    "c29_deterministic_sample",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE ('0x' || substring(md5(l_orderkey || '|' || l_linenumber), 1, 15))
+          ::BIGINT % 10 = 0
+    """,
+)
+def c29_deterministic_sample(spark, sf_dir):
+    """~10% sample by content-hash threshold instead of RNG (graduating
+    c29 from rows-only, r7): ``md5(primary key) mod 10 == 0`` is
+    reproducible on any engine, partitioning, and retry — the property
+    f22's stratified sampler already relies on (llm.py) and the one
+    `df.sample`'s per-partition seeded RNG cannot give (its output
+    changes with the physical split of the input). Hash recipe =
+    the repo's cross-engine standard (f2): first 15 md5 hex chars as a
+    60-bit BIGINT — Spark ``conv(...,16,10)``, DuckDB ``('0x'||h)::
+    BIGINT``. Scale shape: pure map-side filter, no shuffle; the
+    fraction is exact-in-expectation per key (a fixed hash family, so
+    repeated runs select the SAME rows — what makes downstream
+    train/eval splits and A/B slices reproducible)."""
+    li = table(spark, sf_dir, "lineitem")
+    hk = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("l_orderkey"),
+                              F.col("l_linenumber"))), 1, 15),
+        16, 10,
+    ).cast("bigint")
+    return (
+        li.filter(hk % 10 == 0)
         .select("l_orderkey", "l_linenumber", "l_quantity")
     )
 

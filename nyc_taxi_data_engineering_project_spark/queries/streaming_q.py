@@ -10,7 +10,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from .. import fx
 from ..catalog import table
@@ -353,8 +353,19 @@ def d11_stream_stream_join(spark, sf_dir):
     ``date_diff('second')`` counts second-boundary crossings =
     floor(epoch(p)) - floor(epoch(c)), which is exactly the
     ``to_unix_timestamp`` subtraction on the Spark side."""
+    joined = d11_joined(events_stream(spark, sf_dir),
+                        events_stream(spark, sf_dir))
+    return run_available_now(joined, "d11_ss_join", output_mode="append")
+
+
+def d11_joined(events_a: DataFrame, events_b: DataFrame) -> DataFrame:
+    """The d11 stream-stream interval-join plan over two
+    already-constructed event streams. Split out (r7) so the chunked
+    multi-batch replay test (test_streaming.py) drives the SAME join
+    code path through N time-ordered micro-batches — pinning the
+    watermark-eviction premise the single-batch reduction assumes."""
     clicks = (
-        events_stream(spark, sf_dir)
+        events_a
         .filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
@@ -364,7 +375,7 @@ def d11_stream_stream_join(spark, sf_dir):
         .withWatermark("c_ts", "1 hour")
     )
     purchases = (
-        events_stream(spark, sf_dir)
+        events_b
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
@@ -373,7 +384,7 @@ def d11_stream_stream_join(spark, sf_dir):
         )
         .withWatermark("p_ts", "1 hour")
     )
-    joined = clicks.join(
+    return clicks.join(
         purchases,
         (F.col("c_user") == F.col("p_user"))
         & (F.col("p_ts") >= F.col("c_ts"))
@@ -384,7 +395,6 @@ def d11_stream_stream_join(spark, sf_dir):
         (F.to_unix_timestamp("p_ts") - F.to_unix_timestamp("c_ts"))
         .alias("secs_to_purchase"),
     )
-    return run_available_now(joined, "d11_ss_join", output_mode="append")
 
 
 @query(
@@ -404,14 +414,21 @@ def d12_dedup_within_watermark(spark, sf_dir):
     bounded availableNow replay every duplicate falls inside one
     watermark window, so the result equals exact DISTINCT — which is
     what makes the key oracle-checkable."""
-    deduped = (
-        events_stream(spark, sf_dir)
+    deduped = d12_deduped(events_stream(spark, sf_dir))
+    return run_available_now(deduped, "d12_dedup_wm", output_mode="append")
+
+
+def d12_deduped(events: DataFrame) -> DataFrame:
+    """The d12 evictable-dedup plan over an already-constructed event
+    stream (split out in r7 for the chunked multi-batch replay test —
+    see d11_joined)."""
+    return (
+        events
         .select("user_id", "event_type", "ts")
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return run_available_now(deduped, "d12_dedup_wm", output_mode="append")
 
 
 @query(

@@ -32,5 +32,6 @@ def test_registry_matches_frozen_surface():
         f"registry surface drifted from REGISTRY_KEYS.txt: "
         f"added={added} removed={removed} oracle-status-changed={moved}"
     )
-    # 130 oracle / 8 rows-only since the r6 f2/f10/f14 oracle upgrade
-    assert len(got) == 138 and sum(v == "oracle" for v in got.values()) == 130
+    # 131 oracle / 8 rows-only since the r7 c29_deterministic_sample
+    # addition (139 keys; r6 was 138 after the f2/f10/f14 upgrade)
+    assert len(got) == 139 and sum(v == "oracle" for v in got.values()) == 131
