@@ -413,7 +413,11 @@ def d12_dedup_within_watermark(spark, sf_dir):
     of duplicates that arrive further apart than the delay. In the
     bounded availableNow replay every duplicate falls inside one
     watermark window, so the result equals exact DISTINCT — which is
-    what makes the key oracle-checkable."""
+    what makes the key oracle-checkable. The chunked multi-batch replay
+    (watermark advancing, state genuinely evicted) is exercised in
+    tests/test_streaming.py::test_d12_chunked_replay_within_dedup_contract,
+    which pins the operator's real contract: key-set equality with
+    DISTINCT plus re-admissions bounded by first-occurrence chains."""
     deduped = d12_deduped(events_stream(spark, sf_dir))
     return run_available_now(deduped, "d12_dedup_wm", output_mode="append")
 
