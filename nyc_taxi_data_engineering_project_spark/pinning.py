@@ -36,6 +36,15 @@ config rather than per-call code:
 All three modes return a DataFrame with identical rows (asserted for
 f2 and f14 in tests/test_pinning.py); only durability, lifetime
 management, and physical layout differ.
+
+Scoping note: the live-pin registry is process-global, so
+``release_pins`` drops EVERY tracked pin — the right semantics for the
+one-query-at-a-time batch/bench drivers it serves. Sessions running
+cluster-mode queries concurrently should release per-frame
+(``unpin``) or serialize release points; the default localCheckpoint
+mode tracks nothing and is concurrency-neutral (pinned blocks are
+owned by each query's own plan), which is what
+tests/test_concurrent_queries.py exercises.
 """
 
 from __future__ import annotations
