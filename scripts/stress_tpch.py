@@ -197,29 +197,49 @@ def compare(sdf, odf, oracle_sql: str = "") -> tuple[str, str]:
 # arithmetic: DECIMAL(38,0) in Spark, HUGEINT in DuckDB. NB concat_ws
 # skips NULLs — only safe because these keys' outputs are null-free
 # (inner-join group keys + aggregates over them).
-_HASHED_ROW = {
-    "tpch_q18": {
-        "spark": ("concat_ws('|', name, custkey, orderkey, orderdate, "
-                  "cast(floor(totalprice * 100 + 0.5) as bigint), "
-                  "cast(floor(sum_qty + 0.5) as bigint))"),
-        "duck": ("concat_ws('|', name, custkey, orderkey, orderdate, "
-                 "cast(floor(totalprice * 100 + 0.5) as bigint), "
-                 "cast(floor(sum_qty + 0.5) as bigint))"),
-    },
-}
+# Keys whose results are large enough to need the hashed path. The row
+# expression is DERIVED from the key's Spark result schema plus its
+# oracle-parsed per-column quanta (auto_hashed_row) — floats are
+# integerized at their own fround scale (canon-default 1e-6 for
+# unrounded), ints/strings/dates render identically in both engines,
+# NULLs become an explicit marker (concat_ws would silently skip them
+# and let different rows collide).
+HASHED_KEYS = {"tpch_q18"}
 # hashed mode kicks in at K >= this (driver-side canonical compare is
 # the STRONGER check — keep it wherever it is feasible)
 HASH_MIN_K = int(os.environ.get("SPARK_GRAFT_TPCH_HASH_MIN_K", "500"))
+
+
+def auto_hashed_row(schema, oracle_sql: str) -> str:
+    """Canonical row-string SQL over a result schema, valid verbatim in
+    BOTH Spark SQL and DuckDB: columns sorted by name (the driver-
+    compare convention); float columns integerized at their own quantum
+    (floor(x·scale + 0.5) — exact while |x|·scale < 2^53, far beyond
+    any fround'ed output here); everything else rendered via CAST to a
+    string both engines spell identically (integers, ISO date strings,
+    plain strings). Each part is null-marked so a NULL can never
+    collapse the row string onto a different row's."""
+    quanta = _column_quanta(oracle_sql)
+    parts = []
+    for f in sorted(schema.fields, key=lambda f: f.name):
+        t = f.dataType.simpleString()
+        if t in ("double", "float"):
+            scale = int(round(1.0 / quanta.get(f.name.lower(), 1e-6)))
+            expr = (f"cast(floor({f.name} * {scale} + 0.5) as bigint)")
+        else:
+            expr = f.name
+        parts.append(f"coalesce(cast({expr} as string), '__null__')")
+    return "concat_ws('|', " + ", ".join(parts) + ")"
 
 
 def hashed_compare(spark, con, key: str, sdf_builder) -> dict:
     """Run the Spark query and its oracle with the whole comparison
     reduced in-engine to (row count, order-insensitive 56-bit-md5 sum).
     Returns a result record shaped like the driver-compare path's."""
-    row_s = _HASHED_ROW[key]["spark"]
-    row_d = _HASHED_ROW[key]["duck"]
+    sdf = sdf_builder()
+    row_s = row_d = auto_hashed_row(sdf.schema, registry.ORACLES[key])
     t0 = time.time()
-    sdf_builder().createOrReplaceTempView("_hashed_result")
+    sdf.createOrReplaceTempView("_hashed_result")
     srow = spark.sql(
         "SELECT COUNT(*) AS n, "
         f"SUM(CAST(conv(substr(md5({row_s}), 1, 14), 16, 10) "
@@ -292,7 +312,10 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     for key in KEYS:
-        if key in _HASHED_ROW and K >= HASH_MIN_K:
+        if ((key in HASHED_KEYS
+             or key in os.environ.get("SPARK_GRAFT_TPCH_HASH_KEYS",
+                                      "").split(","))
+                and K >= HASH_MIN_K):
             try:
                 r = hashed_compare(
                     spark, con, key,
