@@ -54,9 +54,19 @@ from pyspark.sql import functions as F  # noqa: E402
 from nyc_taxi_data_engineering_project_spark import catalog, registry  # noqa: E402
 from nyc_taxi_data_engineering_project_spark.session import get_session  # noqa: E402
 
-K = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+def _argv_int(i: int, default: int) -> int:
+    """argv parse that tolerates import under a test runner (pytest's
+    argv[1] is a test path, not a K)."""
+    try:
+        return int(sys.argv[i])
+    except (IndexError, ValueError):
+        return default
+
+
+K = _argv_int(1, 100)
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-WORK = sys.argv[2] if len(sys.argv) > 2 else "/tmp/stress_tpch100"
+_CLI = len(sys.argv) > 1 and sys.argv[1].isdigit()  # ran as the CLI tool
+WORK = sys.argv[2] if _CLI and len(sys.argv) > 2 else "/tmp/stress_tpch100"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _SHIFT = 100_000_000

@@ -1,0 +1,99 @@
+"""Unit gates for the scale-harness comparison logic
+(scripts/stress_tpch.py) — the r6 ADVICE fixes and the r7 hashed-
+compare derivation, pinned so future harness edits can't silently
+weaken the verification bar.
+
+Pure-function tests: no SparkSession, no DuckDB connection.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+import stress_tpch as st
+
+
+# ------------------------------------------------ per-column quanta
+
+def test_column_quanta_parses_fround_scales():
+    sql = """
+    SELECT g,
+           FLOOR(SUM(x) * 100.0 + 0.5) / 100.0 AS revenue,
+           FLOOR(AVG(y) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+           CAST(FLOOR(SUM(z) * 100.0 + 0.5) / 100.0 AS DOUBLE) AS tot,
+           SUM(w) AS raw_sum
+    FROM t GROUP BY 1
+    """
+    q = st._column_quanta(sql)
+    assert q["revenue"] == pytest.approx(0.01)
+    assert q["avg_qty"] == pytest.approx(0.0001)
+    assert q["tot"] == pytest.approx(0.01)  # CAST(... AS DOUBLE) form
+    assert "raw_sum" not in q  # unrounded columns fall back to canon 1e-6
+
+
+# ------------------------------------------------ compare() alignment
+
+def test_compare_exact_and_per_column_quantum():
+    oracle = "SELECT FLOOR(x * 100.0 + 0.5) / 100.0 AS v FROM t"
+    a = pd.DataFrame({"k": ["a", "b"], "v": [1.00, 2.00]})
+    assert st.compare(a, a.copy(), oracle)[0] == "exact"
+    # drift within the column's own 0.01 quantum -> 'quantum'
+    b = pd.DataFrame({"k": ["a", "b"], "v": [1.01, 2.00]})
+    assert st.compare(a, b, oracle)[0] == "quantum"
+    # beyond it -> MISMATCH
+    c = pd.DataFrame({"k": ["a", "b"], "v": [1.02, 2.00]})
+    assert st.compare(a, c, oracle)[0] == "MISMATCH"
+
+
+def test_compare_4dp_column_no_longer_gets_2dp_slack():
+    """The r6 ADVICE core case: a 4-dp output drifting 0.01 must fail."""
+    oracle = "SELECT FLOOR(x * 10000.0 + 0.5) / 10000.0 AS v FROM t"
+    a = pd.DataFrame({"k": ["a"], "v": [1.0000]})
+    b = pd.DataFrame({"k": ["a"], "v": [1.0099]})
+    status, note = st.compare(a, b, oracle)
+    assert status == "MISMATCH", note
+    # but one 4-dp quantum passes
+    c = pd.DataFrame({"k": ["a"], "v": [1.0001]})
+    assert st.compare(a, c, oracle)[0] == "quantum"
+
+
+def test_compare_refuses_duplicate_key_tuples():
+    oracle = "SELECT FLOOR(x * 100.0 + 0.5) / 100.0 AS v FROM t"
+    a = pd.DataFrame({"k": ["a", "a"], "v": [1.0, 2.0]})
+    b = pd.DataFrame({"k": ["a", "a"], "v": [2.005, 1.005]})
+    status, note = st.compare(a, b, oracle)
+    assert status == "MISMATCH" and "ambiguous alignment" in note
+
+
+def test_compare_refuses_all_float_frames():
+    a = pd.DataFrame({"x": [1.0, 2.0], "y": [3.0, 4.0]})
+    b = pd.DataFrame({"x": [1.005, 2.0], "y": [3.0, 4.005]})
+    status, note = st.compare(a, b, "")
+    assert status == "MISMATCH" and "ambiguous alignment" in note
+
+
+# ------------------------------------------------ auto_hashed_row
+
+def test_auto_hashed_row_derivation():
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("name", StringType()),
+        StructField("revenue", DoubleType()),
+        StructField("n", LongType()),
+    ])
+    oracle = "SELECT FLOOR(x * 100.0 + 0.5) / 100.0 AS revenue FROM t"
+    expr = st.auto_hashed_row(schema, oracle)
+    # columns sorted by name; float integerized at its own scale;
+    # every part null-marked
+    assert (expr.index("cast(n as string)")
+            < expr.index("cast(name as string)")
+            < expr.index("floor(revenue"))
+    assert "floor(revenue * 100 + 0.5)" in expr
+    assert expr.count("coalesce(") == 3 and "__null__" in expr
+    # unrounded floats get the canon 1e-6 scale
+    expr2 = st.auto_hashed_row(schema, "")
+    assert "floor(revenue * 1000000 + 0.5)" in expr2
