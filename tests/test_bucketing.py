@@ -144,3 +144,25 @@ def test_f2_verify_join_bucketed_zero_exchange(spark, tmp_path):
         spark.conf.unset("spark.spark_graft.pin_dir")
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_bucketed_superset_key_aggregation_is_shuffle_free(spark, tmp_path):
+    """The q21-layout property (SCALE.md §13c): a group-by on a
+    SUPERSET of the bucket key — (l_orderkey, l_suppkey) over a table
+    bucketed on l_orderkey alone — needs no Exchange, because equal
+    orderkeys already share a bucket and the grouping only subdivides
+    within it (Spark satisfies ClusteredDistribution(a, b) from
+    HashPartitioning(a))."""
+    lineitem = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    write_bucketed(lineitem, "b_li_super", "l_orderkey", buckets=8,
+                   path=os.path.join(str(tmp_path), "l"))
+    try:
+        agg = (spark.table("b_li_super")
+               .groupBy("l_orderkey", "l_suppkey").count())
+        plan = _plan(agg)
+        assert "Exchange" not in plan, f"superset-key agg shuffled:\n{plan}"
+        expected = (lineitem.select("l_orderkey", "l_suppkey")
+                    .distinct().count())
+        assert agg.count() == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_li_super")
