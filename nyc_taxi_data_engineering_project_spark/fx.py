@@ -19,19 +19,31 @@ within an ulp of a .xx5 boundary, the two engines can round apart (hit
 once, on b3, by the adversarial edge corpus). The full fix is exact
 DECIMAL accumulation, demonstrated on b3 (see its docstring): 2-dp
 money inputs make the products/sums exact, and one deterministic
-decimal→double cast feeds fround. The other money aggregates keep
-double+fround deliberately: the boundary is only reachable when the
-exact sum lands within ~1e-10 of a half-cent, the deterministic edge
-corpus proves none of them currently hit it, and at true ledger
-fidelity a 100 TB pipeline should carry DecimalType end-to-end from
-ingest (a schema decision, not a per-query patch). If a future corpus
-trips another key, convert that key the b3 way — which the K=1000
-probe did for tpch_q1 (SCALE.md §13): at ~600 M rows the accumulation-
-order drift grows past double's precision floor (~2.6 absolute on a
-~2e13 sum, BEYOND the 2-dp quantum, no boundary coincidence needed),
-so the pricing-ledger key now accumulates in decimal like b3. The
-residual-class keys remain safe far past that scale because their
-sums are orders of magnitude smaller per group.
+decimal→double cast feeds fround. If a corpus trips a key, convert
+that key the b3 way — the K=1000 probe did it for tpch_q1 (SCALE.md
+§13): at ~600 M rows the accumulation-order drift grows past double's
+precision floor (~2.6 absolute on a ~2e13 sum, BEYOND the 2-dp
+quantum, no boundary coincidence needed).
+
+Round 7 extended the conversion from "keys a probe tripped" to the
+whole CLASS the q1 finding predicts (the full-battery K=1000 run
+tripped tpch_q19 the same way — 0.06 drift on a 1.6e11 global sum —
+and every sibling passes only by corpus luck): any money aggregate
+whose per-GROUP row count grows with the data (global sums, sums over
+a fixed group cardinality like nation/year/region) now accumulates in
+decimal via :func:`dec`/:func:`sql_dec` on BOTH engines — tpch
+q5/q6/q7/q8/q14/q17/q19 (q1/q9 already converted), the shared-text
+keys q11/q22 (where drift in q11's global total also moves its HAVING
+cutoff — a row-MEMBERSHIP instability, not just value drift), and
+flagship/b2/b8. Keys whose money sums are per-entity with
+bounded-per-key cardinality growth (q3 per order, q10 per customer,
+q15 per supplier, b9 per customer) keep double+fround deliberately:
+their per-group row counts do not grow with total data size at TPC-H
+shape (customers scale WITH orders), the accumulated error stays
+orders of magnitude under the quantum, and the deterministic edge
+corpus proves none of them hit a boundary. At true ledger fidelity a
+100 TB pipeline should carry DecimalType end-to-end from ingest (a
+schema decision, not a per-query patch).
 
 IEEE-specials scope (r6): NaN/±Inf are planted and guarded where they
 occur in practice — metric doubles (events.value) and embedding
@@ -130,6 +142,32 @@ def spark_sql_round(expr: str, n: int) -> str:
         f"WHEN ABS({x}) < {lim} THEN FLOOR({x} * {s} + 0.5D) / {s} "
         f"ELSE ({x} * {s}) / {s} END"
     )
+
+
+def dec(col: Column | str, scale: int = 4, prec: int = 18) -> Column:
+    """Per-row lossless decimal cast for exact money accumulation (the
+    b3/q1/q9 posture, applied class-wide in r7 — module docstring).
+
+    Money inputs are 2-dp decimals stored as doubles; a product like
+    ``l_extendedprice * (1 - l_discount)`` is a true 4-dp decimal whose
+    double evaluation sits within ~2e-11 of it — six orders of
+    magnitude inside the half-quantum (5e-5) — so ``CAST(x AS
+    DECIMAL(18,4))`` recovers the exact 4-dp value in BOTH engines
+    regardless of their half-rounding mode, and the SUM becomes exact
+    decimal addition: order-independent, shuffle-plan-independent,
+    identical across engines at any scale. Spark widens the sum buffer
+    to DECIMAL(p+10, s) = 1e24 capacity at the default — ~1e7× past a
+    100 TB global money sum. Cast the sum back to double before
+    :func:`fround` (callers do), keeping output schemas unchanged."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({prec},{scale})")
+
+
+def sql_dec(expr: str, scale: int = 4, prec: int = 18) -> str:
+    """The oracle-side (and shared-text) spelling of :func:`dec` —
+    identical semantics in DuckDB and Spark SQL; DuckDB sums
+    DECIMAL(18,s) in a HUGEINT-backed DECIMAL(38,s), also exact."""
+    return f"CAST(({expr}) AS DECIMAL({prec},{scale}))"
 
 
 def nsize(col: Column) -> Column:

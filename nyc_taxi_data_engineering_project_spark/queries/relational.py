@@ -32,7 +32,8 @@ from .. import fx
     SELECT strftime(o.o_orderdate, '%Y-%m-%d') AS order_day,
            r.r_name                    AS region_name,
            COUNT(*)                    AS n_orders,
-           FLOOR((SUM(o.o_totalprice)) * 100.0 + 0.5) / 100.0 AS revenue
+           FLOOR(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE) * 100.0 + 0.5) / 100.0 AS revenue
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n   ON c.c_nationkey = n.n_nationkey
@@ -53,7 +54,10 @@ def flagship_daily_region_revenue(spark, sf_dir):
     table is date-partitioned, see io.py); nation/region are broadcast by
     construction; customer broadcasts under the default threshold at test
     SF and AQE picks shuffle-hash beyond it; the groupBy is a two-stage
-    hash aggregate on (day, region) — low cardinality, no skew.
+    hash aggregate on (day, region) — low cardinality, no skew. Revenue
+    accumulates in decimal (fx.dec, r7): day×region is a FIXED group
+    grid, so per-group row counts grow with the data — the
+    deterministic drift class the K=1000 battery tripped on q19.
     """
     orders = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01"))
@@ -72,7 +76,8 @@ def flagship_daily_region_revenue(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            fx.fround(F.sum("o_totalprice"), 2).alias("revenue"),
+            fx.fround(F.sum(fx.dec("o_totalprice", scale=2))
+                      .cast("double"), 2).alias("revenue"),
         )
     )
 
@@ -112,7 +117,8 @@ def b1_date_range(spark, sf_dir):
     oracle="""
     SELECT c.c_mktsegment AS segment,
            COUNT(*) AS n_orders,
-           FLOOR((SUM(o.o_totalprice)) * 100.0 + 0.5) / 100.0 AS revenue
+           FLOOR(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE) * 100.0 + 0.5) / 100.0 AS revenue
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY 1
     """,
@@ -132,7 +138,8 @@ def b2_join_pickup_zone(spark, sf_dir):
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            fx.fround(F.sum("o_totalprice"), 2).alias("revenue"),
+            fx.fround(F.sum(fx.dec("o_totalprice", scale=2))
+                      .cast("double"), 2).alias("revenue"),
         )
     )
 
@@ -324,7 +331,8 @@ def b7_groupby_aggs(spark, sf_dir):
     oracle="""
     SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_day,
            COUNT(*) AS n,
-           FLOOR((SUM(o_totalprice)) * 100.0 + 0.5) / 100.0 AS revenue
+           FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE) * 100.0 + 0.5) / 100.0 AS revenue
     FROM orders GROUP BY 1
     """,
 )
@@ -337,7 +345,8 @@ def b8_groupby_day(spark, sf_dir):
         .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            fx.fround(F.sum("o_totalprice"), 2).alias("revenue"),
+            fx.fround(F.sum(fx.dec("o_totalprice", scale=2))
+                      .cast("double"), 2).alias("revenue"),
         )
     )
 

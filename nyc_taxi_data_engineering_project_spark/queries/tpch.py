@@ -143,7 +143,8 @@ def tpch_q3(spark, sf_dir):
     "tpch_q5",
     oracle=f"""
     SELECT n.n_name AS nation,
-           FLOOR(SUM({_REV.replace('l_', 'l.l_')}) * 100.0 + 0.5) / 100.0
+           FLOOR(CAST(SUM({fx.sql_dec(_REV.replace('l_', 'l.l_'))})
+                      AS DOUBLE) * 100.0 + 0.5) / 100.0
                AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -163,8 +164,11 @@ def tpch_q5(spark, sf_dir):
     local-supplier condition (customer and supplier share a nation).
     Broadcast hints only on nation/region (always tiny); customer and
     supplier scale with the fact tables, so their join strategy is left
-    to AQE — broadcast under the threshold at test SF, shuffle beyond."""
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    to AQE — broadcast under the threshold at test SF, shuffle beyond.
+    Per-nation revenue accumulates in decimal (fx.dec): 5 fixed groups
+    over the whole fact table is the deterministic drift class the
+    K=1000 battery tripped on q19 (fx.py module docstring)."""
+    rev = fx.dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01"))
@@ -185,15 +189,16 @@ def tpch_q5(spark, sf_dir):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(fx.r2(F.sum(rev)).alias("revenue"))
+        .agg(fx.r2(F.sum(rev).cast("double")).alias("revenue"))
     )
 
 
 @query(
     "tpch_q6",
     oracle="""
-    SELECT FLOOR(SUM(l_extendedprice * l_discount) * 100.0 + 0.5) / 100.0
-               AS revenue
+    SELECT FLOOR(CAST(SUM(CAST(l_extendedprice * l_discount
+                               AS DECIMAL(18,4))) AS DOUBLE)
+                 * 100.0 + 0.5) / 100.0 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -203,7 +208,9 @@ def tpch_q5(spark, sf_dir):
 )
 def tpch_q6(spark, sf_dir):
     """TPC-H Q6 forecasting revenue change — scan-heavy single aggregate;
-    every predicate reaches the parquet scan."""
+    every predicate reaches the parquet scan. The single global money
+    sum accumulates in decimal (fx.dec): the largest-group member of
+    the deterministic drift class (fx.py module docstring)."""
     return (
         table(spark, sf_dir, "lineitem")
         .filter(
@@ -213,8 +220,9 @@ def tpch_q6(spark, sf_dir):
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(fx.r2(F.sum(F.col("l_extendedprice") * F.col("l_discount")))
-             .alias("revenue"))
+        .agg(fx.r2(F.sum(fx.dec(F.col("l_extendedprice")
+                                * F.col("l_discount")))
+                   .cast("double")).alias("revenue"))
     )
 
 
@@ -270,10 +278,14 @@ def tpch_q10(spark, sf_dir):
 @query(
     "tpch_q14",
     oracle="""
-    SELECT FLOOR(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
-                                  THEN l.l_extendedprice * (1 - l.l_discount)
-                                  ELSE 0 END)
-                 / SUM(l.l_extendedprice * (1 - l.l_discount))
+    SELECT FLOOR(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                  THEN CAST(l.l_extendedprice
+                                            * (1 - l.l_discount)
+                                            AS DECIMAL(18,4))
+                                  ELSE CAST(0 AS DECIMAL(18,4)) END)
+                              AS DOUBLE)
+                 / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(18,4))) AS DOUBLE)
                  * 10000.0 + 0.5) / 10000.0 AS promo_revenue_pct
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
@@ -285,18 +297,22 @@ def tpch_q14(spark, sf_dir):
     category, so equality instead of LIKE 'PROMO%'): share of monthly
     revenue from promo parts. The date filter prunes lineitem at the
     scan; part joins on partkey (broadcast under threshold at test SF,
-    shuffle at scale via AQE); one global aggregate."""
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    shuffle at scale via AQE); one global aggregate. Both sums of the
+    global ratio accumulate in decimal (fx.dec) — the 4-dp quantum
+    makes this a tight member of the drift class (fx.py)."""
+    rev = fx.dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-09-01"))
         & (F.col("l_shipdate") < F.lit("1996-10-01"))
     )
     p = table(spark, sf_dir, "part")
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,4)"))
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .agg(
-            fx.r4(100.0 * F.sum(promo) / F.sum(rev))
+            fx.r4(100.0 * F.sum(promo).cast("double")
+                  / F.sum(rev).cast("double"))
             .alias("promo_revenue_pct")
         )
     )
@@ -431,7 +447,8 @@ def tpch_q15(spark, sf_dir):
 @query(
     "tpch_q17",
     oracle="""
-    SELECT FLOOR(SUM(l.l_extendedprice) / 7.0 * 100.0 + 0.5) / 100.0
+    SELECT FLOOR(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / 7.0 * 100.0 + 0.5) / 100.0
                AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -446,7 +463,12 @@ def tpch_q17(spark, sf_dir):
     p_type). The correlated per-part AVG subquery is decorrelated into a
     pre-aggregate joined back on partkey — at scale this is one extra
     partial-agg pass instead of a per-row subquery, and both lineitem
-    sides shuffle on the same key so AQE can reuse the exchange."""
+    sides shuffle on the same key so AQE can reuse the exchange. The
+    global money sum accumulates in decimal (fx.dec, scale 2: raw 2-dp
+    price, no product) before the /7.0 happens once in double (fx.py).
+    qty_cut stays double on both engines: 0.2*AVG is a per-part
+    FILTER threshold computed identically (sum of small integer-valued
+    doubles is exact, one shared multiply/divide) — not an output."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#1") & (F.col("p_type") == "SMALL")
@@ -458,7 +480,8 @@ def tpch_q17(spark, sf_dir):
         li.join(p, li.l_partkey == p.p_partkey)
         .join(part_avg, li.l_partkey == F.col("pa_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
-        .agg(fx.r2(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+        .agg(fx.r2(F.sum(fx.dec("l_extendedprice", scale=2))
+                   .cast("double") / 7.0).alias("avg_yearly"))
     )
 
 
@@ -512,7 +535,9 @@ def tpch_q18(spark, sf_dir):
 @query(
     "tpch_q19",
     oracle=f"""
-    SELECT {fx.sql_round(f"SUM({_REV.replace('l_', 'l.l_')})", 2)} AS revenue
+    SELECT {fx.sql_round(
+        f"CAST(SUM({fx.sql_dec(_REV.replace('l_', 'l.l_'))}) AS DOUBLE)", 2
+    )} AS revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 5
            AND l.l_quantity BETWEEN 1 AND 11)
@@ -527,7 +552,10 @@ def tpch_q19(spark, sf_dir):
     absent, so the disjunction is brand × size × quantity). The three
     OR-arms stay one equi join on partkey with the disjunctive residual
     evaluated post-join in codegen — Catalyst additionally derives the
-    common `p_size <= 15` and brand-IN prefilters onto the part scan."""
+    common `p_size <= 15` and brand-IN prefilters onto the part scan.
+    The global money sum accumulates in decimal (fx.dec): THE key the
+    r7 full-battery K=1000 probe tripped — 0.06 drift on a 1.6e11
+    double sum, 6x past the 2-dp quantum (fx.py module docstring)."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
     q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
@@ -536,11 +564,11 @@ def tpch_q19(spark, sf_dir):
         | ((b == "Brand#14") & sz.between(1, 10) & q.between(10, 20))
         | ((b == "Brand#17") & sz.between(1, 15) & q.between(20, 30))
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = fx.dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .filter(arm)
-        .agg(fx.r2(F.sum(rev)).alias("revenue"))
+        .agg(fx.r2(F.sum(rev).cast("double")).alias("revenue"))
     )
 
 
@@ -660,7 +688,8 @@ def tpch_q2(spark, sf_dir):
     oracle=f"""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            year(l.l_shipdate) AS l_year,
-           FLOOR(SUM({_REV.replace('l_', 'l.l_')}) * 100.0 + 0.5) / 100.0
+           FLOOR(CAST(SUM({fx.sql_dec(_REV.replace('l_', 'l.l_'))})
+                      AS DOUBLE) * 100.0 + 0.5) / 100.0
                AS revenue
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -679,8 +708,10 @@ def tpch_q7(spark, sf_dir):
     """TPC-H Q7 volume shipping: revenue between two trading nations by
     direction and year. Both nation dims broadcast (pre-filtered to the
     two trading partners, so the fact rows that survive the join are cut
-    before the aggregate); the date predicate pushes to the scan."""
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    before the aggregate); the date predicate pushes to the scan.
+    4 fixed groups over the fact table → decimal accumulation (fx.dec,
+    fx.py module docstring)."""
+    rev = fx.dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     pair = ["NATION_1", "NATION_2"]
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
@@ -708,7 +739,7 @@ def tpch_q7(spark, sf_dir):
             "supp_nation", "cust_nation",
             F.year("l_shipdate").alias("l_year"),
         )
-        .agg(fx.r2(F.sum(rev)).alias("revenue"))
+        .agg(fx.r2(F.sum(rev).cast("double")).alias("revenue"))
     )
 
 
@@ -716,11 +747,14 @@ def tpch_q7(spark, sf_dir):
     "tpch_q8",
     oracle=f"""
     SELECT o_year,
-           FLOOR(SUM(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END)
-                 / SUM(volume) * 1000000.0 + 0.5) / 1000000.0 AS mkt_share
+           FLOOR(CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume
+                               ELSE CAST(0 AS DECIMAL(18,4)) END)
+                      AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS mkt_share
     FROM (
         SELECT year(o.o_orderdate) AS o_year,
-               {_REV.replace('l_', 'l.l_')} AS volume,
+               {fx.sql_dec(_REV.replace('l_', 'l.l_'))} AS volume,
                n2.n_name AS nation
         FROM part p
         JOIN lineitem l ON p.p_partkey = l.l_partkey
@@ -741,8 +775,11 @@ def tpch_q8(spark, sf_dir):
     """TPC-H Q8 national market share: NATION_1's share of ECONOMY-part
     revenue sold into AMERICA, by order year. The share is a conditional
     sum over the same aggregate rows — one pass, no second join. Part is
-    pre-filtered then broadcast; nation/region always broadcast."""
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pre-filtered then broadcast; nation/region always broadcast. Both
+    sums of the share accumulate in decimal (fx.dec) and the division
+    happens once on the exact totals cast to double — a 6-dp-quantum
+    ratio is the tightest target in the drift class (fx.py)."""
+    rev = fx.dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders").filter(
@@ -773,11 +810,13 @@ def tpch_q8(spark, sf_dir):
             rev.alias("volume"), "nation",
         )
     )
+    dec_zero = F.lit(0).cast("decimal(18,4)")
     return vol.groupBy("o_year").agg(
         fx.r6(
             F.sum(F.when(F.col("nation") == "NATION_1",
-                         F.col("volume")).otherwise(0.0))
-            / F.sum("volume")
+                         F.col("volume")).otherwise(dec_zero))
+            .cast("double")
+            / F.sum("volume").cast("double")
         ).alias("mkt_share")
     )
 
@@ -837,7 +876,7 @@ def tpch_q9(spark, sf_dir):
 _Q11_SQL = f"""
 WITH pv AS (
     SELECT l.l_partkey AS partkey,
-           SUM({_REV.replace('l_', 'l.l_')}) AS value
+           SUM({fx.sql_dec(_REV.replace('l_', 'l.l_'))}) AS value
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n   ON s.s_nationkey = n.n_nationkey
@@ -848,6 +887,13 @@ SELECT partkey, CAST(FLOOR(value * 100.0 + 0.5) / 100.0 AS DOUBLE) AS value
 FROM pv
 WHERE value > 0.001 * (SELECT SUM(value) FROM pv)
 """
+# r7 decimal posture (fx.py module docstring): per-part value AND the
+# global threshold total accumulate exactly — a double drift in the
+# total would move the 0.001 cutoff and flip borderline parts in or
+# out (row MEMBERSHIP, not just value drift). Both engines parse the
+# bare 0.001 literal as DECIMAL, so the comparison is exact
+# decimal×decimal on both; the only double arithmetic left is the
+# shared FLOOR rounding of each emitted value.
 
 
 @query("tpch_q11", oracle=_Q11_SQL)
@@ -1094,11 +1140,14 @@ def tpch_q21(spark, sf_dir):
 
 _Q22_SQL = """
 SELECT c.c_nationkey AS cntrycode, COUNT(*) AS numcust,
-       CAST(FLOOR(SUM(c.c_acctbal) * 100.0 + 0.5) / 100.0 AS DOUBLE)
+       CAST(FLOOR(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                  * 100.0 + 0.5) / 100.0 AS DOUBLE)
            AS totacctbal
 FROM customer c
 WHERE c.c_nationkey IN (10, 11, 12, 13, 14, 15)
-  AND c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+  AND c.c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                                 AS DOUBLE) / COUNT(*)
+                     FROM customer
                      WHERE c_acctbal > 0.0
                        AND c_nationkey IN (10, 11, 12, 13, 14, 15))
   AND NOT EXISTS (SELECT 1 FROM orders o
@@ -1106,6 +1155,13 @@ WHERE c.c_nationkey IN (10, 11, 12, 13, 14, 15)
                     AND o.o_orderdate >= TIMESTAMP '2001-01-01')
 GROUP BY 1
 """
+# r7 decimal posture (fx.py): the per-country totals and the global
+# average-balance threshold both ride exact decimal sums. The AVG is
+# spelled SUM/COUNT explicitly because the engines type AVG(DECIMAL)
+# differently (Spark DECIMAL(p+4,s+4), DuckDB DOUBLE); an exact
+# decimal sum cast to double then one shared division is identical
+# IEEE arithmetic on both — a drifting threshold would flip borderline
+# customers' membership, q11's instability class.
 
 
 @query("tpch_q22", oracle=_Q22_SQL)

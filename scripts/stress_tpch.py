@@ -168,20 +168,27 @@ def compare(sdf, odf, oracle_sql: str = "") -> tuple[str, str]:
     numcols = [c for c in scols if c not in keycols]
     if not numcols:
         return "MISMATCH", "non-numeric values differ"
-    if not keycols:
+    if not keycols and len(sdf) > 1:
+        # >1 all-float rows: no sound alignment (each frame would sort
+        # by its own drifting values) — refuse rather than guess. A
+        # SINGLE all-float row (the global-aggregate keys, e.g. q19)
+        # aligns trivially and proceeds to the per-column quantum pass.
         return "MISMATCH", ("ambiguous alignment: no non-float columns "
                             "to align rows by")
-    ss = sdf.sort_values(keycols).reset_index(drop=True)
-    oo = odf.sort_values(keycols).reset_index(drop=True)
-    # alignment soundness: duplicate key tuples would let rows pair up
-    # arbitrarily across engines (r6 ADVICE) — refuse instead of
-    # producing a spurious verdict in either direction
-    if ss.duplicated(subset=keycols).any():
-        return "MISMATCH", ("ambiguous alignment: duplicate key tuples "
-                            f"in {keycols}")
-    for c in keycols:
-        if list(ss[c]) != list(oo[c]):
-            return "MISMATCH", f"key column {c} differs"
+    if keycols:
+        ss = sdf.sort_values(keycols).reset_index(drop=True)
+        oo = odf.sort_values(keycols).reset_index(drop=True)
+        # alignment soundness: duplicate key tuples would let rows pair
+        # up arbitrarily across engines (r6 ADVICE) — refuse instead of
+        # producing a spurious verdict in either direction
+        if ss.duplicated(subset=keycols).any():
+            return "MISMATCH", ("ambiguous alignment: duplicate key "
+                                f"tuples in {keycols}")
+        for c in keycols:
+            if list(ss[c]) != list(oo[c]):
+                return "MISMATCH", f"key column {c} differs"
+    else:  # single all-float row, trivially aligned
+        ss, oo = sdf.reset_index(drop=True), odf.reset_index(drop=True)
     quanta = _column_quanta(oracle_sql)
     worst = {c: _quantum(ss[c], oo[c]) for c in numcols}
     bad = {
