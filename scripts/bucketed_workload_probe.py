@@ -116,10 +116,35 @@ def q21_over(spark, li, o):
     )
 
 
-QUERIES = {"q9": q9_over, "q18": q18_over, "q21": q21_over}
+def q3_over(spark, li, o):
+    # the DuckDB-favored cold-scan key (SCALE.md §13d ledger): its
+    # li⋈o leg AND its orderkey-grain group-by ride the bucketing; the
+    # o⋈customer leg keys on custkey and legitimately still shuffles —
+    # an honest mixed-key member of the workload class.
+    c = table(spark, WORK, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    of = o.filter(F.col("o_orderdate") < F.lit("1998-03-15"))
+    lif = li.filter(F.col("l_shipdate") > F.lit("1998-03-15"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lif.join(of, lif.l_orderkey == of.o_orderkey)
+        .join(c, of.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .agg(fx.r2(F.sum(rev)).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+        .select("orderkey", "revenue", "orderdate")
+    )
+
+
+QUERIES = {"q9": q9_over, "q18": q18_over, "q21": q21_over,
+           "q3": q3_over}
 
 LI_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
-           "l_extendedprice", "l_discount", "l_returnflag"]
+           "l_extendedprice", "l_discount", "l_returnflag", "l_shipdate"]
 O_COLS = ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
           "o_orderstatus"]
 
