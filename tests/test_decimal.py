@@ -100,3 +100,43 @@ def test_decimal_arithmetic_stays_exact(spark, conformed_path):
         "fare_amount + tip_amount <> total_amount"
     ).count()
     assert mismatched == 0
+
+
+# --------------------------------------------------------------- r7 class
+# The r7 class-wide posture (fx.py module docstring; SCALE.md §13d): every
+# money aggregate whose per-group row count grows with the data accumulates
+# in decimal on BOTH engines. Nothing else pins this — the plan-signature
+# contract tracks plan shapes, not expression types, and the driver compare
+# passes on small SFs even for double sums (the drift class only manifests
+# at ~1e8+ rows, K=1000 territory). These asserts are the regression gate:
+# a silent revert of any converted key back to a double sum fails here,
+# not three rounds later in a stress probe.
+
+DECIMAL_CLASS_KEYS = [
+    "flagship_daily_region_revenue", "b2_join_pickup_zone",
+    "b8_groupby_day", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
+    "tpch_q11", "tpch_q14", "tpch_q17", "tpch_q19", "tpch_q22",
+]
+
+
+@pytest.mark.parametrize("key", DECIMAL_CLASS_KEYS)
+def test_money_class_key_sums_in_decimal_both_engines(spark, key):
+    import re
+
+    from nyc_taxi_data_engineering_project_spark import registry
+
+    registry.load_all()
+    from tests.conftest import SF_DIR
+
+    df = registry.QUERIES[key](spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the money sum's argument must be decimal-typed (scale 2 or 4);
+    # non-greedy window because the cast argument nests parens freely
+    assert re.search(r"sum\(.{0,200}?decimal\(18,\s*[24]\)",
+                     plan, re.I | re.S), (
+        f"{key}: no decimal-typed sum in the optimized plan — the r7 "
+        "money-class posture (fx.dec) has been reverted on the Spark side")
+    # and the oracle must accumulate the same way (fx.sql_dec spelling)
+    assert "DECIMAL(18," in registry.ORACLES[key].upper(), (
+        f"{key}: oracle SQL lost its DECIMAL(18,s) accumulation — the "
+        "two engines would sum in different arithmetic")
