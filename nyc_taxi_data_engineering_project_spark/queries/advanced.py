@@ -156,7 +156,8 @@ def c6_cross_join(spark, sf_dir):
     "c7_range_join",
     oracle="""
     SELECT b.band_name AS band, COUNT(*) AS n_parts,
-           FLOOR(SUM(p.p_retailprice) * 100.0 + 0.5) / 100.0 AS total_price
+           FLOOR(CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,2)))
+                      AS DOUBLE) * 100.0 + 0.5) / 100.0 AS total_price
     FROM part p
     JOIN (VALUES ('low', 900.0, 930.0), ('mid', 930.0, 970.0),
                  ('high', 970.0, 1000.0)) b(band_name, lo, hi)
@@ -168,7 +169,13 @@ def c7_range_join(spark, sf_dir):
     """Theta/range join — non-equi band lookup. The bands table is a
     literal dim → BroadcastNestedLoopJoin with the inequality evaluated
     in codegen. At scale, a banded fact uses the same broadcast (bands are
-    always small); for fact-fact range joins see c8's bucketing note."""
+    always small); for fact-fact range joins see c8's bucketing note.
+
+    The per-band price sums accumulate in decimal (fx.dec, scale 2: raw
+    2-dp money, no product): 3 fixed bands over the whole part table is
+    the deterministic drift class (fx.py module docstring) — per-group
+    row counts grow with the data, so double accumulation drifts past
+    the 2-dp quantum at scale (r8 ADVICE finding)."""
     p = table(spark, sf_dir, "part")
     bands = spark.createDataFrame(
         [("low", 900.0, 930.0), ("mid", 930.0, 970.0), ("high", 970.0, 1000.0)],
@@ -182,7 +189,8 @@ def c7_range_join(spark, sf_dir):
         .groupBy(F.col("band_name").alias("band"))
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            fx.r2(F.sum("p_retailprice")).alias("total_price"),
+            fx.r2(F.sum(fx.dec("p_retailprice", scale=2))
+                  .cast("double")).alias("total_price"),
         )
     )
 
@@ -672,8 +680,9 @@ def c32_recursive_cte(spark, sf_dir):
     oracle="""
     SELECT o_orderpriority AS priority,
            COUNT(*) AS n_items,
-           FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5)
-               / 100.0 AS revenue
+           FLOOR(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))) AS DOUBLE)
+                 * 100.0 + 0.5) / 100.0 AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY 1
     """,
@@ -689,7 +698,13 @@ def c33_salted_join(spark, sf_dir):
     key downstream; stats unavailable). The join is sort-merge — a
     shuffled-hash build side cannot spill and OOMed at the 100× stress
     run (SCALE.md §10). Plan shape (salt in the join keys, shuffle join
-    not broadcast) is asserted in tests/test_plans.py."""
+    not broadcast) is asserted in tests/test_plans.py.
+
+    The per-priority revenue sums accumulate in decimal (fx.dec): 5
+    fixed groups over the entire lineitem⋈orders join is the
+    deterministic drift class (fx.py module docstring) — at K=1000 each
+    group's sum (~1e13) exceeds the 1.6e11 that tripped q19 (r8 ADVICE
+    finding)."""
     from ..skew import salted_join
 
     li = table(spark, sf_dir, "lineitem").select(
@@ -703,8 +718,9 @@ def c33_salted_join(spark, sf_dir):
         .groupBy(F.col("o_orderpriority").alias("priority"))
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            fx.r2(F.sum(F.col("l_extendedprice")
-                        * (1 - F.col("l_discount")))).alias("revenue"),
+            fx.r2(F.sum(fx.dec(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))))
+                  .cast("double")).alias("revenue"),
         )
     )
 

@@ -885,15 +885,21 @@ WITH pv AS (
 )
 SELECT partkey, CAST(FLOOR(value * 100.0 + 0.5) / 100.0 AS DOUBLE) AS value
 FROM pv
-WHERE value > 0.001 * (SELECT SUM(value) FROM pv)
+WHERE value > 0.001 * (SELECT CAST(SUM(value) AS DECIMAL(28,4)) FROM pv)
 """
 # r7 decimal posture (fx.py module docstring): per-part value AND the
 # global threshold total accumulate exactly — a double drift in the
 # total would move the 0.001 cutoff and flip borderline parts in or
-# out (row MEMBERSHIP, not just value drift). Both engines parse the
-# bare 0.001 literal as DECIMAL, so the comparison is exact
-# decimal×decimal on both; the only double arithmetic left is the
-# shared FLOOR rounding of each emitted value.
+# out (row MEMBERSHIP, not just value drift). The r8 refinement (ADVICE
+# finding): the bare product 0.001 * SUM(value) derives DECIMAL(38,7)
+# in DuckDB (exact) but overflows Spark's width-38 cap (sum-of-sums is
+# 38,4 → product wants 43,7 → precision-loss rule caps at 38,6), a
+# ≤5e-7 threshold gap that could flip a borderline part's membership.
+# CAST(SUM(value) AS DECIMAL(28,4)) is lossless (a global money sum is
+# ~24 digits under the width) and pins the product at DECIMAL(32,7) —
+# exact and identical on BOTH engines (verified by type probe); the
+# only double arithmetic left is the shared FLOOR rounding of each
+# emitted value.
 
 
 @query("tpch_q11", oracle=_Q11_SQL)

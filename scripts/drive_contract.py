@@ -3,7 +3,9 @@
 key at the given SF against its oracle_sql() twin in DuckDB, comparing
 row count + sorted column names + order-insensitive values.
 
-Usage: python scripts/drive_contract.py [sf_dir]
+Usage: python scripts/drive_contract.py [sf_dir] [key ...]
+(with keys given, only those registry keys are driven — fast re-check
+of a just-edited key without the full-surface pass)
 """
 
 from __future__ import annotations
@@ -16,6 +18,7 @@ import time
 import duckdb
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY_KEYS = set(sys.argv[2:])
 REPO = "/root/repo"
 
 # footer-type drift gate BEFORE anything runs: the r3 incident class
@@ -79,7 +82,11 @@ print(f"entry(): {len(erows)} rows, schema={[f.name for f in edf.schema]}, "
 assert len(erows) > 0
 
 qs, oracles = mod.queries(), mod.oracle_sql()
-print(f"{len(qs)} queries, {len(oracles)} with oracle")
+if ONLY_KEYS:
+    missing = ONLY_KEYS - set(qs)
+    assert not missing, f"unknown keys: {sorted(missing)}"
+    qs = {k: v for k, v in qs.items() if k in ONLY_KEYS}
+print(f"{len(qs)} queries, {len(set(qs) & set(oracles))} with oracle")
 fails = []
 for key in sorted(qs):
     t0 = time.time()

@@ -116,7 +116,35 @@ DECIMAL_CLASS_KEYS = [
     "flagship_daily_region_revenue", "b2_join_pickup_zone",
     "b8_groupby_day", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
     "tpch_q11", "tpch_q14", "tpch_q17", "tpch_q19", "tpch_q22",
+    # r8: the two class members the r7 sweep missed (ADVICE finding) —
+    # c33's 5 fixed-priority sums over the whole join (~1e13/group at
+    # K=1000) and c7's 3 fixed price bands over part (~1e11/group)
+    "c33_salted_join", "c7_range_join",
 ]
+
+
+def _sum_arguments(plan: str) -> list[str]:
+    """Every sum(...) argument in a plan string, balanced-paren extracted.
+
+    The r7 regex (``sum\\(.{0,200}?decimal\\(18,..``, re.S) could cross
+    the sum's closing paren and latch onto an unrelated decimal cast
+    elsewhere in the plan (r8 ADVICE finding) — a key silently reverted
+    to a double sum could still pass. Extracting the argument with a
+    paren counter makes the assertion airtight: the decimal cast must be
+    INSIDE the sum."""
+    low = plan.lower()
+    args, i = [], 0
+    while (j := low.find("sum(", i)) >= 0:
+        if j > 0 and (low[j - 1].isalnum() or low[j - 1] == "_"):
+            i = j + 4  # isum(/foosum( — not the aggregate
+            continue
+        depth, k = 1, j + 4
+        while k < len(plan) and depth:
+            depth += {"(": 1, ")": -1}.get(plan[k], 0)
+            k += 1
+        args.append(plan[j + 4:k - 1])
+        i = k
+    return args
 
 
 @pytest.mark.parametrize("key", DECIMAL_CLASS_KEYS)
@@ -130,12 +158,25 @@ def test_money_class_key_sums_in_decimal_both_engines(spark, key):
 
     df = registry.QUERIES[key](spark, SF_DIR)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    # the money sum's argument must be decimal-typed (scale 2 or 4);
-    # non-greedy window because the cast argument nests parens freely
-    assert re.search(r"sum\(.{0,200}?decimal\(18,\s*[24]\)",
-                     plan, re.I | re.S), (
-        f"{key}: no decimal-typed sum in the optimized plan — the r7 "
-        "money-class posture (fx.dec) has been reverted on the Spark side")
+
+    def is_decimal_sum(arg: str) -> bool:
+        # inline cast inside the sum (q5/q6-style) ...
+        if re.search(r"(?is)\bcast\(.* as decimal\(18,\s*[24]\)", arg):
+            return True
+        # ... or the argument references a column a lower Project defines
+        # as a decimal(18,2|4) cast (q8-style: `cast(... as decimal(18,4))
+        # AS volume#53` below, `sum(volume#53)` above)
+        return any(
+            re.search(rf"(?is)as decimal\(18,\s*[24]\)\) AS \w+#{ref}\b",
+                      plan)
+            for ref in set(re.findall(r"#(\d+)", arg))
+        )
+
+    money_sums = [a for a in _sum_arguments(plan) if is_decimal_sum(a)]
+    assert money_sums, (
+        f"{key}: no sum whose argument is decimal(18,2|4)-cast in the "
+        "optimized plan — the r7 money-class posture (fx.dec) has been "
+        "reverted on the Spark side")
     # and the oracle must accumulate the same way (fx.sql_dec spelling)
     assert "DECIMAL(18," in registry.ORACLES[key].upper(), (
         f"{key}: oracle SQL lost its DECIMAL(18,s) accumulation — the "
