@@ -52,6 +52,23 @@ def main() -> None:
     registry.load_all()
     spark = get_session("bench")
 
+    # Opt-in A15 workload layout (catalog.build_workload_layout): with
+    # SPARK_GRAFT_LAYOUT_DIR set, the orderkey-bucketed fact layout is
+    # built there once (timed separately below — it's amortized capital,
+    # not per-query cost) and served transparently to every orderkey-
+    # class key. Off by default so the headline board stays comparable
+    # across rounds; run both ways to price the layout at any SF.
+    layout_dir = os.environ.get("SPARK_GRAFT_LAYOUT_DIR")
+    layout_build_s = None
+    if layout_dir:
+        from nyc_taxi_data_engineering_project_spark.catalog import (
+            build_workload_layout,
+        )
+
+        t0 = time.perf_counter()
+        build_workload_layout(spark, SF_DIR, layout_dir)
+        layout_build_s = round(time.perf_counter() - t0, 3)
+
     # warm-up: JVM, codegen, parquet footer caches — failure here must not
     # suppress the whole benchmark (each key also times its own first run)
     try:
@@ -93,6 +110,9 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
     }
+    if layout_build_s is not None:
+        detail["layout_dir"] = layout_dir
+        detail["layout_build_s"] = layout_build_s
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
     try:

@@ -141,7 +141,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     represent — is read as a long and floor-divided to micros, the same
     truncation DuckDB applies when casting ns → its micro-precision
     TIMESTAMP, so oracle comparisons agree either way.
-    """
+
+    When a workload layout is registered for (this session, this
+    ``sf_dir``) — see :func:`build_workload_layout` — and serving is on
+    (``spark.spark_graft.layout_serve``, default true), the bucketed
+    copy is returned instead: same rows and schema, plus the persisted
+    hash-partitioning that lets every orderkey join/aggregate plan
+    without an Exchange. The reference's index transparency
+    (``sql/init.sql:44-47``: queries don't opt in to indexes) for
+    Spark."""
+    bucketed = spark.conf.get(_layout_conf_key(sf_dir, name), None)
+    if bucketed is not None and (
+        spark.conf.get(LAYOUT_SERVE_CONF, "true").lower() == "true"
+    ):
+        return spark.table(bucketed)
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = nanos_ts_columns(path)
     if ns_cols:
@@ -179,3 +192,98 @@ def register_views(spark: SparkSession, sf_dir: str,
 def bootstrap_database(spark: SparkSession, db: str = "nyc") -> None:
     """``CREATE SCHEMA IF NOT EXISTS nyc`` (``sql/init.sql:9``) equivalent."""
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+
+
+# ------------------------------------------------------- A15 workload layout
+# The reference builds its indexes ONCE in DDL and every query uses them
+# transparently (``sql/init.sql:44-47`` — no per-query opt-in). This is
+# that economics for Spark: one bucketed build of the orderkey-keyed fact
+# tables, after which :func:`table` serves the bucketed copies to EVERY
+# query in the session — the orderkey workload class (tpch q3/q9/q18/q21-
+# shaped joins and aggregates, including group-bys on orderkey SUPERSETS)
+# stops shuffling the facts. Measured at K=100: 2.4–4.3× with 2→0 / 4→1
+# Exchanges (SCALE.md §13c); proved through the ordinary registry keys —
+# identical results and strictly fewer shuffles — in
+# tests/test_workload_layout.py. The build cost is paid once per layout
+# dir and amortizes across every subsequent orderkey query (115 s built
+# both facts at K=100, repaid within a handful of q18/q21 runs).
+
+LAYOUT_BUCKET_KEYS = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
+LAYOUT_SERVE_CONF = "spark.spark_graft.layout_serve"
+
+
+def _layout_conf_key(sf_dir: str, name: str) -> str:
+    """Session-conf key registering the bucketed twin of one table.
+
+    Keyed on the resolved sf_dir so one session can hold layouts for
+    several data dirs (tests at sf0.001, bench at sf0.1) without
+    cross-serving. Conf-based (not module state) so the registration is
+    per-SparkSession and dies with it — a fresh session never sees a
+    stale layout."""
+    import hashlib
+
+    h = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return f"spark.spark_graft.layout.{h}.{name}"
+
+
+def build_workload_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    buckets: int = 32,
+    tables: tuple[str, ...] = ("orders", "lineitem"),
+    rebuild: bool = False,
+) -> dict[str, str]:
+    """Build + register the bucketed workload layout — Spark's
+    ``CREATE INDEX`` (A15, ``sql/init.sql:44-47``).
+
+    Each fact table is rewritten once as a hash-bucketed, per-bucket-
+    sorted external table on its orderkey (``io.write_bucketed``) under
+    ``path``, then registered in the session conf so :func:`table`
+    transparently serves it. Idempotent like ``CREATE INDEX IF NOT
+    EXISTS``: an existing layout table is re-registered without a
+    rebuild unless ``rebuild=True`` (use after the source data changed).
+    Returns ``{source_name: layout_table_name}``.
+
+    Sizing: ``buckets`` fixes the join/agg parallelism for every
+    consumer — size it to the CLUSTER (≈2-4× executor cores so AQE-less
+    bucketed stages still saturate), not the data; both tables must
+    share the count or the shuffle-free join property is lost (enforced
+    here by building them together). Disable serving without dropping
+    via ``spark.conf.set(LAYOUT_SERVE_CONF, "false")`` — the A/B switch
+    tests and operators use."""
+    from . import io as _io
+
+    built: dict[str, str] = {}
+    for name in tables:
+        key = LAYOUT_BUCKET_KEYS[name]  # KeyError = not a layout table
+        h = _layout_conf_key(sf_dir, name).split(".")[-2]
+        tbl = f"spark_graft_layout_{h}_{name}"
+        if rebuild or not spark.catalog.tableExists(tbl):
+            # read the PLAIN source explicitly (serve flag off for this
+            # read): rebuilding with the layout registered must not read
+            # the layout table into itself
+            prev = spark.conf.get(LAYOUT_SERVE_CONF, "true")
+            spark.conf.set(LAYOUT_SERVE_CONF, "false")
+            try:
+                src = table(spark, sf_dir, name)
+            finally:
+                spark.conf.set(LAYOUT_SERVE_CONF, prev)
+            _io.write_bucketed(src, tbl, key, buckets=buckets,
+                               path=os.path.join(path, tbl))
+        spark.conf.set(_layout_conf_key(sf_dir, name), tbl)
+        built[name] = tbl
+    return built
+
+
+def drop_workload_layout(spark: SparkSession, sf_dir: str) -> None:
+    """Unregister and drop the layout for ``sf_dir`` (``DROP INDEX``).
+
+    Catalog metadata only for the external tables — delete the layout
+    ``path`` separately if the storage should go too."""
+    for name in LAYOUT_BUCKET_KEYS:
+        conf_key = _layout_conf_key(sf_dir, name)
+        tbl = spark.conf.get(conf_key, None)
+        if tbl is not None:
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            spark.conf.unset(conf_key)
