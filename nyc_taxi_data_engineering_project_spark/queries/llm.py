@@ -361,26 +361,106 @@ def _sampled_kmeans(emb, k, sample_cap=4096, iters=8, seed=42):
     return centers
 
 
-def _nearest_center_udf(centers_np):
-    """Arrow-batched nearest-centroid assignment: one matmul per batch
-    (X @ Cᵀ) rather than k·dim literal dot products in codegen — the
-    literal form builds a ~2k-node Catalyst tree whose analysis + janino
-    compile dominates at interactive scale (measured ~3 s fixed driver
-    cost); the batched matmul is the vectorized path (same einsum
-    pattern as f13's pair cosine)."""
+# Portable seed quantizer (r8: the f21/f28 oracle graduation). The Lloyd
+# fit above is seeded and driver-bounded but its centroids are fitted in
+# numpy — no static SQL twin can reproduce 8 iterations of float means
+# bit-exactly, which is why f21/f28 were rows-only through r7. The
+# graduation replaces the REGISTERED keys' quantizer with one both
+# engines derive from the data identically: the centroids are the
+# embeddings of the k vectors with the smallest Knuth-style multiplicative
+# hash of vec_id — pure BIGINT arithmetic (no overflow: (2^31-1)·A + C
+# < 2^63), i.e. k-means with hash-random init and zero Lloyd iterations,
+# a standard cheap IVF coarse quantizer. Assignment distances use
+# SEQUENTIAL per-element accumulation (cumsum, not matmul) so d² is
+# bit-identical to DuckDB's list_dot_product fold (the f3-proven
+# equivalence), and every ordering ties on (d², cell) in both engines —
+# the assignment is exact, not ulp-close. The Lloyd fit remains the
+# data-adaptive option (quantizer="kmeans", exercised by tests).
+_SEED_M = 2_147_483_648  # 2^31
+_SEED_A = 1_103_515_245
+_SEED_C = 12_345
+
+
+def _seed_hash_col(c):
+    return F.pmod(F.pmod(c, F.lit(_SEED_M)) * _SEED_A + _SEED_C,
+                  F.lit(_SEED_M))
+
+
+def _seed_hash_sql(expr: str) -> str:
+    # positive-safe modulo in DuckDB (% keeps the dividend's sign)
+    return (f"((((({expr}) % {_SEED_M}) + {_SEED_M}) % {_SEED_M})"
+            f" * {_SEED_A} + {_SEED_C}) % {_SEED_M}")
+
+
+def _seed_centroids(emb, k):
+    """The k seed vectors in cell order (hash rank, vec_id tie-break) —
+    one driver-bounded TakeOrdered collect, k×dim driver state."""
     import numpy as np
 
-    c_sq = (centers_np ** 2).sum(axis=1)
+    rows = (
+        emb.select("vec_id", "emb")
+        .orderBy(_seed_hash_col(F.col("vec_id")).asc(),
+                 F.col("vec_id").asc())
+        .limit(k)
+        .collect()
+    )
+    if not rows:
+        return None
+    return np.array([r.emb for r in rows])
+
+
+def _seq_dot(x2d, centers_np):
+    """x·cᵀ with strictly SEQUENTIAL accumulation over the dim axis —
+    bit-identical to the oracle's list_dot_product fold (numpy's matmul
+    uses pairwise/SIMD accumulation, which is ulp-close but not equal;
+    an ulp flips an argmin only on near-ties, and near-ties are exactly
+    what an adversarial corpus plants). dim vectorized-batch adds of a
+    b×k accumulator — each scalar lane is the exact IEEE sequence
+    ``((0 + x₁c₁) + x₂c₂) + …`` the fold computes; memory stays b×k."""
+    import numpy as np
+
+    acc = np.zeros((x2d.shape[0], centers_np.shape[0]))
+    for i in range(centers_np.shape[1]):
+        acc = acc + x2d[:, i, None] * centers_np[None, :, i]
+    return acc
+
+
+def _nearest_seed_udf(centers_np):
+    """Arrow-batched exact-portable nearest-cell assignment: argmin of
+    (c·c − 2·x·c) with sequential dots; numpy argmin takes the FIRST
+    index on ties = the oracle's ORDER BY d2, cell."""
+    import numpy as np
+
+    c_sq = np.cumsum(centers_np * centers_np, axis=1)[:, -1]
 
     @F.pandas_udf("integer")
-    def nearest_center(embs):  # Series[array<double>] -> Series[int]
+    def nearest_seed(embs):  # Series[array<double>] -> Series[int]
         import pandas as pd
 
         x = np.stack(embs.values)
-        return pd.Series((c_sq[None, :] - 2.0 * x @ centers_np.T)
-                         .argmin(axis=1))
+        d2 = c_sq[None, :] - 2.0 * _seq_dot(x, centers_np)
+        return pd.Series(d2.argmin(axis=1))
 
-    return nearest_center
+    return nearest_seed
+
+
+def _probe_seeds_udf(centers_np, nprobe):
+    """The nprobe nearest cells per query, stable-sorted so distance
+    ties resolve by cell index — the oracle's ORDER BY d2, cell."""
+    import numpy as np
+
+    c_sq = np.cumsum(centers_np * centers_np, axis=1)[:, -1]
+
+    @F.pandas_udf("array<integer>")
+    def probe_seeds(embs):  # Series[array<double>] -> Series[list[int]]
+        import pandas as pd
+
+        x = np.stack(embs.values)
+        d2 = c_sq[None, :] - 2.0 * _seq_dot(x, centers_np)
+        order = np.argsort(d2, axis=1, kind="stable")
+        return pd.Series(list(order[:, :nprobe]))
+
+    return probe_seeds
 
 
 def _hyperplane_bucket(planes, emb_col):
@@ -914,42 +994,89 @@ def f3_lsh_ann(spark, sf_dir):
     )
 
 
-@query("f21_ivf_ann")  # rows-only: trained index, no SQL twin
-def f21_ivf_ann(spark, sf_dir):
+def _f21_oracle(k: int = 16, nprobe: int = 4) -> str:
+    """DuckDB twin of f21_ivf_ann: derives the SAME seed centroids from
+    the data (portable hash rank — no literals needed, so one static
+    string serves every SF), assigns by the same sequential-accumulation
+    d² with the same (d², cell) tie order, probes the same nprobe cells,
+    and ranks the same cosine (the f3-proven
+    _dot ≡ list_dot_product equivalence)."""
+    h = _seed_hash_sql("vec_id")
+    return f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE {_VEC_OK}
+    ), seeds AS (
+        SELECT se, rn - 1 AS cell FROM (
+            SELECT e AS se,
+                   ROW_NUMBER() OVER (ORDER BY {h}, vec_id) AS rn
+            FROM base) WHERE rn <= {k}
+    ), d AS (
+        SELECT b.vec_id, b.e, s.cell,
+               list_dot_product(s.se, s.se)
+                   - 2 * list_dot_product(b.e, s.se) AS d2
+        FROM base b CROSS JOIN seeds s
+    ), assigned AS (
+        SELECT vec_id, e, cell FROM (
+            SELECT vec_id, e, cell, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY d2, cell) AS arn
+            FROM d) WHERE arn = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, e AS qe, cell FROM (
+            SELECT vec_id, e, cell, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY d2, cell) AS prn
+            FROM d WHERE vec_id < 20) WHERE prn <= {nprobe}
+    ), pairs AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               list_cosine_similarity(p.qe, a.e) AS cos
+        FROM probes p JOIN assigned a USING (cell)
+        WHERE p.query_id <> a.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           FLOOR(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine, rk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+        ) AS rk FROM pairs
+    ) WHERE rk <= 5
+    """
+
+
+@query("f21_ivf_ann", oracle=_f21_oracle())
+def f21_ivf_ann(spark, sf_dir, quantizer="seed"):
     """F21: IVF (inverted-file) ANN — the second of the two scale
     structures the training-pipeline mandate names (LSH is f3_lsh_ann).
-    A k-means coarse quantizer (seeded Lloyd on a bounded sample, see
-    ``_sampled_kmeans``) partitions the corpus into cells; every vector
-    is assigned to its nearest centroid in one Arrow-batched map pass
-    (``_nearest_center_udf``); each query probes its nprobe=4 nearest
-    cells and runs exact cosine top-k inside them only.
+    A coarse quantizer partitions the corpus into cells; every vector
+    is assigned to its nearest centroid in one Arrow-batched map pass;
+    each query probes its nprobe=4 nearest cells and runs exact cosine
+    top-k inside them only.
 
-    Scale posture: the standard IVF build — the fit sees a bounded
-    sample (driver state independent of corpus size); assignment is
-    map-only, one matmul per Arrow batch; the probe join is equi on
-    cell id, shuffle-partitionable; recall/cost is tuned by k and
-    nprobe. Unlike LSH, cells adapt to the data distribution — the
-    standard choice when embeddings cluster. Recall vs the exact
-    baseline is asserted in tests/test_llm_ops.py."""
-    import numpy as np
+    Quantizers (r8 graduation — see the _SEED_M block comment): the
+    registered key uses the PORTABLE seed quantizer (centroids = the k
+    hash-ranked corpus vectors, zero Lloyd iterations), which both
+    engines derive identically — the key is fully oracle-hash-checked.
+    ``quantizer="kmeans"`` keeps the seeded Lloyd fit
+    (``_sampled_kmeans``) as the data-adaptive option for clustered
+    embeddings; its fitted centroids live only in numpy, so that
+    variant is recall-gated rather than hash-checked
+    (tests/test_llm_ops.py exercises both).
 
+    Scale posture (either quantizer): driver state is k×dim regardless
+    of corpus size; assignment is map-only, one Arrow batch pass; the
+    probe join is equi on cell id, shuffle-partitionable; recall/cost
+    is tuned by k and nprobe."""
     k, nprobe = 16, 4
     emb = _embeddings(spark, sf_dir)
-    centers_np = _sampled_kmeans(emb, k=k)
+    if quantizer == "seed":
+        centers_np = _seed_centroids(emb, k=k)
+    else:
+        centers_np = _sampled_kmeans(emb, k=k)
     if centers_np is None:  # empty corpus: no index, no neighbors
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rk int")
     nprobe = min(nprobe, len(centers_np))  # k may have been clamped
-    nearest_cell = _nearest_center_udf(centers_np)
-    c_sq = (centers_np ** 2).sum(axis=1)
-
-    @F.pandas_udf("array<integer>")
-    def probe_cells(embs):  # Series[array<double>] -> Series[list[int]]
-        import pandas as pd
-
-        x = np.stack(embs.values)
-        order = (c_sq[None, :] - 2.0 * x @ centers_np.T).argsort(axis=1)
-        return pd.Series(list(order[:, :nprobe]))
+    nearest_cell = _nearest_seed_udf(centers_np)
+    probe_cells = _probe_seeds_udf(centers_np, nprobe)
 
     # cells: one map pass; pinned so the probe join's two reads (query
     # side + corpus side) don't recompute the scan+assignment (mode per
@@ -2371,26 +2498,67 @@ def f27_chunk_rag(spark, sf_dir):
     )
 
 
-@query("f28_doc_clustering")  # rows-only: trained centroids, no SQL twin
-def f28_doc_clustering(spark, sf_dir):
-    """F28: corpus topic clustering — k-means over the embedding column
-    (the domain-mixture / data-curation view: cluster sizes and purity
-    drive up/down-sampling decisions in training-data pipelines).
-    Reuses f21's machinery: ``_sampled_kmeans`` bounded-sample fit,
-    ``_nearest_center_udf`` Arrow-batched assignment.
+def _f28_oracle(k: int = 8) -> str:
+    """DuckDB twin of f28_doc_clustering: same portable seed centroids,
+    same sequential-d² assignment and tie order as _f21_oracle; the
+    per-cluster profile is plain SQL aggregation. avg_norm carries the
+    one accepted seam of the averaging class — engine summation order
+    inside AVG — absorbed by the shared 6-dp floor rounding."""
+    h = _seed_hash_sql("vec_id")
+    return f"""
+    WITH base AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE {_VEC_OK}
+    ), seeds AS (
+        SELECT se, rn - 1 AS cell FROM (
+            SELECT e AS se,
+                   ROW_NUMBER() OVER (ORDER BY {h}, vec_id) AS rn
+            FROM base) WHERE rn <= {k}
+    ), assigned AS (
+        SELECT vec_id, label, e, cell FROM (
+            SELECT b.vec_id, b.label, b.e, s.cell, ROW_NUMBER() OVER (
+                PARTITION BY b.vec_id ORDER BY
+                    list_dot_product(s.se, s.se)
+                        - 2 * list_dot_product(b.e, s.se),
+                    s.cell) AS arn
+            FROM base b CROSS JOIN seeds s) WHERE arn = 1
+    )
+    SELECT CAST(cell AS BIGINT) AS cluster_id,
+           COUNT(*) AS n_vecs,
+           COUNT(DISTINCT label) AS n_labels,
+           FLOOR(AVG(sqrt(list_dot_product(e, e))) * 1000000.0 + 0.5)
+               / 1000000.0 AS avg_norm
+    FROM assigned GROUP BY 1
+    """
 
-    Scale posture: fit cost is constant in corpus size (bounded sample);
-    assignment is one map-only matmul pass; the per-cluster profile is a
-    single map-side-combined groupBy on k keys. Output: one row per
-    non-empty cluster with its size and label mix."""
+
+@query("f28_doc_clustering", oracle=_f28_oracle())
+def f28_doc_clustering(spark, sf_dir, quantizer="seed"):
+    """F28: corpus topic clustering — vector quantization over the
+    embedding column (the domain-mixture / data-curation view: cluster
+    sizes and purity drive up/down-sampling decisions in training-data
+    pipelines). Reuses f21's machinery: the portable seed quantizer by
+    default (fully oracle-hash-checked — see f21's docstring and the
+    _SEED_M block comment for the r8 graduation), the seeded Lloyd fit
+    via ``quantizer="kmeans"`` for data-adaptive cells (recall/invariant
+    gated in tests).
+
+    Scale posture: quantizer cost is constant in corpus size (k×dim
+    driver state); assignment is one map-only Arrow pass; the
+    per-cluster profile is a single map-side-combined groupBy on k
+    keys. Output: one row per non-empty cluster with its size and
+    label mix."""
     k = 8
     emb = _embeddings(spark, sf_dir)
-    centers_np = _sampled_kmeans(emb, k=k)
+    if quantizer == "seed":
+        centers_np = _seed_centroids(emb, k=k)
+    else:
+        centers_np = _sampled_kmeans(emb, k=k)
     if centers_np is None:  # empty corpus: no clusters to profile
         return spark.createDataFrame(
             [], "cluster_id long, n_vecs long, n_labels long, "
                 "avg_norm double")
-    assign = _nearest_center_udf(centers_np)
+    assign = _nearest_seed_udf(centers_np)
     return (
         emb.withColumn("cluster_id", assign("emb"))
         .groupBy(F.col("cluster_id").cast("long").alias("cluster_id"))

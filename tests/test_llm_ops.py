@@ -233,13 +233,18 @@ def test_ml_minhash_lsh_finds_planted_neardups(spark):
             assert r.jaccard >= 0.6
 
 
-def test_ivf_ann_recall_vs_bruteforce(spark):
+@pytest.mark.parametrize("quantizer", ["seed", "kmeans"])
+def test_ivf_ann_recall_vs_bruteforce(spark, quantizer):
     """IVF with nprobe=4 of 16 cells must recall well over half of the
-    exact top-5 (measured ~0.6 on the isotropic synthetic vectors —
-    data-adaptive cells beat LSH's ~0.4 here), and agree with exact
-    cosine values on overlaps."""
+    exact top-5 (both quantizers measure ~0.5-0.6 on the isotropic
+    synthetic vectors — beats LSH's ~0.4 here), and agree with exact
+    cosine values on overlaps. Both quantizers are exercised: the
+    portable seed quantizer (the registered, oracle-hash-checked key)
+    and the seeded Lloyd fit (the data-adaptive option for clustered
+    embeddings)."""
     exact = registry.QUERIES["f3_cosine_topk"](spark, SF_DIR).collect()
-    approx = registry.QUERIES["f21_ivf_ann"](spark, SF_DIR).collect()
+    approx = registry.QUERIES["f21_ivf_ann"](
+        spark, SF_DIR, quantizer=quantizer).collect()
     es, approx_sets = {}, {}
     for r in exact:
         es.setdefault(r.query_id, set()).add(r.neighbor_id)
@@ -329,10 +334,13 @@ def test_chunking_covers_documents(spark):
         assert last.n_tokens == n - 24 * (len(got) - 1)
 
 
-def test_doc_clustering_partitions_corpus(spark):
+@pytest.mark.parametrize("quantizer", ["seed", "kmeans"])
+def test_doc_clustering_partitions_corpus(spark, quantizer):
     """f28: cluster sizes must sum to the corpus size with at most k
-    non-empty clusters."""
-    rows = registry.QUERIES["f28_doc_clustering"](spark, SF_DIR).collect()
+    non-empty clusters — under both quantizers (the oracle-checked seed
+    default and the Lloyd fit)."""
+    rows = registry.QUERIES["f28_doc_clustering"](
+        spark, SF_DIR, quantizer=quantizer).collect()
     n = table(spark, SF_DIR, "embeddings").count()
     assert sum(r.n_vecs for r in rows) == n
     assert 1 <= len(rows) <= 8

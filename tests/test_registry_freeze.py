@@ -32,6 +32,7 @@ def test_registry_matches_frozen_surface():
         f"registry surface drifted from REGISTRY_KEYS.txt: "
         f"added={added} removed={removed} oracle-status-changed={moved}"
     )
-    # 131 oracle / 8 rows-only since the r7 c29_deterministic_sample
-    # addition (139 keys; r6 was 138 after the f2/f10/f14 upgrade)
-    assert len(got) == 139 and sum(v == "oracle" for v in got.values()) == 131
+    # 133 oracle / 6 rows-only since the r8 f21/f28 graduation (portable
+    # seed quantizer); the remaining 6 are genuine sketches/library-RNG
+    # (c10/c11 approx, c29_sample, c38, f19/f20 ml-interop demos)
+    assert len(got) == 139 and sum(v == "oracle" for v in got.values()) == 133
