@@ -91,7 +91,9 @@ def c19_unpivot(spark, sf_dir):
                 ELSE split_part(c_name, '#', 1) END AS first_token,
            regexp_extract(c_name, '([0-9]+)', 1) AS digits,
            CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END AS has_one,
-           levenshtein(c_mktsegment, 'BUILDING') AS seg_dist,
+           levenshtein(regexp_replace(c_mktsegment, '[^\x20-\x7E]', '?',
+                                      'g'),
+                       'BUILDING') AS seg_dist,
            trim(' ' || c_name || ' ') AS trimmed,
            replace(c_name, '#', '-') AS dashed
     FROM customer
@@ -107,12 +109,18 @@ def c20_string_funcs(spark, sf_dir):
     null-propagates in both engines); DuckDB's ``split_part(NULL,..)``
     returns '' not NULL, hence the explicit CASE guard.
 
-    Known INHERENT seams this oracle cannot absorb (adjudicated, see
-    SWEEPS_r06.md edge section): ``levenshtein`` is codepoint-based in
-    Spark but byte-based in DuckDB (8 vs 14 on a CJK+multibyte string —
-    Spark's is the correct text-analysis semantic), and Java's locale
-    case mapping uppercases ß→SS where utf8proc does not. Both surface
-    only on non-ASCII inputs."""
+    ``levenshtein`` semantics (r8, retiring the last adjudicated
+    divergence): Spark's levenshtein is codepoint-based, DuckDB's is
+    byte-based — 8 vs 14 on a CJK+multibyte string, an inherent engine
+    seam no normalization can close (NFC leaves CJK multibyte). Both
+    sides therefore compute the distance over an ASCII PROJECTION
+    (every non-ASCII codepoint → '?'), where byte ≡ codepoint and the
+    two engines agree by construction; values on ASCII data — all real
+    segment names — are unchanged, and hostile multibyte input gets a
+    well-defined cross-engine distance instead of an engine-dependent
+    one. (Remaining non-ASCII seam class, still dormant: Java's locale
+    case mapping uppercases ß→SS where utf8proc does not — not planted
+    by the edge corpus, noted for the record.)"""
     c = table(spark, sf_dir, "customer")
     return c.select(
         F.col("c_custkey").alias("custkey"),
@@ -126,8 +134,10 @@ def c20_string_funcs(spark, sf_dir):
         F.split(F.col("c_name"), "#").getItem(0).alias("first_token"),
         F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
         F.when(F.col("c_name").like("%1%"), 1).otherwise(0).alias("has_one"),
-        F.levenshtein(F.col("c_mktsegment"), F.lit("BUILDING"))
-        .alias("seg_dist"),
+        F.levenshtein(
+            F.regexp_replace(F.col("c_mktsegment"), "[^\\x20-\\x7E]", "?"),
+            F.lit("BUILDING"),
+        ).alias("seg_dist"),
         F.trim(F.concat(F.lit(" "), F.col("c_name"), F.lit(" ")))
         .alias("trimmed"),
         F.regexp_replace("c_name", "#", "-").alias("dashed"),

@@ -16,14 +16,14 @@ null text (f19), numpy/DuckDB crashes on null embeddings, and more.
 Runs as a subprocess so the drive sees the repo exactly as the round
 driver does.
 
-Allowlisted inherent seam (adjudicated non-bug, documented in the
-query docstring + SWEEPS_r06.md):
-- c20_string_funcs: levenshtein is codepoint-based in Spark,
-  byte-based in DuckDB; visible only on multibyte input.
-
-(b3's float-sum rounding boundary was initially allowlisted too, then
-ELIMINATED by accumulating the money sum in exact decimal on both
-sides — the correct ledger posture regardless.)
+The inherent-seam allowlist is EMPTY since r8: c20's levenshtein
+(codepoint-based in Spark, byte-based in DuckDB, visible only on
+multibyte input) was the last adjudicated divergence; both sides now
+compute the distance over an ASCII projection where byte ≡ codepoint,
+so the engines agree by construction (see c20's docstring). b3's
+float-sum rounding boundary was likewise allowlisted once, then
+eliminated by exact decimal accumulation in r6. The set stays in the
+harness so any FUTURE adjudication is a deliberate, reviewed entry.
 
 Second r6 pass (found by adversarial self-review of the first): the
 gate's bare SparkSession inherited Spark 4's ansi=true default while
@@ -50,10 +50,10 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Adjudicated inherent seams. The allowlist excuses MISMATCH ONLY —
-# never SPARK ERROR / ORACLE ERROR: the adjudicated seam is a value
-# divergence in one column (levenshtein, multibyte input); a key that
-# fails to RUN is always a regression, allowlisted or not.
-INHERENT_SEAMS = {"c20_string_funcs"}
+# never SPARK ERROR / ORACLE ERROR. Empty since r8 (c20's levenshtein
+# seam was engineered away, module docstring); any future entry is a
+# deliberate, documented adjudication.
+INHERENT_SEAMS: set[str] = set()
 
 
 @pytest.fixture(scope="module")
