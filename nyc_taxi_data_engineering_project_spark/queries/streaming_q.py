@@ -66,9 +66,22 @@ def d2_watermark(spark, sf_dir):
     Oracle-checked (r4): the ordered single-batch replay pins the final
     watermark at max(ts) - 10min, making the emitted window set a pure
     batch predicate; the held-back tail windows are exactly those the
-    SQL twin excludes."""
-    agg = (
-        events_stream(spark, sf_dir)
+    SQL twin excludes. Window EVICTION across genuinely advancing
+    micro-batches (the property the single-batch replay assumes away)
+    is pinned by the r8 chunked-replay test
+    (tests/test_streaming.py::test_d2_chunked_replay_*), which streams
+    the same plan (``d2_windowed``) over time-ordered file chunks and
+    must emit the identical window set with state removed mid-replay."""
+    agg = d2_windowed(events_stream(spark, sf_dir))
+    return run_available_now(agg, "d2_watermarked", output_mode="append")
+
+
+def d2_windowed(events: DataFrame) -> DataFrame:
+    """The d2 watermarked-window plan over an already-constructed event
+    stream (split out in r8 for the chunked multi-batch replay test —
+    see d11_joined)."""
+    return (
+        events
         .withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -77,7 +90,6 @@ def d2_watermark(spark, sf_dir):
             "event_type", "n",
         )
     )
-    return run_available_now(agg, "d2_watermarked", output_mode="append")
 
 
 @query(
@@ -234,7 +246,22 @@ def d8_stateful(spark, sf_dir):
     (Spark 4's successor API, ``transformWithStateInPandas``, was
     verified to exist here but its Python runner requires protobuf,
     which this container lacks — the GroupState API is the supported
-    path in this environment.)"""
+    path in this environment.)
+
+    Cross-batch state carry (the property the single-batch replay
+    assumes away) is pinned by the r8 chunked-replay test
+    (tests/test_streaming.py::test_d8_chunked_replay_*): the same plan
+    (``d8_tracked``) over time-ordered file chunks must emit
+    monotonically growing per-user counts whose FINAL state equals the
+    batch aggregate."""
+    out = d8_tracked(events_stream(spark, sf_dir))
+    return run_available_now(out, "d8_state", output_mode="update")
+
+
+def d8_tracked(events: DataFrame) -> DataFrame:
+    """The d8 explicit-GroupState plan over an already-constructed event
+    stream (split out in r8 for the chunked multi-batch replay test —
+    see d11_joined)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState
 
@@ -260,18 +287,13 @@ def d8_stateful(spark, sf_dir):
             {"user_id": [key[0]], "n_events": [n], "max_value": [vmax]}
         )
 
-    out = (
-        events_stream(spark, sf_dir)
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            track,
-            outputStructType="user_id long, n_events long, max_value double",
-            stateStructType="n long, vmax double",
-            outputMode="update",
-            timeoutConf="NoTimeout",
-        )
+    return events.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="user_id long, n_events long, max_value double",
+        stateStructType="n long, vmax double",
+        outputMode="update",
+        timeoutConf="NoTimeout",
     )
-    return run_available_now(out, "d8_state", output_mode="update")
 
 
 @query(
