@@ -170,6 +170,98 @@ def sql_dec(expr: str, scale: int = 4, prec: int = 18) -> str:
     return f"CAST(({expr}) AS DECIMAL({prec},{scale}))"
 
 
+# --------------------------------------------------- hashed result digest
+# r8 (verdict ask 6): the in-engine hashed compare that value-verified
+# q18's 15 M-row result at K=1000 without moving a row to the driver
+# (SCALE.md §13c), promoted from the stress harness into the engine.
+# Both engines reduce a result to (COUNT(*), SUM(md5-56bit(canonical
+# row))): floats are integerized at their own rounding quantum (exact
+# while |x|·scale < 2^53), every other type renders through CAST-to-
+# string spellings the engines share, NULLs are marked so they can't
+# collapse onto another row's string, and the 56-bit md5 prefix sums
+# exactly in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB). Validated exact
+# on five shape classes (mixed 2/4-dp floats, 15 M rows, string+count,
+# float+date, date+revenue) against the driver compare
+# (tests/test_hashed_digest.py). This is f33's data-quality posture
+# applied to verification: the check ships WITH the data, at any scale.
+
+
+def column_quanta(oracle_sql: str) -> dict[str, float]:
+    """Per-column rounding quantum inferred from a key's own oracle
+    SQL: every fround'ed output is spelled ``FLOOR((expr) * 10^n +
+    0.5) / 10^n AS alias`` (:func:`sql_round`), so the divisor right
+    before the alias IS the column's quantum scale. Columns without
+    the pattern (raw reads, integral sums) get no entry and fall back
+    to :func:`hashed_row_sql`'s 1e-6 — their values are not
+    engine-computed roundings, so no drift allowance is owed."""
+    import re
+
+    quanta: dict[str, float] = {}
+    for m in re.finditer(
+            r"/\s*(\d+(?:\.\d+)?)\s*(?:AS\s+DOUBLE\s*\))?\s*AS\s+(\w+)",
+            oracle_sql, re.IGNORECASE):
+        quanta[m.group(2).lower()] = 1.0 / float(m.group(1))
+    return quanta
+
+
+def hashed_row_sql(schema, quanta: dict[str, float] | None = None) -> str:
+    """Canonical row-string SQL over a result schema, valid VERBATIM in
+    both Spark SQL and DuckDB: columns sorted by name (the driver-
+    compare convention), float columns integerized at their quantum,
+    everything else CAST to a string both engines spell identically
+    (integers, ISO date strings, plain strings), each part null-marked.
+    ``quanta`` maps lower-cased column name → rounding quantum (e.g.
+    0.01 for a 2-dp money column); pass :func:`column_quanta` of the
+    key's oracle, or omit for the 1e-6 default."""
+    quanta = quanta or {}
+    parts = []
+    for f in sorted(schema.fields, key=lambda fld: fld.name):
+        t = f.dataType.simpleString()
+        if t in ("double", "float"):
+            scale = int(round(1.0 / quanta.get(f.name.lower(), 1e-6)))
+            expr = f"cast(floor({f.name} * {scale} + 0.5) as bigint)"
+        else:
+            expr = f.name
+        parts.append(f"coalesce(cast({expr} as string), '__null__')")
+    return "concat_ws('|', " + ", ".join(parts) + ")"
+
+
+def hashed_result_digest(df, quanta: dict[str, float] | None = None,
+                         ) -> tuple[int, int | None]:
+    """Spark-side digest of a result DataFrame: ``(row_count,
+    order-insensitive 56-bit-md5 sum)`` computed entirely in-engine —
+    the result never reaches the driver, so a 15 M-row verification
+    costs one aggregate, not a collect. Compare against
+    :func:`sql_hashed_digest` run on the oracle side."""
+    row = hashed_row_sql(df.schema, quanta)
+    import uuid
+
+    view = f"_graft_digest_{uuid.uuid4().hex[:12]}"
+    df.createOrReplaceTempView(view)
+    try:
+        got = df.sparkSession.sql(
+            "SELECT COUNT(*) AS n, "
+            f"SUM(CAST(conv(substr(md5({row}), 1, 14), 16, 10) "
+            f"AS DECIMAL(38,0))) AS h FROM {view}"
+        ).collect()[0]
+    finally:
+        df.sparkSession.catalog.dropTempView(view)
+    return int(got["n"]), (None if got["h"] is None else int(got["h"]))
+
+
+def sql_hashed_digest(inner_sql: str, row_sql: str) -> str:
+    """The DuckDB spelling of the same digest over ``inner_sql``'s
+    result: returns one row ``(n, h)`` comparable 1:1 with
+    :func:`hashed_result_digest` (56-bit md5 prefix summed in HUGEINT —
+    exact, like Spark's DECIMAL(38,0))."""
+    return (
+        "SELECT COUNT(*) AS n, "
+        f"SUM((('0x' || substring(md5({row_sql}), 1, 14))::BIGINT)"
+        "::HUGEINT) AS h "
+        f"FROM ({inner_sql}) _graft_digest"
+    )
+
+
 def nsize(col: Column) -> Column:
     """``size()`` with NULL-in → NULL-out under EITHER ANSI setting.
 

@@ -51,7 +51,7 @@ import duckdb  # noqa: E402
 from canon import canon_rows  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
-from nyc_taxi_data_engineering_project_spark import catalog, registry  # noqa: E402
+from nyc_taxi_data_engineering_project_spark import catalog, fx, registry  # noqa: E402
 from nyc_taxi_data_engineering_project_spark.session import get_session  # noqa: E402
 
 def _argv_int(i: int, default: int) -> int:
@@ -128,23 +128,11 @@ def _quantum(col_vals_a, col_vals_b) -> float:
     return worst
 
 
-def _column_quanta(oracle_sql: str) -> dict[str, float]:
-    """Per-column rounding quantum inferred from the key's own oracle:
-    every fround'ed output is spelled ``FLOOR((expr) * 10^n + 0.5) /
-    10^n AS alias`` (fx.sql_round), so the divisor right before the
-    alias IS the column's quantum scale. Columns without the pattern
-    (raw reads, integral sums) get no entry and fall back to the canon
-    layer's 1e-6 — their values are not engine-computed roundings, so
-    no rounding-drift allowance is owed (r6 ADVICE: a global 0.01 let
-    4-dp columns drift 100x their own quantum and still pass)."""
-    import re
-
-    quanta: dict[str, float] = {}
-    for m in re.finditer(
-            r"/\s*(\d+(?:\.\d+)?)\s*(?:AS\s+DOUBLE\s*\))?\s*AS\s+(\w+)",
-            oracle_sql, re.IGNORECASE):
-        quanta[m.group(2).lower()] = 1.0 / float(m.group(1))
-    return quanta
+# Per-column quanta + hashed digest: engine functions since r8
+# (fx.column_quanta / fx.hashed_row_sql / fx.hashed_result_digest /
+# fx.sql_hashed_digest — promoted from this harness, verdict ask 6);
+# thin aliases keep this file's call sites readable.
+_column_quanta = fx.column_quanta
 
 
 def compare(sdf, odf, oracle_sql: str = "") -> tuple[str, str]:
@@ -228,50 +216,26 @@ HASH_MIN_K = int(os.environ.get("SPARK_GRAFT_TPCH_HASH_MIN_K", "500"))
 
 
 def auto_hashed_row(schema, oracle_sql: str) -> str:
-    """Canonical row-string SQL over a result schema, valid verbatim in
-    BOTH Spark SQL and DuckDB: columns sorted by name (the driver-
-    compare convention); float columns integerized at their own quantum
-    (floor(x·scale + 0.5) — exact while |x|·scale < 2^53, far beyond
-    any fround'ed output here); everything else rendered via CAST to a
-    string both engines spell identically (integers, ISO date strings,
-    plain strings). Each part is null-marked so a NULL can never
-    collapse the row string onto a different row's."""
-    quanta = _column_quanta(oracle_sql)
-    parts = []
-    for f in sorted(schema.fields, key=lambda f: f.name):
-        t = f.dataType.simpleString()
-        if t in ("double", "float"):
-            scale = int(round(1.0 / quanta.get(f.name.lower(), 1e-6)))
-            expr = (f"cast(floor({f.name} * {scale} + 0.5) as bigint)")
-        else:
-            expr = f.name
-        parts.append(f"coalesce(cast({expr} as string), '__null__')")
-    return "concat_ws('|', " + ", ".join(parts) + ")"
+    """Canonical row-string SQL (engine function since r8 —
+    fx.hashed_row_sql with the quanta parsed from the key's oracle)."""
+    return fx.hashed_row_sql(schema, fx.column_quanta(oracle_sql))
 
 
 def hashed_compare(spark, con, key: str, sdf_builder) -> dict:
     """Run the Spark query and its oracle with the whole comparison
-    reduced in-engine to (row count, order-insensitive 56-bit-md5 sum).
-    Returns a result record shaped like the driver-compare path's."""
+    reduced in-engine to (row count, order-insensitive 56-bit-md5 sum)
+    via the fx digest functions. Returns a result record shaped like
+    the driver-compare path's."""
     sdf = sdf_builder()
-    row_s = row_d = auto_hashed_row(sdf.schema, registry.ORACLES[key])
+    quanta = fx.column_quanta(registry.ORACLES[key])
     t0 = time.time()
-    sdf.createOrReplaceTempView("_hashed_result")
-    srow = spark.sql(
-        "SELECT COUNT(*) AS n, "
-        f"SUM(CAST(conv(substr(md5({row_s}), 1, 14), 16, 10) "
-        "AS DECIMAL(38,0))) AS h FROM _hashed_result"
-    ).collect()[0]
+    n_s, h_s = fx.hashed_result_digest(sdf, quanta)
     secs = round(time.time() - t0, 2)
     t0 = time.time()
-    orow = con.sql(
-        "SELECT COUNT(*) AS n, "
-        f"SUM((('0x' || substring(md5({row_d}), 1, 14))::BIGINT)::HUGEINT)"
-        " AS h "
-        f"FROM ({registry.ORACLES[key]}) _o"
-    ).fetchone()
+    orow = con.sql(fx.sql_hashed_digest(
+        registry.ORACLES[key],
+        fx.hashed_row_sql(sdf.schema, quanta))).fetchone()
     osecs = round(time.time() - t0, 2)
-    n_s, h_s = int(srow["n"]), (None if srow["h"] is None else int(srow["h"]))
     n_o, h_o = int(orow[0]), (None if orow[1] is None else int(orow[1]))
     if n_s != n_o:
         status, note = "MISMATCH", f"rowcount {n_s} vs {n_o}"
