@@ -447,3 +447,39 @@ def test_f13_star_path_megabucket(spark):
         f"{len(pairs)} pairs; sample={sorted(pairs)[:5]}"
     )
     assert all(abs(r.cosine - 1.0) < 1e-9 for r in out)
+
+
+def test_seed_hash_portable_on_extreme_ids(spark):
+    """The f21/f28 seed quantizer's hash (llm._seed_hash_col /
+    _seed_hash_sql) must be bit-identical across engines for ANY
+    BIGINT vec_id — including negatives and values near the int64
+    bounds, where a naive multiplicative hash overflows (Spark wraps
+    silently under ansi=false, DuckDB raises). The pre-reduction
+    modulo keeps every intermediate under 2^62."""
+    import duckdb
+
+    from nyc_taxi_data_engineering_project_spark.queries.llm import (
+        _seed_hash_col, _seed_hash_sql,
+    )
+
+    ids = [0, 1, -1, 42, -42, 2**31, -(2**31), 2**62, -(2**62),
+           2**63 - 1, -(2**63)]
+    sdf = spark.createDataFrame([(i,) for i in ids], "vec_id long")
+    got_spark = {
+        r.vec_id: r.h
+        for r in sdf.select("vec_id",
+                            _seed_hash_col(F.col("vec_id")).alias("h"))
+        .collect()
+    }
+    import pandas as pd
+
+    con = duckdb.connect()
+    # register a frame rather than literals: DuckDB parses
+    # -9223372036854775808::BIGINT as cast-before-negate and overflows
+    con.register("ids_df", pd.DataFrame({"vec_id": pd.array(
+        ids, dtype="int64")}))
+    got_duck = dict(con.sql(
+        f"SELECT vec_id, {_seed_hash_sql('vec_id')} AS h FROM ids_df"
+    ).fetchall())
+    assert got_spark == got_duck
+    assert all(0 <= h < 2**31 for h in got_spark.values())
