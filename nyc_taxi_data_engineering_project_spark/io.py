@@ -329,6 +329,52 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",
        .jdbc(url, table, properties=dict(properties)))
 
 
+def wait_for_jdbc(spark: SparkSession, url: str, attempts: int = 30,
+                  sleep_s: float = 3.0, probe_sql: str = "SELECT 1",
+                  **properties: str) -> int:
+    """A17: JDBC sink readiness retry — the reference's ``SELECT 1``
+    ping ×30 with 3 s sleep (``python/ingest_data.py:210-221``),
+    previously declared an infra non-goal; closed in r8 because the
+    engine ships a real JDBC sink (:func:`write_jdbc`) and a warehouse
+    restart mid-pipeline is an ordinary cluster event. Probes the url
+    through the JVM's DriverManager (the exact connection stack the
+    Spark JDBC writer uses, so readiness here means the WRITE will
+    connect) until the probe statement executes; returns the 1-based
+    attempt that succeeded. Raises ``ConnectionError`` after
+    ``attempts`` failures — fail loudly, the reference's ``sys.exit(1)``
+    posture, never a silent half-started pipeline. Driver-side by
+    design, like :func:`download_if_missing`: readiness is checked once
+    before executors fan out. (``probe_sql``: the reference's
+    ``SELECT 1`` works on Postgres/MySQL; Derby needs ``VALUES 1``.)"""
+    import time
+
+    jvm = spark._jvm
+    if "driver" in properties:
+        jvm.java.lang.Class.forName(properties["driver"])
+    props = jvm.java.util.Properties()
+    for k, v in properties.items():
+        props.setProperty(k, str(v))
+    last_err = None
+    for attempt in range(1, attempts + 1):
+        try:
+            conn = jvm.java.sql.DriverManager.getConnection(url, props)
+            try:
+                st = conn.createStatement()
+                st.execute(probe_sql)
+                st.close()
+            finally:
+                conn.close()
+            return attempt
+        except Exception as exc:  # noqa: BLE001 — any JDBC failure retries
+            last_err = exc
+            if attempt < attempts:
+                time.sleep(sleep_s)
+    raise ConnectionError(
+        f"JDBC endpoint not ready after {attempts} attempts "
+        f"({attempts * sleep_s:.0f}s): {url} — last error: {last_err}"
+    )
+
+
 def merge_upsert(target: DataFrame, updates: DataFrame,
                  keys: list[str]) -> DataFrame:
     """MERGE-INTO semantics on plain parquet frames (updates win):

@@ -69,3 +69,63 @@ def test_jdbc_predicate_pushdown_partitioned_read(spark, derby_url):
     ).filter("id >= 990")
     assert back.count() == 10
     assert back.rdd.getNumPartitions() == 4
+
+
+# ------------------------------------------------------- A17 readiness retry
+
+def test_wait_for_jdbc_ready_immediately(spark, tmp_path):
+    if not _derby_available(spark):
+        pytest.skip("no Derby JDBC driver on the Spark classpath")
+    from nyc_taxi_data_engineering_project_spark.io import wait_for_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/rdy;create=true"
+    assert wait_for_jdbc(spark, url, attempts=3, sleep_s=0.1,
+                         probe_sql="VALUES 1", **_props()) == 1
+
+
+def test_wait_for_jdbc_becomes_ready_mid_retry(spark, tmp_path):
+    """The reference's actual scenario (python/ingest_data.py:210-221):
+    the database starts DOWN and comes up while the loop is waiting —
+    the retry must succeed on a LATER attempt, not just attempt 1."""
+    if not _derby_available(spark):
+        pytest.skip("no Derby JDBC driver on the Spark classpath")
+    import threading
+    import time as _time
+
+    from nyc_taxi_data_engineering_project_spark.io import wait_for_jdbc
+
+    db = f"{tmp_path}/latedb"
+    plain = f"jdbc:derby:{db}"           # no ;create → fails until created
+
+    def create_later():
+        _time.sleep(1.2)
+        jvm = spark._jvm
+        jvm.java.lang.Class.forName(DERBY_DRIVER)
+        conn = jvm.java.sql.DriverManager.getConnection(
+            f"jdbc:derby:{db};create=true")
+        conn.close()
+
+    t = threading.Thread(target=create_later)
+    t.start()
+    try:
+        attempt = wait_for_jdbc(spark, plain, attempts=20, sleep_s=0.4,
+                                probe_sql="VALUES 1", **_props())
+    finally:
+        t.join()
+    assert attempt >= 2, "endpoint was down at first — attempt 1 cannot win"
+
+
+def test_wait_for_jdbc_exhausts_and_raises(spark, tmp_path):
+    if not _derby_available(spark):
+        pytest.skip("no Derby JDBC driver on the Spark classpath")
+    import time as _time
+
+    from nyc_taxi_data_engineering_project_spark.io import wait_for_jdbc
+
+    t0 = _time.time()
+    with pytest.raises(ConnectionError, match="after 3 attempts"):
+        wait_for_jdbc(spark, f"jdbc:derby:{tmp_path}/nonexistent",
+                      attempts=3, sleep_s=0.3, probe_sql="VALUES 1",
+                      **_props())
+    # two sleeps between three attempts; no sleep after the last
+    assert _time.time() - t0 >= 0.6
