@@ -230,7 +230,7 @@ def build_workload_layout(
     spark: SparkSession,
     sf_dir: str,
     path: str,
-    buckets: int = 32,
+    buckets: int | None = None,
     tables: tuple[str, ...] = ("orders", "lineitem"),
     rebuild: bool = False,
 ) -> dict[str, str]:
@@ -245,13 +245,21 @@ def build_workload_layout(
     rebuild unless ``rebuild=True`` (use after the source data changed).
     Returns ``{source_name: layout_table_name}``.
 
-    Sizing: ``buckets`` fixes the join/agg parallelism for every
-    consumer — size it to the CLUSTER (≈2-4× executor cores so AQE-less
-    bucketed stages still saturate), not the data; both tables must
-    share the count or the shuffle-free join property is lost (enforced
-    here by building them together). Disable serving without dropping
-    via ``spark.conf.set(LAYOUT_SERVE_CONF, "false")`` — the A/B switch
+    Sizing: ``buckets`` fixes BOTH the scan parallelism (a bucketed
+    scan runs one task per bucket — AQE cannot re-split it) and the
+    join/agg parallelism for every consumer, so it must scale with the
+    CLUSTER, not the data. Default: ``4 × defaultParallelism`` (floor
+    32). Measured at K=1000 (~600 M lineitem rows, 32 cores, SCALE.md
+    §15c): 32 buckets STARVES the scan — q3/q9 run 1.9-2.3× SLOWER than
+    plain despite fewer exchanges — while 128 (4× cores) wins 1.9-2.2×
+    on q3/q9/q18; undersizing the bucket count turns the index into a
+    regression. Both tables must share the count or the shuffle-free
+    join property is lost (enforced here by building them together).
+    Disable serving without dropping via
+    ``spark.conf.set(LAYOUT_SERVE_CONF, "false")`` — the A/B switch
     tests and operators use."""
+    if buckets is None:
+        buckets = max(32, 4 * spark.sparkContext.defaultParallelism)
     from . import io as _io
 
     built: dict[str, str] = {}

@@ -37,7 +37,12 @@ from nyc_taxi_data_engineering_project_spark.session import (  # noqa: E402
 
 WORK = sys.argv[1] if len(sys.argv) > 1 else "/tmp/stress_tpch100"
 LAYOUT_DIR = os.path.join(WORK, "_layout_probe")
-KEYS = ("tpch_q3", "tpch_q9", "tpch_q18", "tpch_q21")
+# long-haul subsets (the stress_tpch convention): run only these keys
+KEYS = tuple(
+    k for k in os.environ.get(
+        "SPARK_GRAFT_LAYOUT_KEYS",
+        "tpch_q3,tpch_q9,tpch_q18,tpch_q21").split(",") if k
+)
 REPS = int(os.environ.get("REPS", "2"))
 
 
