@@ -154,6 +154,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if bucketed is not None and (
         spark.conf.get(LAYOUT_SERVE_CONF, "true").lower() == "true"
     ):
+        # staleness gate (refuse loudly, the footer-type-gate posture):
+        # an index must never silently serve rows its source no longer
+        # has. Metadata-only stat walk, ~µs per call at plan build.
+        src = os.path.join(sf_dir, f"{name}.parquet")
+        built_fp = spark.conf.get(
+            _layout_conf_key(sf_dir, name) + ".src", None)
+        if built_fp is not None and _source_fingerprint(src) != built_fp:
+            raise ValueError(
+                f"workload layout {bucketed!r} is STALE: the source "
+                f"{src} changed after the layout was built. Rebuild with "
+                f"build_workload_layout(..., rebuild=True), or drop it "
+                f"(drop_workload_layout) to fall back to the plain scan."
+            )
         return spark.table(bucketed)
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = nanos_ts_columns(path)
@@ -226,6 +239,27 @@ def _layout_conf_key(sf_dir: str, name: str) -> str:
     return f"spark.spark_graft.layout.{h}.{name}"
 
 
+def _source_fingerprint(path: str) -> str:
+    """Cheap content-version fingerprint of a parquet source (single
+    file or Spark-written directory): sha1 over the sorted part list
+    with each part's (mtime_ns, size) — the same discriminator the
+    nanos-dispatch cache uses. Metadata-only (os.stat), no data IO."""
+    import glob as _glob
+    import hashlib
+
+    if os.path.isdir(path):
+        parts = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    else:
+        parts = [path]
+    acc = hashlib.sha1()
+    for p in parts:
+        st = os.stat(p)
+        acc.update(
+            f"{os.path.basename(p)}:{st.st_mtime_ns}:{st.st_size};"
+            .encode())
+    return acc.hexdigest()[:16]
+
+
 def build_workload_layout(
     spark: SparkSession,
     sf_dir: str,
@@ -267,7 +301,16 @@ def build_workload_layout(
         key = LAYOUT_BUCKET_KEYS[name]  # KeyError = not a layout table
         h = _layout_conf_key(sf_dir, name).split(".")[-2]
         tbl = f"spark_graft_layout_{h}_{name}"
-        if rebuild or not spark.catalog.tableExists(tbl):
+        conf_key = _layout_conf_key(sf_dir, name)
+        src_path = os.path.join(sf_dir, f"{name}.parquet")
+        cur_fp = _source_fingerprint(src_path)
+        # rebuild when asked, when the table is missing, OR when the
+        # in-session fingerprint is absent/drifted — an existing table
+        # whose source version is unknown or changed must never be
+        # re-blessed against the current source (that would silently
+        # serve stale rows); build IS the rebuild, CREATE INDEX style
+        if (rebuild or not spark.catalog.tableExists(tbl)
+                or spark.conf.get(conf_key + ".src", None) != cur_fp):
             # read the PLAIN source explicitly (serve flag off for this
             # read): rebuilding with the layout registered must not read
             # the layout table into itself
@@ -279,7 +322,10 @@ def build_workload_layout(
                 spark.conf.set(LAYOUT_SERVE_CONF, prev)
             _io.write_bucketed(src, tbl, key, buckets=buckets,
                                path=os.path.join(path, tbl))
-        spark.conf.set(_layout_conf_key(sf_dir, name), tbl)
+        # fingerprint the source AS BUILT: table() refuses to serve the
+        # layout once the source drifts from this
+        spark.conf.set(conf_key + ".src", cur_fp)
+        spark.conf.set(conf_key, tbl)
         built[name] = tbl
     return built
 
@@ -295,3 +341,4 @@ def drop_workload_layout(spark: SparkSession, sf_dir: str) -> None:
         if tbl is not None:
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
             spark.conf.unset(conf_key)
+            spark.conf.unset(conf_key + ".src")

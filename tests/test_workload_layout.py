@@ -14,6 +14,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from conftest import SF_DIR
 from nyc_taxi_data_engineering_project_spark import registry
@@ -170,3 +171,76 @@ def test_build_is_idempotent_and_rebuild_rereads_plain_source(
     )
     n_plain = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
     assert spark.table(rebuilt["orders"]).count() == n_plain
+
+
+def test_stale_layout_refuses_to_serve_and_build_self_heals(
+    spark, tmp_path
+):
+    """An index must never silently serve rows its source no longer
+    has (the footer-type-gate posture): after the source parquet
+    changes, table() must REFUSE the layout loudly, and a fresh
+    build_workload_layout call must detect the drift and rebuild —
+    after which the served rows are the NEW source's."""
+    import os
+    import shutil
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    for name in ("orders", "lineitem"):
+        shutil.copy(f"{SF_DIR}/{name}.parquet",
+                    f"{src_dir}/{name}.parquet")
+
+    built = build_workload_layout(
+        spark, src_dir, str(tmp_path / "layout"), buckets=4)
+    try:
+        n0 = table(spark, src_dir, "orders").count()
+        assert n0 > 0
+
+        # mutate the source: rewrite orders with one row fewer
+        plain = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        first_key = plain.select("o_orderkey").first()[0]
+        shrunk = plain.filter(F.col("o_orderkey") != first_key)
+        tmp_out = str(tmp_path / "shrunk.parquet")
+        shrunk.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        part = next(p for p in os.listdir(tmp_out)
+                    if p.endswith(".parquet"))
+        os.remove(f"{src_dir}/orders.parquet")
+        shutil.copy(f"{tmp_out}/{part}", f"{src_dir}/orders.parquet")
+
+        with pytest.raises(ValueError, match="STALE"):
+            table(spark, src_dir, "orders")
+
+        # build self-heals: fingerprint drift forces a rebuild even
+        # without rebuild=True, and serving resumes with the NEW rows
+        rebuilt = build_workload_layout(
+            spark, src_dir, str(tmp_path / "layout"), buckets=4)
+        assert rebuilt == built
+        assert table(spark, src_dir, "orders").count() == n0 - 1
+    finally:
+        drop_workload_layout(spark, src_dir)
+
+
+def test_drop_layout_clears_staleness_state(spark, tmp_path):
+    """After drop_workload_layout, table() must serve the plain path
+    with no fingerprint residue (a re-registered conf must not compare
+    against a dropped layout's fingerprint)."""
+    import os
+    import shutil
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    for name in ("orders", "lineitem"):
+        shutil.copy(f"{SF_DIR}/{name}.parquet",
+                    f"{src_dir}/{name}.parquet")
+    build_workload_layout(spark, src_dir, str(tmp_path / "l"), buckets=4)
+    drop_workload_layout(spark, src_dir)
+    from nyc_taxi_data_engineering_project_spark.catalog import (
+        _layout_conf_key,
+    )
+
+    assert spark.conf.get(_layout_conf_key(src_dir, "orders"),
+                          None) is None
+    assert spark.conf.get(_layout_conf_key(src_dir, "orders") + ".src",
+                          None) is None
+    # plain path serves
+    assert table(spark, src_dir, "orders").count() > 0
