@@ -160,13 +160,26 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         src = os.path.join(sf_dir, f"{name}.parquet")
         built_fp = spark.conf.get(
             _layout_conf_key(sf_dir, name) + ".src", None)
-        if built_fp is not None and _source_fingerprint(src) != built_fp:
-            raise ValueError(
-                f"workload layout {bucketed!r} is STALE: the source "
-                f"{src} changed after the layout was built. Rebuild with "
-                f"build_workload_layout(..., rebuild=True), or drop it "
-                f"(drop_workload_layout) to fall back to the plain scan."
-            )
+        if built_fp is not None:
+            try:
+                cur_fp = _source_fingerprint(src)
+            except (FileNotFoundError, OSError) as exc:
+                # a DELETED source is the extreme staleness case — the
+                # gate must still speak in its own vocabulary, not leak
+                # a bare os.stat error (r8 ADVICE)
+                raise ValueError(
+                    f"workload layout {bucketed!r} is STALE: the source "
+                    f"{src} no longer exists ({exc}). Drop the layout "
+                    f"(drop_workload_layout) or restore the source."
+                ) from exc
+            if cur_fp != built_fp:
+                raise ValueError(
+                    f"workload layout {bucketed!r} is STALE: the source "
+                    f"{src} changed after the layout was built. Rebuild "
+                    f"with build_workload_layout(..., rebuild=True), or "
+                    f"drop it (drop_workload_layout) to fall back to the "
+                    f"plain scan."
+                )
         return spark.table(bucketed)
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = nanos_ts_columns(path)
@@ -222,6 +235,12 @@ def bootstrap_database(spark: SparkSession, db: str = "nyc") -> None:
 # both facts at K=100, repaid within a handful of q18/q21 runs).
 
 LAYOUT_BUCKET_KEYS = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
+# Join families: tables that equi-join each other on their bucket keys
+# must share ONE bucket count or the shuffle-free join property is
+# silently lost (hash(x) mod 128 and mod 64 land the same key in
+# different buckets). Tables in different families never join on their
+# bucket keys, so their counts are independent.
+LAYOUT_FAMILIES = {"orders": "orderkey", "lineitem": "orderkey"}
 LAYOUT_SERVE_CONF = "spark.spark_graft.layout_serve"
 
 
@@ -291,10 +310,42 @@ def build_workload_layout(
     join property is lost (enforced here by building them together).
     Disable serving without dropping via
     ``spark.conf.set(LAYOUT_SERVE_CONF, "false")`` — the A/B switch
-    tests and operators use."""
+    tests and operators use.
+
+    Subset builds (``tables=("lineitem",)``) keep the one-count-per-
+    family invariant (r8 ADVICE): if a sibling in the same join family
+    (``LAYOUT_FAMILIES``) is already registered, ``buckets=None``
+    REUSES the sibling's count, and an explicit mismatching ``buckets``
+    raises — a family split across two counts would silently lose the
+    shuffle-free join the layout exists for."""
+    from . import io as _io
+
+    # family-consistency gate BEFORE defaulting: a registered sibling's
+    # count wins over the parallelism default
+    for name in tables:
+        fam = LAYOUT_FAMILIES.get(name)
+        if fam is None:
+            continue
+        for sib, sib_fam in LAYOUT_FAMILIES.items():
+            if sib_fam != fam or sib in tables:
+                continue
+            sib_buckets = spark.conf.get(
+                _layout_conf_key(sf_dir, sib) + ".buckets", None)
+            if sib_buckets is None:
+                continue
+            if buckets is None:
+                buckets = int(sib_buckets)
+            elif int(buckets) != int(sib_buckets):
+                raise ValueError(
+                    f"bucket-count mismatch within join family {fam!r}: "
+                    f"{sib!r} is registered at {sib_buckets} buckets but "
+                    f"this build of {name!r} asked for {buckets}. Both "
+                    f"facts must share one count for shuffle-free joins "
+                    f"— rebuild the whole family together, or pass "
+                    f"buckets={sib_buckets}."
+                )
     if buckets is None:
         buckets = max(32, 4 * spark.sparkContext.defaultParallelism)
-    from . import io as _io
 
     built: dict[str, str] = {}
     for name in tables:
@@ -322,9 +373,24 @@ def build_workload_layout(
                 spark.conf.set(LAYOUT_SERVE_CONF, prev)
             _io.write_bucketed(src, tbl, key, buckets=buckets,
                                path=os.path.join(path, tbl))
+            # TOCTOU gate (r8 ADVICE): the fingerprint above was taken
+            # BEFORE a potentially minutes-long build; a source mutated
+            # mid-build must not be registered as fresh. Re-stat and
+            # refuse loudly — the caller re-runs the build against the
+            # settled source.
+            post_fp = _source_fingerprint(src_path)
+            if post_fp != cur_fp:
+                raise ValueError(
+                    f"source {src_path} changed WHILE the layout for "
+                    f"{name!r} was building (fingerprint {cur_fp} → "
+                    f"{post_fp}); the built table is a mix of versions "
+                    f"and was NOT registered. Re-run "
+                    f"build_workload_layout once the source is settled."
+                )
         # fingerprint the source AS BUILT: table() refuses to serve the
         # layout once the source drifts from this
         spark.conf.set(conf_key + ".src", cur_fp)
+        spark.conf.set(conf_key + ".buckets", str(int(buckets)))
         spark.conf.set(conf_key, tbl)
         built[name] = tbl
     return built
@@ -342,3 +408,4 @@ def drop_workload_layout(spark: SparkSession, sf_dir: str) -> None:
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
             spark.conf.unset(conf_key)
             spark.conf.unset(conf_key + ".src")
+            spark.conf.unset(conf_key + ".buckets")

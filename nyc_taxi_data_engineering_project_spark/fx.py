@@ -193,12 +193,21 @@ def column_quanta(oracle_sql: str) -> dict[str, float]:
     before the alias IS the column's quantum scale. Columns without
     the pattern (raw reads, integral sums) get no entry and fall back
     to :func:`hashed_row_sql`'s 1e-6 — their values are not
-    engine-computed roundings, so no drift allowance is owed."""
+    engine-computed roundings, so no drift allowance is owed.
+
+    The match is anchored to the FULL :func:`sql_round` spelling — the
+    ``+ 0.5)`` half-up add must immediately precede the divisor (r8
+    ADVICE): a bare ``SUM(x) / 4 AS quarter_avg`` is ordinary
+    arithmetic, not a rounding, and treating its divisor as a quantum
+    would silently coarsen the digest's sensitivity for that column
+    (symmetric on both engines, so it weakens rather than
+    false-mismatches — but weaker is still wrong)."""
     import re
 
     quanta: dict[str, float] = {}
     for m in re.finditer(
-            r"/\s*(\d+(?:\.\d+)?)\s*(?:AS\s+DOUBLE\s*\))?\s*AS\s+(\w+)",
+            r"\+\s*0\.5\s*\)\s*/\s*(\d+(?:\.\d+)?)\s*"
+            r"(?:AS\s+DOUBLE\s*\))?\s*AS\s+(\w+)",
             oracle_sql, re.IGNORECASE):
         quanta[m.group(2).lower()] = 1.0 / float(m.group(1))
     return quanta

@@ -360,12 +360,27 @@ def wait_for_jdbc(spark: SparkSession, url: str, attempts: int = 30,
             conn = jvm.java.sql.DriverManager.getConnection(url, props)
             try:
                 st = conn.createStatement()
-                st.execute(probe_sql)
-                st.close()
+                try:
+                    st.execute(probe_sql)
+                finally:
+                    st.close()
             finally:
                 conn.close()
             return attempt
         except Exception as exc:  # noqa: BLE001 — any JDBC failure retries
+            # fail FAST on configuration errors retrying can never fix
+            # (r8 ADVICE): a missing/unregistered driver is the same on
+            # attempt 30 as on attempt 1 — burning attempts×sleep_s
+            # (default 90 s) before surfacing it just hides a typo
+            msg = str(exc)
+            if ("No suitable driver" in msg
+                    or "ClassNotFoundException" in msg):
+                raise ConnectionError(
+                    f"JDBC driver resolution failed for {url} — a "
+                    f"configuration error, not a readiness state; not "
+                    f"retrying. Pass driver='...' or register the "
+                    f"driver class. Underlying: {msg}"
+                ) from exc
             last_err = exc
             if attempt < attempts:
                 time.sleep(sleep_s)

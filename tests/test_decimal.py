@@ -181,3 +181,36 @@ def test_money_class_key_sums_in_decimal_both_engines(spark, key):
     assert "DECIMAL(18," in registry.ORACLES[key].upper(), (
         f"{key}: oracle SQL lost its DECIMAL(18,s) accumulation — the "
         "two engines would sum in different arithmetic")
+
+
+def test_q11_threshold_cast_has_overflow_headroom(spark):
+    """Q11's HAVING threshold rides CAST(SUM(value) AS DECIMAL(28,4)).
+    DuckDB raises on a cast overflow; Spark under ansi=false returns
+    NULL — which would make the comparison NULL and the result SILENTLY
+    EMPTY on exactly one engine (r8 ADVICE). This pins the invariant the
+    comment in tpch.py relies on: the actual global money sum carries
+    ≥ 10^6 headroom under the 10^24 cap even extrapolated to 100 TB
+    (~10^7× the sf0.1 corpus), so the NULL branch is unreachable. If
+    data regeneration ever inflates money magnitudes enough to fail
+    this, the cast must widen BEFORE the silent-empty mode can occur."""
+    from nyc_taxi_data_engineering_project_spark import fx
+    from nyc_taxi_data_engineering_project_spark.catalog import (
+        register_views)
+    from tests.conftest import SF_DIR
+
+    register_views(spark, SF_DIR, ("lineitem", "supplier", "nation"))
+    rev = "l_extendedprice * (1 - l_discount)"
+    got = spark.sql(
+        f"SELECT CAST(SUM({fx.sql_dec(rev)}) AS DECIMAL(28,4)) AS t, "
+        f"SUM({fx.sql_dec(rev)}) AS raw FROM lineitem"
+    ).collect()[0]
+    assert got["t"] is not None, (
+        "q11 threshold cast overflowed to NULL — Spark would return a "
+        "silently empty q11 result; widen the DECIMAL(28,4) cast")
+    # headroom: the UNFILTERED global revenue sum (an upper bound on
+    # q11's one-nation pv total) must sit ≥ 10^7 under the cap, so even
+    # a 100 TB corpus (~10^7× sf0.001 rows ≈ ×10^7 the sum) cannot reach
+    # the NULL branch without this test failing first at small SF.
+    assert abs(got["raw"]) < decimal.Decimal(10) ** 17, (
+        f"global money sum {got['raw']} has < 10^7 headroom under the "
+        "DECIMAL(28,4) cap at this SF — re-examine the q11 cast width")

@@ -129,3 +129,21 @@ def test_wait_for_jdbc_exhausts_and_raises(spark, tmp_path):
                       **_props())
     # two sleeps between three attempts; no sleep after the last
     assert _time.time() - t0 >= 0.6
+
+
+def test_wait_for_jdbc_fails_fast_on_missing_driver(spark):
+    """A driver-resolution failure is a CONFIGURATION error, identical
+    on every attempt — it must surface immediately instead of burning
+    attempts × sleep_s (r8 ADVICE: 90 s to report a typo)."""
+    import time as _time
+
+    from nyc_taxi_data_engineering_project_spark.io import wait_for_jdbc
+
+    t0 = _time.time()
+    with pytest.raises(ConnectionError, match="driver resolution"):
+        # a scheme no registered JDBC driver claims → 'No suitable
+        # driver' from DriverManager on attempt 1
+        wait_for_jdbc(spark, "jdbc:nosuchscheme://nowhere/db",
+                      attempts=30, sleep_s=3.0)
+    assert _time.time() - t0 < 5.0, (
+        "driver-resolution failure was retried instead of failing fast")

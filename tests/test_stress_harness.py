@@ -22,7 +22,9 @@ def test_column_quanta_parses_fround_scales():
            FLOOR(SUM(x) * 100.0 + 0.5) / 100.0 AS revenue,
            FLOOR(AVG(y) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
            CAST(FLOOR(SUM(z) * 100.0 + 0.5) / 100.0 AS DOUBLE) AS tot,
-           SUM(w) AS raw_sum
+           SUM(w) AS raw_sum,
+           SUM(x) / 4 AS quarter_avg,
+           CAST(octet_length(s) // 64 AS INTEGER) AS blocks
     FROM t GROUP BY 1
     """
     q = st._column_quanta(sql)
@@ -30,6 +32,11 @@ def test_column_quanta_parses_fround_scales():
     assert q["avg_qty"] == pytest.approx(0.0001)
     assert q["tot"] == pytest.approx(0.01)  # CAST(... AS DOUBLE) form
     assert "raw_sum" not in q  # unrounded columns fall back to canon 1e-6
+    # r8 ADVICE: ordinary divisions are NOT roundings — the match is
+    # anchored to sql_round's `+ 0.5) /` spelling, so neither a literal
+    # division nor an integer `//` may fabricate a coarse quantum
+    assert "quarter_avg" not in q
+    assert "blocks" not in q and "integer" not in q
 
 
 # ------------------------------------------------ compare() alignment

@@ -220,6 +220,63 @@ def test_stale_layout_refuses_to_serve_and_build_self_heals(
         drop_workload_layout(spark, src_dir)
 
 
+def test_deleted_source_raises_stale_not_filenotfound(spark, tmp_path):
+    """The extreme staleness case — the source parquet is GONE — must
+    surface through the gate's own vocabulary (a STALE ValueError with
+    remediation), not a bare os.stat FileNotFoundError (r8 ADVICE)."""
+    import os
+    import shutil
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    for name in ("orders", "lineitem"):
+        shutil.copy(f"{SF_DIR}/{name}.parquet",
+                    f"{src_dir}/{name}.parquet")
+    build_workload_layout(spark, src_dir, str(tmp_path / "l"), buckets=4)
+    try:
+        os.remove(f"{src_dir}/orders.parquet")
+        with pytest.raises(ValueError, match="STALE.*no longer exists"):
+            table(spark, src_dir, "orders")
+    finally:
+        drop_workload_layout(spark, src_dir)
+
+
+def test_subset_build_enforces_family_bucket_count(spark, tmp_path):
+    """One bucket count per join family (r8 ADVICE): with orders
+    registered at 4 buckets, a subset build of lineitem with
+    buckets=None must REUSE 4, and an explicit mismatch must raise —
+    a family split across two counts silently loses the shuffle-free
+    join property."""
+    import os
+    import shutil
+
+    from nyc_taxi_data_engineering_project_spark.catalog import (
+        _layout_conf_key,
+    )
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    for name in ("orders", "lineitem"):
+        shutil.copy(f"{SF_DIR}/{name}.parquet",
+                    f"{src_dir}/{name}.parquet")
+    build_workload_layout(
+        spark, src_dir, str(tmp_path / "l"), buckets=4,
+        tables=("orders",))
+    try:
+        with pytest.raises(ValueError, match="bucket-count mismatch"):
+            build_workload_layout(
+                spark, src_dir, str(tmp_path / "l"), buckets=8,
+                tables=("lineitem",))
+        # buckets=None inherits the sibling's count instead of the
+        # parallelism default
+        build_workload_layout(
+            spark, src_dir, str(tmp_path / "l"), tables=("lineitem",))
+        assert spark.conf.get(
+            _layout_conf_key(src_dir, "lineitem") + ".buckets") == "4"
+    finally:
+        drop_workload_layout(spark, src_dir)
+
+
 def test_drop_layout_clears_staleness_state(spark, tmp_path):
     """After drop_workload_layout, table() must serve the plain path
     with no fingerprint residue (a re-registered conf must not compare
