@@ -1097,35 +1097,41 @@ def tpch_q21(spark, sf_dir):
     finds suppliers who were the ONLY supplier with returned lines on a
     multi-supplier finalized order). The canonical EXISTS (another
     supplier on the order) + NOT EXISTS (another supplier also late) is
-    decorrelated into a TWO-LEVEL aggregate reading lineitem exactly
-    once: level 1 dedups to (orderkey, suppkey, had-R-line); level 2
-    per orderkey counts suppliers and R-suppliers AND carries the
-    unique R supplier (max over a singleton set — sound because the
-    n_ret = 1 filter guarantees uniqueness), so no join back to
-    lineitem is ever needed. vs the r6 twin-count_distinct form this
-    removes the second fact scan, its distinct shuffle, the
-    ret⋈order_stats join, and the Expand (count_distinct pairs double
-    the shuffled rows) — measured 2.1 → 1.35 s at sf0.1 and the K=100
-    delta is recorded in SCALE.md §13. The two-level split is also the
-    skew posture: level 1's (orderkey, suppkey) key is finer than
-    orderkey, so a mega-order's lines spread across suppliers before
-    the per-order reduce sees them."""
-    per_os = (
-        table(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
-             .alias("is_ret"))
-    )
+    decorrelated into ONE aggregate reading lineitem exactly once,
+    using the min/max trick (r9, verdict ask 3 — the K=1000 aggregate
+    floor): over non-null keys, ``COUNT(DISTINCT s) > 1 ⟺ MIN(s) ≠
+    MAX(s)`` and ``COUNT(DISTINCT r) = 1 ⟺ MIN(r) = MAX(r) AND MIN(r)
+    IS NOT NULL`` — and when it holds, MIN(r) IS the unique late
+    supplier. That replaces the r7 two-level form (level-1 dedup to
+    (orderkey, suppkey) pairs, level-2 re-count) with a single
+    groupBy(orderkey) whose state is FOUR LONGS per group: no pair-
+    dedup hash table over ~4×orders rows, maximal map-side combine
+    (min/max fold rows into partial state before the shuffle moves
+    anything), one shuffle keyed on orderkey carrying constant-size
+    partials. The min/max spelling also matches the oracle's
+    COUNT(DISTINCT) null semantics exactly (both ignore NULL keys,
+    which the pair-dedup form silently counted). Measured at K=1000:
+    see SCALE.md §16 (this rewrite attacks the 155 s aggregate floor
+    the layout probe isolated — the shuffle was already free there).
+    Skew posture: a mega-order's lines fold into four longs inside
+    each map task before the per-order reduce sees them — strictly
+    better than spreading pairs."""
+    R = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
     qualifying = (
-        per_os.groupBy("l_orderkey")
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
         .agg(
-            F.count(F.lit(1)).alias("n_supp"),
-            F.sum("is_ret").alias("n_ret"),
-            F.max(F.when(F.col("is_ret") == 1, F.col("l_suppkey")))
-            .alias("ret_supp"),
+            F.min("l_suppkey").alias("min_s"),
+            F.max("l_suppkey").alias("max_s"),
+            F.min(R).alias("min_r"),
+            F.max(R).alias("max_r"),
         )
-        .filter((F.col("n_supp") > 1) & (F.col("n_ret") == 1))
-        .select("l_orderkey", "ret_supp")
+        .filter(
+            (F.col("min_s") != F.col("max_s"))
+            & F.col("min_r").isNotNull()
+            & (F.col("min_r") == F.col("max_r"))
+        )
+        .select("l_orderkey", F.col("min_r").alias("ret_supp"))
     )
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     ret = qualifying.join(o, F.col("l_orderkey") == o.o_orderkey,
