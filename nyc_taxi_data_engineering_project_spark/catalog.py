@@ -159,8 +159,19 @@ def _read_parquet_dispatch(spark: SparkSession,
     return df
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def table(spark: SparkSession, sf_dir: str, name: str,
+          with_derived: bool = False) -> DataFrame:
     """Read one testdata table (one parquet file per TESTDATA.md).
+
+    ``with_derived=True`` additionally exposes the table's registered
+    derived layout columns (``LAYOUT_DERIVED``, e.g. embeddings'
+    ``graft_lsh_bucket``): served STORED (pre-partitioned) when a
+    layout is registered, computed on the fly otherwise — value-
+    identical either way, so query results never depend on whether the
+    index exists (the reference's expression-index economics:
+    ``sql/init.sql:44-47``). Default serves the plain schema — derived
+    columns are dropped from a served layout so ordinary consumers see
+    the source schema unchanged.
 
     Timestamps are parquet timestamp[us] (→ native ``TIMESTAMP_NTZ``;
     session tz is pinned UTC by session.py so NTZ↔epoch conversions are
@@ -208,7 +219,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     f"drop it (drop_workload_layout) to fall back to the "
                     f"plain scan."
                 )
-        return spark.table(bucketed)
+        served = spark.table(bucketed)
+        derived = LAYOUT_DERIVED.get(name, {})
+        if derived and not with_derived:
+            served = served.drop(*derived)
+        return served
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = nanos_ts_columns(path)
     if ns_cols:
@@ -228,8 +243,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 F.timestamp_micros(F.expr(f"`{c}` div 1000"))
                 .cast("timestamp_ntz"),
             )
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    if with_derived:
+        for col_name, factory in LAYOUT_DERIVED.get(name, {}).items():
+            df = df.withColumn(col_name, factory(df))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str,
@@ -262,14 +281,67 @@ def bootstrap_database(spark: SparkSession, db: str = "nyc") -> None:
 # dir and amortizes across every subsequent orderkey query (115 s built
 # both facts at K=100, repaid within a handful of q18/q21 runs).
 
-LAYOUT_BUCKET_KEYS = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
+LAYOUT_BUCKET_KEYS = {
+    "orders": "o_orderkey", "lineitem": "l_orderkey",
+    # r9 (verdict ask 2): the dedup/ANN family's layout class.
+    # documents buckets on the STORED doc_id — hash partitioning is
+    # preserved through Generate (explode), so every tokenize→explode→
+    # groupBy(doc_id) aggregate in the F-group (f10 simhash, f25/f26
+    # passage rollups, f29 unigram LM, f30 n-gram decontamination)
+    # plans with ZERO Exchanges, no query changes (probed before
+    # productizing: explode→groupBy(doc_id) 1→0 exchanges).
+    "documents": "doc_id",
+    # embeddings lays out on a DERIVED column: the fixed-hyperplane LSH
+    # bucket (f3_lsh_ann's bucket rule), materialized at build — a
+    # persisted ANN index. Static planes are exactly the indexable
+    # class: appended vectors land in the same buckets, so incremental
+    # maintenance stays valid; the data-ADAPTIVE quantizers (f13's
+    # split refinement, f21's seed/k-means cells) are deliberately NOT
+    # layout keys — their bucket rule changes with the data, so an
+    # append would silently invalidate the stored assignment (they
+    # need periodic refit, a rebuild, not maintenance).
+    "embeddings": "graft_lsh_bucket",
+}
+# Tables laid out as VALUE-PARTITIONED (one directory per key value)
+# instead of hash-bucketed. For an ANN index the win is SCAN PRUNING,
+# not shuffle avoidance — the query side is small and broadcasts, so
+# the candidate side never shuffles anyway; what a 100 TB index must
+# avoid is READING the 99% of buckets no query probes. Partitioning by
+# the bucket value makes Spark's dynamic partition pruning scope the
+# candidate scan to exactly the probed buckets (verified in the plan:
+# ``dynamicpruningexpression(graft_lsh_bucket IN ...)``); bucket count
+# is the LSH plane count's 2^n, which is deliberately bounded (IVF-file
+# shape: cells = directories).
+LAYOUT_VALUE_PARTITIONED = {"embeddings"}
 # Join families: tables that equi-join each other on their bucket keys
 # must share ONE bucket count or the shuffle-free join property is
 # silently lost (hash(x) mod 128 and mod 64 land the same key in
 # different buckets). Tables in different families never join on their
-# bucket keys, so their counts are independent.
+# bucket keys, so their counts are independent (documents/embeddings
+# each stand alone: the F-group never joins them to the TPC-H facts
+# on bucket keys).
 LAYOUT_FAMILIES = {"orders": "orderkey", "lineitem": "orderkey"}
 LAYOUT_SERVE_CONF = "spark.spark_graft.layout_serve"
+
+
+def _embeddings_lsh_bucket(df: DataFrame):
+    """Derived bucket column for the embeddings layout: f3_lsh_ann's
+    exact bucket expression (sign bits against the fixed seeded
+    hyperplanes) over the raw ``embedding`` column. Lazy import — the
+    plane literals and the shared bucket rule live with the query
+    family (queries/llm.py) and llm imports this module."""
+    from .queries.llm import LSH_PLANES, _as_double, _hyperplane_bucket
+
+    return _hyperplane_bucket(LSH_PLANES, _as_double(F.col("embedding")))
+
+
+# table -> {derived_col_name: factory(df) -> Column}; derived columns
+# are MATERIALIZED into the layout table (bucketBy needs a stored
+# column) and recomputed on the fly when no layout is registered, so
+# ``table(..., with_derived=True)`` is value-identical either way.
+LAYOUT_DERIVED: dict[str, dict] = {
+    "embeddings": {"graft_lsh_bucket": _embeddings_lsh_bucket},
+}
 
 
 def _layout_conf_key(sf_dir: str, name: str) -> str:
@@ -345,6 +417,54 @@ def _write_manifest(layout_path: str, tbl: str, manifest: dict) -> None:
         f.write("\n")
 
 
+def _acquire_build_lock(path: str) -> str:
+    """Single-writer gate for a layout directory (r9, verdict ask 7):
+    two sessions building the same ``path`` would race
+    ``write_bucketed`` into one external location. O_EXCL creation is
+    the atomic claim; the holder's pid is recorded so a crashed
+    builder's stale lock is detected (dead pid → the lock is stolen
+    and the build proceeds — crash recovery, not contention) while a
+    LIVE builder raises loudly. Same-host scope by design: this engine
+    deploys one driver per layout build (the reference's own
+    single-writer posture, ``terraform/main.tf:149-165``); builders on
+    different hosts against shared storage need an external
+    coordinator, which a pid file cannot be."""
+    os.makedirs(path, exist_ok=True)
+    lock = os.path.join(path, "_graft_build.lock")
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, f"{os.getpid()}\n".encode())
+            os.close(fd)
+            return lock
+        except FileExistsError:
+            try:
+                with open(lock) as f:
+                    holder = int(f.read().strip() or "0")
+            except (OSError, ValueError):
+                holder = 0
+            alive = False
+            if holder > 0:
+                try:
+                    os.kill(holder, 0)
+                    alive = True
+                except (ProcessLookupError, PermissionError):
+                    alive = False
+            if alive:
+                raise RuntimeError(
+                    f"another layout build (pid {holder}) holds "
+                    f"{lock}; concurrent builds into one layout path "
+                    f"race the table writes. Wait for it, or remove "
+                    f"the lock if you are certain it is abandoned."
+                )
+            # stale lock from a crashed builder: steal and retry the
+            # atomic claim (another waiter may steal first — loop)
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+
+
 def build_workload_layout(
     spark: SparkSession,
     sf_dir: str,
@@ -399,8 +519,6 @@ def build_workload_layout(
     manifest also lets a FRESH session re-register a still-fresh
     layout without any rebuild (the fingerprint used to live only in
     session conf, so every new session paid a full build)."""
-    from . import io as _io
-
     # family-consistency gate BEFORE defaulting: a registered sibling's
     # count wins over the parallelism default
     buckets_explicit = buckets is not None
@@ -428,6 +546,28 @@ def build_workload_layout(
                 )
     if buckets is None:
         buckets = max(32, 4 * spark.sparkContext.defaultParallelism)
+
+    lock = _acquire_build_lock(path)
+    try:
+        return _build_layout_tables(spark, sf_dir, path, buckets,
+                                    buckets_explicit, tables, rebuild)
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
+
+
+def _build_layout_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    buckets: int,
+    buckets_explicit: bool,
+    tables: tuple[str, ...],
+    rebuild: bool,
+) -> dict[str, str]:
+    from . import io as _io
 
     built: dict[str, str] = {}
     for name in tables:
@@ -472,15 +612,23 @@ def build_workload_layout(
             prev = spark.conf.get(LAYOUT_SERVE_CONF, "true")
             spark.conf.set(LAYOUT_SERVE_CONF, "false")
             try:
-                src = table(spark, sf_dir, name)
+                # with_derived: materialize the derived bucket columns
+                # (computed on the fly by the plain path) into the table
+                src = table(spark, sf_dir, name, with_derived=True)
             finally:
                 spark.conf.set(LAYOUT_SERVE_CONF, prev)
-            _io.write_bucketed(src, tbl, key, buckets=buckets,
-                               path=os.path.join(path, tbl))
+            if name in LAYOUT_VALUE_PARTITIONED:
+                _io.write_value_partitioned(
+                    src, tbl, key, path=os.path.join(path, tbl))
+            else:
+                _io.write_bucketed(src, tbl, key, buckets=buckets,
+                                   path=os.path.join(path, tbl))
             _toctou_gate("building")
             _write_manifest(path, tbl, {
                 "fingerprint": cur_fp, "parts": cur_parts,
                 "buckets": int(buckets), "key": key, "source": src_path,
+                "mode": ("partitioned" if name in LAYOUT_VALUE_PARTITIONED
+                         else "bucketed"),
             })
 
         reg_buckets = int(buckets)
@@ -519,14 +667,24 @@ def build_workload_layout(
                 delta = _read_parquet_dispatch(
                     spark, tuple(os.path.join(src_path, n)
                                  for n in sorted(new_names)))
-                _io.write_bucketed(delta, tbl, key,
-                                   buckets=int(manifest["buckets"]),
-                                   mode="append")
+                for cn, fac in LAYOUT_DERIVED.get(name, {}).items():
+                    # static derived rules only (fixed-literal hashes):
+                    # appended rows get the same bucket assignment the
+                    # existing rows got at build
+                    delta = delta.withColumn(cn, fac(delta))
+                if name in LAYOUT_VALUE_PARTITIONED:
+                    _io.write_value_partitioned(delta, tbl, key,
+                                                mode="append")
+                else:
+                    _io.write_bucketed(delta, tbl, key,
+                                       buckets=int(manifest["buckets"]),
+                                       mode="append")
                 _toctou_gate("incrementally appending to")
                 _write_manifest(path, tbl, {
                     "fingerprint": cur_fp, "parts": cur_parts,
                     "buckets": int(manifest["buckets"]), "key": key,
                     "source": src_path,
+                    "mode": manifest.get("mode", "bucketed"),
                 })
                 reg_buckets = int(manifest["buckets"])
         # fingerprint the source AS BUILT: table() refuses to serve the
@@ -538,12 +696,14 @@ def build_workload_layout(
     return built
 
 
-def drop_workload_layout(spark: SparkSession, sf_dir: str) -> None:
+def drop_workload_layout(spark: SparkSession, sf_dir: str,
+                         tables: tuple[str, ...] | None = None) -> None:
     """Unregister and drop the layout for ``sf_dir`` (``DROP INDEX``).
 
     Catalog metadata only for the external tables — delete the layout
-    ``path`` separately if the storage should go too."""
-    for name in LAYOUT_BUCKET_KEYS:
+    ``path`` separately if the storage should go too. ``tables`` scopes
+    the drop (default: every layout table)."""
+    for name in (tables if tables is not None else LAYOUT_BUCKET_KEYS):
         conf_key = _layout_conf_key(sf_dir, name)
         tbl = spark.conf.get(conf_key, None)
         if tbl is not None:

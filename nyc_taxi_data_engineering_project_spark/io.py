@@ -211,6 +211,27 @@ def write_bucketed(df: DataFrame, table_name: str, key: str,
     writer.saveAsTable(table_name)
 
 
+def write_value_partitioned(df: DataFrame, table_name: str, key: str,
+                            path: str | None = None,
+                            mode: str = "overwrite") -> None:
+    """Layout variant: one directory per distinct ``key`` value
+    (``PARTITIONED BY`` at rest). Where :func:`write_bucketed` buys
+    shuffle-free joins/aggregates, this buys SCAN PRUNING: a filter or
+    join on the partition column reads only the matching directories
+    (static pruning for literals, dynamic partition pruning for join
+    keys). The right layout when consumers probe a FEW values of a
+    bounded-cardinality key — the embeddings ANN index's access
+    pattern (catalog.LAYOUT_VALUE_PARTITIONED). Keep the key's
+    cardinality bounded (directories are metadata, and tiny files are
+    the failure mode): LSH plane count, not raw ids. ``mode="append"``
+    adds files into the value directories — incremental maintenance,
+    same contract as the bucketed writer's append."""
+    writer = df.write.mode(mode).partitionBy(key).format("parquet")
+    if path is not None and mode == "overwrite":
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
 def surrogate_ids(df: DataFrame, order_cols: list[str] | None = None,
                   partitions: int | None = None) -> DataFrame:
     """A13: surrogate key. Default: ``monotonically_increasing_id`` —

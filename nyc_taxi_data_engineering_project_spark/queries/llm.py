@@ -15,6 +15,7 @@ Design rules applied throughout:
 
 from __future__ import annotations
 
+import functools
 import math
 import random
 
@@ -106,14 +107,72 @@ def _planted_corpus(docs):
     return toked.unionByName(mutated).filter(F.size("toks") >= 3)
 
 
+_EMB_DIM = 64  # testdata embedding dimensionality (TESTDATA.md)
+
+
 def _dot(a, b):
     """Sequential double dot product — same accumulation order as the
-    oracle's loop, so results are bit-identical."""
+    oracle's loop, so results are bit-identical.
+
+    This is the GENERAL form (any length, higher-order functions).
+    HOFs are CodegenFallback — interpreted per element — which is fine
+    where the call count is linear in the corpus (per-row norms,
+    bucket tagging), but NOT in the pair-cosine hot loop whose row
+    count is superlinear (probed pairs): use :func:`_dot_unrolled`
+    there (r9 — the K=316 ANN probe caught the pair projection at
+    ~ms/pair with executor stacks pinned in ZipWith.eval/
+    ArrayAggregate.eval)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def _dot_unrolled(a, b):
+    """The pair-cosine hot-loop spelling of :func:`_dot` (r9):
+    ``0.0 + a1·b1 + … + a64·b64`` statically unrolled over the fixed
+    embedding dim — plain whole-stage-codegen arithmetic, no
+    interpreted HOF. Bit-identical to the HOF fold and to DuckDB's
+    list_dot_product loop: same 0.0-seeded left-fold order, each
+    element cast to double exactly once (a no-op on already-double
+    arrays, so both raw float and pre-cast arrays work).
+
+    NULL semantics match the fold: NULL vector / NULL element poison
+    the sum to NULL (the trailing size guard is ADDITIVE —
+    ``acc + when(ok, 0.0)`` — not a conditional wrapper, because a
+    300-node chain inside a when() branch cannot be method-split and
+    janino rejects the generated code past 64 KB); NaN propagates.
+    The one divergence from the fold is two equal-length non-64
+    arrays (fold summed them, this yields NULL) — no corpus produces
+    that shape, and _VEC_OK already treats dimension drift as
+    unusable-vector poison.
+
+    Scope discipline: ONE unrolled dot per stage compiles and runs
+    fast (measured); composing several into one projection (bucket
+    tagging = 4 dots + norm + probes) blows the 64 KB method limit
+    and falls back to interpretation WORSE than the HOF — per-row
+    derivations therefore stay on :func:`_dot`, and their scale path
+    is layout materialization (catalog.LAYOUT_DERIVED), not wider
+    unrolling.
+
+    Takes column NAMES and memoizes the built Column: constructing
+    the 300-node tree costs ~190 py4j round trips (~1 s per query
+    invocation — measured as a flat overhead on every key that calls
+    this); an unresolved-by-name Column is plan-agnostic, so one
+    build serves every query in the process."""
+    return _dot_unrolled_cached(a, b)
+
+
+@functools.lru_cache(maxsize=64)
+def _dot_unrolled_cached(a_name: str, b_name: str):
+    a, b = F.col(a_name), F.col(b_name)
+    acc = F.lit(0.0)
+    for i in range(_EMB_DIM):
+        acc = acc + (F.element_at(a, i + 1).cast("double")
+                     * F.element_at(b, i + 1).cast("double"))
+    ok = (F.size(a) == _EMB_DIM) & (F.size(b) == _EMB_DIM)
+    return acc + F.when(ok, F.lit(0.0))
 
 
 def _as_double(arr):
@@ -296,7 +355,7 @@ def _lsh_ann_oracle() -> str:
     """
 
 
-def _embeddings(spark, sf_dir) -> DataFrame:
+def _embeddings(spark, sf_dir, with_bucket: bool = False) -> DataFrame:
     """Shared embeddings source for the vector family (f3/f13/f21/f28).
 
     Unusable vectors are EXCLUDED at the source (r6 edge findings): a
@@ -313,13 +372,24 @@ def _embeddings(spark, sf_dir) -> DataFrame:
     no place in similarity space is excluded; counting/alerting on them
     is a data-quality concern (f33's class), not a similarity-operator
     one. Every vector-family oracle carries the matching ``_VEC_OK``
-    predicate."""
-    e = table(spark, sf_dir, "embeddings").filter(
+    predicate.
+
+    ``with_bucket=True`` additionally exposes the fixed-hyperplane LSH
+    bucket as ``bucket`` (r9): served from the embeddings layout's
+    materialized ``graft_lsh_bucket`` when one is registered (a
+    persisted ANN index — the candidate side of f3_lsh_ann's join
+    arrives pre-partitioned, no Exchange), computed on the fly
+    otherwise — identical values either way (catalog.LAYOUT_DERIVED
+    materializes the same expression)."""
+    e = table(spark, sf_dir, "embeddings",
+              with_derived=with_bucket).filter(
         F.col("embedding").isNotNull()
     )
     emb = _as_double(F.col("embedding"))
-    out = e.select("vec_id", "label", emb.alias("emb"),
-                   _norm(emb).alias("nrm"))
+    cols = ["vec_id", "label", emb.alias("emb"), _norm(emb).alias("nrm")]
+    if with_bucket:
+        cols.append(F.col("graft_lsh_bucket").alias("bucket"))
+    out = e.select(*cols)
     return out.filter(
         ~F.isnan("nrm") & (F.col("nrm") > 0)
         & (F.col("nrm") < F.lit(float("inf")))
@@ -925,7 +995,7 @@ def f3_cosine_topk(spark, sf_dir):
     pairs = F.broadcast(q).join(
         c, F.col("query_id") != F.col("neighbor_id")
     )
-    cos = (_dot(F.col("q_emb"), F.col("c_emb"))
+    cos = (_dot_unrolled("q_emb", "c_emb")
            / (F.col("q_nrm") * F.col("c_nrm")))
     w = W.partitionBy("query_id").orderBy(
         F.col("_cos").desc(), F.col("neighbor_id").asc()
@@ -956,11 +1026,11 @@ def f3_lsh_ann(spark, sf_dir):
     literals, the whole approximate pipeline is ALSO value-checked
     against a DuckDB twin that inlines the same planes."""
     n_planes = _N_LSH_PLANES
-    planes = LSH_PLANES
-    emb = _embeddings(spark, sf_dir)
-    tagged = emb.withColumn(
-        "bucket", _hyperplane_bucket(planes, F.col("emb"))
-    )
+    # bucket comes from the shared accessor (r9): the embeddings
+    # layout serves it pre-partitioned (stored graft_lsh_bucket — the
+    # persisted ANN index); without a layout it's computed inline from
+    # the same LSH_PLANES expression
+    tagged = _embeddings(spark, sf_dir, with_bucket=True)
     probes = F.array(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
@@ -980,7 +1050,7 @@ def f3_lsh_ann(spark, sf_dir):
     pairs = q.join(c, ["bucket"]).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    cos = (_dot(F.col("q_emb"), F.col("c_emb"))
+    cos = (_dot_unrolled("q_emb", "c_emb")
            / (F.col("q_nrm") * F.col("c_nrm")))
     w = W.partitionBy("query_id").orderBy(
         F.col("_cos").desc(), F.col("neighbor_id").asc()
@@ -1094,7 +1164,7 @@ def f21_ivf_ann(spark, sf_dir, quantizer="seed"):
         F.col("vec_id").alias("neighbor_id"),
         F.col("emb").alias("c_emb"), F.col("nrm").alias("c_nrm"), "cell",
     )
-    cos = (_dot(F.col("q_emb"), F.col("c_emb"))
+    cos = (_dot_unrolled("q_emb", "c_emb")
            / (F.col("q_nrm") * F.col("c_nrm")))
     w = W.partitionBy("query_id").orderBy(
         F.col("_cos").desc(), F.col("neighbor_id").asc()

@@ -15,6 +15,35 @@ Cost: the dim side shuffles ``n_salt``× its size — worth it exactly
 when the dim is too big to broadcast and the fact is skewed (a
 broadcast join is always the first choice when the dim fits;
 ``relational.py`` b2/flagship assert that path).
+
+AQE-vs-salting decision rule (r9, measured at 60 M rows with 50% of
+the fact on one key — scripts/aqe_vs_salting_probe.py,
+stress100_results/aqe_vs_salting_60m.json; SCALE.md §17):
+
+1. **Dim fits broadcast → broadcast.** No shuffle, no skew possible.
+2. **Shuffle join → AQE skew split first, but VERIFY it fires.** The
+   default gate is (partition > 5× median AND > 256 MB): a 30 M-row
+   hot partition compressed under 256 MB and was silently left whole —
+   "AQE on" ran at the straggler's speed (10.9 s vs 11.4 s off) while
+   the split never fired. With the byte thresholds scaled to the
+   actual shuffle (32 MB threshold / 16 MB advisory) the split fired
+   and AQE won outright: 2.9 s — 2× faster than salting (5.6 s),
+   because salting pays the n_salt× dim replication AQE doesn't.
+   Operationally: check ``skew=true`` on the SMJ node of the executed
+   plan (the probe's sampled-twin trick), not just the conf.
+3. **Salting remains the tool when AQE structurally cannot act**: a
+   plan that must not depend on runtime statistics (regression-gated
+   plans, this module's tests), joins over bucketed layouts (a
+   bucketed scan has NO Exchange for AQE to re-split — the §15c
+   32-bucket starvation finding), and replication-safe join types
+   outside AQE's split support.
+4. **Never salt a combinable aggregate.** Partial aggregation absorbs
+   hot keys map-side (each task emits one row per key before the
+   shuffle); the measured two-level salted sum/count ran 1.7× SLOWER
+   than the plain aggregate (3.2 s vs 1.9 s). Aggregate skew is real
+   only where partial state can't combine — exact per-key windows
+   (use the two-phase rank, io.surrogate_ids / f31) or giant
+   collect_list state (redesign the aggregate).
 """
 
 from __future__ import annotations

@@ -1,0 +1,168 @@
+"""AQE-vs-salting decision evidence (r9, verdict ask 4).
+
+Modern Spark has TWO skew mitigations and a 100 TB operator needs to
+know which to reach for:
+
+- **AQE skew-join split** (runtime): splits an oversized shuffle
+  partition of a sort-merge/shuffled-hash JOIN and replicates the other
+  side's matching partition. Zero code, adapts to the actual data.
+- **Explicit salting** (plan-level, skew.salted_join): spreads a hot
+  key over n_salt reducers by widening the join key. Costs a dim-side
+  replication, works anywhere a join key can be widened — including
+  the places AQE cannot see.
+
+This probe PLANTS the skew at stress scale and measures three
+scenarios that pin the decision rule:
+
+A. **Skewed shuffle JOIN** (hot key = ~half the fact): AQE-off (the
+   straggler baseline) vs AQE skew split vs salted_join. Expectation:
+   AQE ≈ salted, both >> AQE-off; AQE wins on simplicity → default.
+B. **Skewed AGGREGATE** (groupBy on the hot key): AQE's
+   OptimizeSkewedJoin handles JOINS ONLY — a skewed partial-agg
+   partition is never split (asserted in tests/test_skew.py). The fix
+   is the two-level / finer-key aggregate (q21's (orderkey,suppkey) →
+   orderkey split, f31's bucketed rank) — i.e. salting the GROUP key.
+C. Bucketed scans: no Exchange exists for AQE to re-split — measured
+   in r8 (SCALE.md §15c: 32-bucket starvation at K=1000). Recorded
+   there; not re-run here.
+
+Run: python scripts/aqe_vs_salting_probe.py [n_rows] → one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from nyc_taxi_data_engineering_project_spark.session import get_session  # noqa: E402
+from nyc_taxi_data_engineering_project_spark.skew import salted_join  # noqa: E402
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000_000
+HOT_FRACTION = 0.5
+N_DIM = 2_000_000  # too big to broadcast at default threshold
+
+
+def planted_fact(spark):
+    """~N rows, HOT_FRACTION of them on key 7, rest uniform over N_DIM
+    keys — the celebrity/sentinel-key shape."""
+    hot = int(N * HOT_FRACTION)
+    return spark.range(N).select(
+        F.when(F.col("id") < hot, 7)
+        .otherwise(F.col("id") % N_DIM).alias("k"),
+        (F.col("id") * 3 % 1000).alias("payload"),
+    )
+
+
+def planted_dim(spark):
+    return spark.range(N_DIM).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("attr"))
+
+
+def timed(df) -> float:
+    """Execute THIS Dataset fully through the noop sink (JVM-side, no
+    driver transfer, no count()-style column pruning)."""
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 2)
+
+
+def skew_split_fired(df) -> bool:
+    """Whether AQE's skew split fires for df's join: execute a sampled
+    twin of the SAME plan (the join runs in full; the sample discards
+    rows before the driver) and read ITS finalized adaptive plan.
+    Neither count() nor a write exposes the executed plan of the
+    Dataset itself — both wrap a separate QueryExecution."""
+    probe = df.sample(0.000001)
+    probe.collect()
+    return "skew=true" in probe._jdf.queryExecution() \
+        .executedPlan().toString()
+
+
+def main() -> None:
+    spark = get_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+
+    out: dict = {"n_rows": N, "hot_fraction": HOT_FRACTION,
+                 "n_dim": N_DIM, "scenarios": {}}
+
+    # ---------------- scenario A: skewed shuffle join
+    fact, dim = planted_fact(spark), planted_dim(spark)
+    rec: dict = {}
+    reps = int(os.environ.get("REPS", "2"))
+
+    def best(mk):
+        times = [timed(mk()) for _ in range(reps)]
+        return min(times), times
+
+    mk_join = lambda: fact.join(  # noqa: E731
+        dim.hint("merge"), "k").select("payload", "attr")
+
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    rec["aqe_off"], rec["aqe_off_reps"] = best(mk_join)
+
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    rec["aqe_defaults"], rec["aqe_defaults_reps"] = best(mk_join)
+    rec["aqe_defaults_split_fired"] = skew_split_fired(mk_join())
+
+    # tuned: the default gate is (size > 5× median AND > 256 MB) — a
+    # 30 M-row hot partition compresses under 256 MB and is silently
+    # left whole. Scale the byte thresholds to the actual shuffle.
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "32MB")
+    spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16MB")
+    rec["aqe_tuned"], rec["aqe_tuned_reps"] = best(mk_join)
+    rec["aqe_tuned_split_fired"] = skew_split_fired(mk_join())
+    spark.conf.unset(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+
+    rec["salted_16"], rec["salted_reps"] = best(
+        lambda: salted_join(fact, dim, on=["k"], n_salt=16)
+        .select("payload", "attr"))
+    out["scenarios"]["skewed_join"] = rec
+    print(f"A skewed_join: {rec}", flush=True)
+
+    # ---------------- scenario B: skewed aggregate (sum/count: exact,
+    # losslessly re-aggregable — the two-level form must be value-
+    # identical, not just row-count-identical)
+    rec = {}
+
+    def plain_agg():
+        return fact.groupBy("k").agg(
+            F.sum("payload").alias("s"), F.count(F.lit(1)).alias("n"))
+
+    rec["plain_agg_aqe_on"], rec["plain_reps"] = best(plain_agg)
+
+    def two_level():
+        lvl1 = fact.withColumn(
+            "_salt",
+            F.pmod(F.monotonically_increasing_id(), F.lit(64)),
+        ).groupBy("k", "_salt").agg(
+            F.sum("payload").alias("s1"), F.count(F.lit(1)).alias("n1"))
+        return lvl1.groupBy("k").agg(
+            F.sum("s1").alias("s"), F.sum("n1").alias("n"))
+
+    rec["two_level_salted"], rec["two_level_reps"] = best(two_level)
+    rec["values_equal"] = (
+        plain_agg().exceptAll(two_level()).count() == 0
+        and two_level().exceptAll(plain_agg()).count() == 0
+    )
+    out["scenarios"]["skewed_aggregate"] = rec
+    print(f"B skewed_aggregate: {rec}", flush=True)
+
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -43,6 +43,12 @@ KEYS = tuple(
         "SPARK_GRAFT_LAYOUT_KEYS",
         "tpch_q3,tpch_q9,tpch_q18,tpch_q21").split(",") if k
 )
+# which layout family to build (r9: the dedup/ANN family probes pass
+# documents,embeddings and their f-keys)
+TABLES = tuple(
+    t for t in os.environ.get(
+        "SPARK_GRAFT_LAYOUT_TABLES", "orders,lineitem").split(",") if t
+)
 REPS = int(os.environ.get("REPS", "2"))
 
 
@@ -59,7 +65,7 @@ def main() -> None:
     registry.load_all()
 
     t0 = time.time()
-    build_workload_layout(spark, WORK, LAYOUT_DIR)
+    build_workload_layout(spark, WORK, LAYOUT_DIR, tables=TABLES)
     build_s = round(time.time() - t0, 2)
 
     try:

@@ -61,3 +61,47 @@ def test_concurrent_results_equal_serial(spark):
     # non-degenerate: the race ran real work (tpch_q21 is legitimately
     # empty at sf0.001 — its waiting-supplier predicate selects nothing)
     assert sum(1 for k in KEYS if serial[k]) >= len(KEYS) - 1
+
+
+def test_layout_build_lock_single_writer(spark, tmp_path):
+    """Concurrent layout build safety (r9, verdict ask 7): two builders
+    into one layout path race write_bucketed, so build_workload_layout
+    takes a pid lockfile under the path. A LIVE holder blocks a second
+    builder loudly; a stale lock from a crashed builder (dead pid) is
+    stolen and the build proceeds; a successful build removes its
+    lock."""
+    import os
+    import shutil
+
+    import pytest
+
+    from nyc_taxi_data_engineering_project_spark.catalog import (
+        build_workload_layout,
+        drop_workload_layout,
+    )
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    for name in ("orders", "lineitem"):
+        shutil.copy(f"{SF_DIR}/{name}.parquet",
+                    f"{src_dir}/{name}.parquet")
+    lay = str(tmp_path / "lay")
+    os.makedirs(lay)
+    lock = os.path.join(lay, "_graft_build.lock")
+
+    # live holder (this very process) → refuse
+    with open(lock, "w") as f:
+        f.write(f"{os.getpid()}\n")
+    with pytest.raises(RuntimeError, match="holds"):
+        build_workload_layout(spark, src_dir, lay, buckets=4,
+                              tables=("orders",))
+    # crashed holder (a pid that cannot exist) → steal and proceed
+    with open(lock, "w") as f:
+        f.write("999999999\n")
+    try:
+        built = build_workload_layout(spark, src_dir, lay, buckets=4,
+                                      tables=("orders",))
+        assert built["orders"]
+        assert not os.path.exists(lock), "build left its lock behind"
+    finally:
+        drop_workload_layout(spark, src_dir)

@@ -130,6 +130,51 @@ def test_aqe_splits_skewed_sort_merge_join(spark):
                 spark.conf.set(k, v)
 
 
+def test_aqe_never_splits_aggregate_skew(spark):
+    """The boundary of skew.py's decision rule #4: AQE's
+    OptimizeSkewedJoin acts on JOINS ONLY — a skewed aggregate
+    partition is never split, even with the same aggressive thresholds
+    that make the join test above fire. What saves the skewed
+    aggregate instead is partial aggregation (both HashAggregate
+    levels in the plan): each map task collapses the hot key to one
+    row before the shuffle moves anything — which is why salting
+    combinable aggregates is a measured anti-pattern
+    (stress100_results/aqe_vs_salting_60m.json: two-level 1.7×
+    SLOWER)."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        from pyspark.sql import functions as F
+
+        fact = spark.range(210_000).select(
+            F.when(F.col("id") < 200_000, 1)
+            .otherwise(F.col("id") % 1_000).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        agg = fact.groupBy("k").agg(F.sum("payload").alias("s"))
+        rows = agg.collect()
+        assert len(rows) == 1_000
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" not in plan
+        # partial aggregation is the actual mitigation: two
+        # HashAggregate levels around the Exchange
+        assert plan.count("HashAggregate") >= 2
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 @pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
 def test_salted_join_null_keys_and_dup_dim_rows(spark, how):
     """The two key shapes the lineitem/orders fixture cannot produce,

@@ -576,6 +576,78 @@ def test_d2_chunked_replay_evicts_windows_and_equals_batch(spark, tmp_path):
     assert removed > 0, "watermark never evicted any window state"
 
 
+def test_d2_late_chunk_dropped_per_watermark_contract(spark, tmp_path):
+    """GENUINELY late data (r9, verdict ask 6): the chunked-replay
+    suite feeds time-ordered chunks, so every row always beats the
+    watermark — this test ships a MID-RANGE chunk LAST (after the
+    stream has already seen the newest events). By then the watermark
+    sits at global-max − 10 min, every one of the late chunk's windows
+    is already closed and emitted, so the watermark contract says:
+    drop ALL of them. Assertions: (a) the append-mode output equals
+    the batch twin computed WITHOUT the late chunk (late rows must not
+    leak into already-emitted windows — exactly-once emission), and
+    (b) the drop is observable in stateOperator metrics
+    (numRowsDroppedByWatermark > 0), so the rows provably arrived and
+    were rejected rather than never fed."""
+    import time as _time
+
+    from pyspark.sql import Window as W
+
+    from nyc_taxi_data_engineering_project_spark.queries.streaming_q import (
+        d2_windowed,
+    )
+
+    n_chunks, late = 6, 3
+    out = str(tmp_path / "late_chunks")
+    ev = table(spark, SF_DIR, "events")
+    chunked = ev.withColumn(
+        "_chunk", F.ntile(n_chunks).over(W.orderBy("ts", "event_id"))
+    )
+    # time-ordered except the late chunk ships LAST (mtime order is the
+    # file source's processing order)
+    for i in [c for c in range(1, n_chunks + 1) if c != late] + [late]:
+        (chunked.filter(F.col("_chunk") == i).drop("_chunk")
+         .coalesce(1).write.mode("append").parquet(out))
+        _time.sleep(0.6)
+
+    schema = spark.read.parquet(out).schema
+    name = f"d2late_{uuid.uuid4().hex[:8]}"
+    got, progress = _run_chunked(
+        d2_windowed(_stream_chunks(spark, out, schema)), name)
+
+    # batch twin WITHOUT the late chunk: when chunk 3 arrives the
+    # watermark is already global-max − 10 min (chunks 4-6 carried the
+    # maximum), so every chunk-3 window-end is far below it → all
+    # chunk-3 rows drop; closed-window filter as in the ordered test
+    on_time = chunked.filter(F.col("_chunk") != late).drop("_chunk")
+    wm_row = ev.agg(F.max("ts").alias("m")).first()
+    batch = (
+        on_time.filter(F.col("ts").isNotNull())
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("window.end").cast("timestamp_ntz")
+                <= F.lit(wm_row.m) - F.expr("INTERVAL 10 MINUTES"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("win_start"),
+            "event_type", "n",
+        )
+    )
+    cols = ["win_start", "event_type", "n"]
+    assert _rows(got, cols) == _rows(batch, cols), (
+        "late rows leaked into (or were missing from) the emitted "
+        "windows — the watermark contract was not honored")
+
+    dropped = sum(s.get("numRowsDroppedByWatermark", 0)
+                  for pr in progress
+                  for s in pr.get("stateOperators", []))
+    n_late = chunked.filter(F.col("_chunk") == late).count()
+    assert dropped > 0, (
+        "no rows were dropped by the watermark — the late chunk was "
+        "never actually late (did the file order change?)")
+    assert dropped <= n_late
+
+
 def test_d8_chunked_replay_state_carries_across_batches(spark, tmp_path):
     """Chunked d8 (r8, verdict ask 3): explicit GroupState must CARRY
     across micro-batches — update mode emits each touched user's

@@ -220,6 +220,113 @@ def test_stale_layout_refuses_to_serve_and_build_self_heals(
         drop_workload_layout(spark, src_dir)
 
 
+# --------------------------------- r9: dedup/ANN family layout extension
+
+# documents layout (bucketed on stored doc_id): keys whose tokenize→
+# explode→groupBy(doc_id) aggregates ride the bucketing with no query
+# changes. embeddings layout (bucketed on the DERIVED graft_lsh_bucket):
+# f3_lsh_ann's candidate side arrives pre-partitioned — a persisted ANN
+# index.
+DOC_LAYOUT_KEYS = ("f10_simhash", "f26_passage_dedup",
+                   "f29_unigram_logprob")
+
+
+@pytest.fixture(scope="module")
+def f_layout(spark, tmp_path_factory):
+    from nyc_taxi_data_engineering_project_spark.catalog import (
+        drop_workload_layout as _drop,
+    )
+
+    registry.load_all()
+    path = str(tmp_path_factory.mktemp("f_layout"))
+    built = build_workload_layout(
+        spark, SF_DIR, path, buckets=4,
+        tables=("documents", "embeddings"))
+    yield built
+    _drop(spark, SF_DIR, tables=("documents", "embeddings"))
+
+
+def test_f_layout_serves_plain_schema(spark, f_layout):
+    """Ordinary consumers must see the SOURCE schema: the materialized
+    derived column is dropped on serve; doc counts unchanged."""
+    plain_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    served = table(spark, SF_DIR, "documents")
+    assert served.schema == plain_docs.schema
+    assert served.count() == plain_docs.count()
+    plain_emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    served_e = table(spark, SF_DIR, "embeddings")
+    assert set(served_e.columns) == set(plain_emb.columns)
+    assert served_e.count() == plain_emb.count()
+
+
+def test_derived_bucket_identical_with_and_without_layout(spark, f_layout):
+    """graft_lsh_bucket must be value-identical whether served stored
+    (from the layout) or computed on the fly (no layout) — the
+    expression-index contract."""
+    served = table(spark, SF_DIR, "embeddings", with_derived=True) \
+        .select("vec_id", "graft_lsh_bucket")
+    spark.conf.set(LAYOUT_SERVE_CONF, "false")
+    try:
+        computed = table(spark, SF_DIR, "embeddings", with_derived=True) \
+            .select("vec_id", "graft_lsh_bucket")
+        assert sorted(map(tuple, served.collect())) == \
+            sorted(map(tuple, computed.collect()))
+    finally:
+        spark.conf.unset(LAYOUT_SERVE_CONF)
+
+
+@pytest.mark.parametrize("key", DOC_LAYOUT_KEYS)
+def test_f_key_identical_results_and_fewer_shuffles(spark, f_layout, key):
+    """Each F-group key, run unmodified, returns identical results with
+    the family layout served and plans strictly fewer Exchanges."""
+    q = registry.QUERIES[key]
+    with_layout = q(spark, SF_DIR)
+    n_with = _n_exchanges(with_layout)
+    rows_with = sorted(map(tuple, with_layout.collect()))
+    spark.conf.set(LAYOUT_SERVE_CONF, "false")
+    try:
+        plain = q(spark, SF_DIR)
+        n_plain = _n_exchanges(plain)
+        rows_plain = sorted(map(tuple, plain.collect()))
+    finally:
+        spark.conf.unset(LAYOUT_SERVE_CONF)
+    assert rows_with == rows_plain
+    assert n_with < n_plain, (
+        f"{key}: layout plan has {n_with} exchanges vs plain {n_plain}"
+    )
+
+
+def test_lsh_ann_prunes_candidate_scan_dynamically(spark, f_layout):
+    """The embeddings layout is a persisted ANN index: f3_lsh_ann run
+    unmodified must (a) return identical results and (b) plan the
+    candidate scan with DYNAMIC PARTITION PRUNING on the stored bucket
+    — only the probed buckets are read (the query side is small and
+    broadcasts, so shuffle count was never the win here; scan scope
+    is)."""
+    q = registry.QUERIES["f3_lsh_ann"]
+    with_layout = q(spark, SF_DIR)
+    plan = _fmt_plan(with_layout)
+    assert "dynamicpruning" in plan.lower(), (
+        "candidate scan is not dynamically pruned to the probed buckets")
+    assert "graft_lsh_bucket" in plan
+    rows_with = sorted(map(tuple, with_layout.collect()))
+    spark.conf.set(LAYOUT_SERVE_CONF, "false")
+    try:
+        rows_plain = sorted(map(tuple, q(spark, SF_DIR).collect()))
+    finally:
+        spark.conf.unset(LAYOUT_SERVE_CONF)
+    assert rows_with == rows_plain
+
+
+def test_doc_groupby_zero_exchange_through_explode(spark, f_layout):
+    """The property that makes the documents layout broad: hash
+    partitioning survives Generate, so explode→groupBy(doc_id) plans
+    with ZERO Exchanges over the layout."""
+    tok = table(spark, SF_DIR, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t"))
+    assert _n_exchanges(tok.groupBy("doc_id").count()) == 0
+
+
 # ------------------------------------------- r9: incremental maintenance
 
 def _layout_data_files(spark, tbl: str) -> dict[str, int]:
