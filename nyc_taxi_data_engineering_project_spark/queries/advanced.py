@@ -933,3 +933,94 @@ def c38_hll_sketch_union(spark, sf_dir):
                hll_sketch_estimate(hll_union_agg(sk)) AS approx_users
         FROM day_sketches GROUP BY month
     """)
+
+
+_C38_PORTABLE_HLL_SQL = """
+    WITH hx AS (
+        -- 256-bucket HLL over the md5 bit-stream: 2 hex chars pick the
+        -- bucket, the next 12 (48 bits) feed the leading-zero rank.
+        -- md5 renders lowercase hex identically in both engines, so
+        -- the sketch state is reproducible cross-engine by hand.
+        SELECT substr(CAST(ts AS STRING), 1, 7) AS month,
+               md5(CAST(user_id AS STRING)) AS h
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), parts AS (
+        SELECT month,
+               (POSITION(substr(h, 1, 1) IN '0123456789abcdef') - 1) * 16
+             + (POSITION(substr(h, 2, 1) IN '0123456789abcdef') - 1)
+                   AS bucket,
+               length(regexp_extract(substr(h, 3, 12), '^(0*)', 1)) AS zh,
+               substr(h, 3, 12) AS tail
+        FROM hx
+    ), ranked AS (
+        -- rank = leading zero BITS + 1, from pure string ops (both
+        -- engines lack a shared hex->int; 4 bits per zero hex char
+        -- plus a CASE over the first non-zero digit's high bits)
+        SELECT month, bucket,
+               CASE WHEN zh = 12 THEN 49
+                    ELSE zh * 4
+                       + CASE substr(tail, zh + 1, 1)
+                             WHEN '1' THEN 3
+                             WHEN '2' THEN 2 WHEN '3' THEN 2
+                             WHEN '4' THEN 1 WHEN '5' THEN 1
+                             WHEN '6' THEN 1 WHEN '7' THEN 1
+                             ELSE 0 END
+                       + 1
+               END AS rnk
+        FROM parts
+    ), perbucket AS (
+        SELECT month, bucket, MAX(rnk) AS mr FROM ranked GROUP BY 1, 2
+    ), agg AS (
+        -- exact-integer harmonic state: S = sum 2^(49-mr) (+ 2^49 per
+        -- empty bucket), so no float accumulation order can drift;
+        -- the one integer->double cast rounds identically in IEEE
+        SELECT month,
+               CAST(SUM(CAST(POWER(2.0, 49 - mr) AS BIGINT)) AS DOUBLE)
+                 + CAST(256 - COUNT(*) AS DOUBLE) * 562949953421312.0
+                   AS s,
+               256 - COUNT(*) AS zeros
+        FROM perbucket GROUP BY 1
+    )
+    SELECT month,
+           CAST(FLOOR(
+               CASE WHEN ((0.7213 / (1 + 1.079 / 256.0)) * 65536.0
+                          * 562949953421312.0 / s) <= 640.0
+                         AND zeros > 0
+                    THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
+                    ELSE (0.7213 / (1 + 1.079 / 256.0)) * 65536.0
+                         * 562949953421312.0 / s
+               END + 0.5) AS BIGINT) AS approx_users
+    FROM agg
+"""
+
+
+@query("c38_portable_hll", oracle=_C38_PORTABLE_HLL_SQL)
+def c38_portable_hll(spark, sf_dir):
+    """C38 twin, ORACLE-GRADE (r9, verdict ask 5 — the f21 playbook):
+    a from-scratch HyperLogLog whose every step both engines compute
+    bit-identically, so the sketch CLASS gains an exact cross-engine
+    twin while c38_hll_sketch_union stays the library-parity demo
+    (Datasketches internals legitimately differ across engines).
+
+    One SQL text serves both engines (the c30 pattern): md5-derived
+    bucket/rank via shared string ops (POSITION(c IN hex-alphabet),
+    regexp_extract leading zeros, CASE on the first non-zero digit),
+    per-(month, bucket) MAX rank, and an EXACT-INTEGER harmonic sum
+    (2^(49-mr) summed as BIGINT/HUGEINT) so no floating accumulation
+    order exists to drift; the final estimate is a fixed chain of IEEE
+    double ops on identical operands. The only library function in the
+    numeric path is ln() in the linear-counting branch — same double
+    in, ±1 ulp across libm at worst, and the result rounds to an
+    integer, so a mismatch needs the true value within ~1e-10 of a
+    .5 boundary (the edge sweep would catch one).
+
+    Scale posture — this is WHY HLL, stated in the plan: NO distinct
+    shuffle anywhere. The per-(month,bucket) MAX partial-aggregates
+    map-side, so the shuffle moves at most months x 256 rows of
+    constant-size state no matter how many billions of events — the
+    exact mergeable-sketch economics c38 demonstrates with the
+    library, now verifiable to the digit against DuckDB. Accuracy for
+    m=256 is ~6.5% (1.04/sqrt(m)); tolerance vs exact is pytest-gated
+    like c10's (tests/test_approx_ops.py)."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_C38_PORTABLE_HLL_SQL)

@@ -62,3 +62,34 @@ def test_sample_deterministic_subset_and_fraction(spark):
     assert {key(r) for r in a} <= src, "sampled row not in source"
     frac = len(a) / len(src)
     assert 0.05 <= frac <= 0.15, f"fraction {frac:.3f} far from 0.1"
+
+
+def test_portable_hll_within_tolerance(spark):
+    """c38_portable_hll (r9): the from-scratch 256-bucket HLL's
+    per-month estimate must land within the sketch's accuracy band of
+    the exact distinct count. Standard error for m=256 is
+    1.04/sqrt(256) = 6.5%; gate at 4 sigma (26%) so the test pins
+    gross construction errors (wrong rank, wrong bucket, wrong
+    harmonic sum) without flaking on corpus shape."""
+    approx = {
+        r.month: r.approx_users
+        for r in registry.QUERIES["c38_portable_hll"](
+            spark, SF_DIR).collect()
+    }
+    exact = {
+        r.month: r.n
+        for r in (
+            table(spark, SF_DIR, "events")
+            .filter("ts IS NOT NULL AND user_id IS NOT NULL")
+            .groupBy(F.substring(F.col("ts").cast("string"), 1, 7)
+                     .alias("month"))
+            .agg(F.count_distinct("user_id").alias("n"))
+            .collect()
+        )
+    }
+    assert set(approx) == set(exact)
+    for month, n in exact.items():
+        err = abs(approx[month] - n) / max(n, 1)
+        assert err <= 0.26, (
+            f"{month}: HLL estimate {approx[month]} vs exact {n} "
+            f"({err:.1%} > 4-sigma band)")

@@ -32,7 +32,9 @@ def test_registry_matches_frozen_surface():
         f"registry surface drifted from REGISTRY_KEYS.txt: "
         f"added={added} removed={removed} oracle-status-changed={moved}"
     )
-    # 133 oracle / 6 rows-only since the r8 f21/f28 graduation (portable
-    # seed quantizer); the remaining 6 are genuine sketches/library-RNG
-    # (c10/c11 approx, c29_sample, c38, f19/f20 ml-interop demos)
-    assert len(got) == 139 and sum(v == "oracle" for v in got.values()) == 133
+    # 134 oracle / 6 rows-only since the r9 c38_portable_hll addition
+    # (a from-scratch HLL with an exact cross-engine twin — the sketch
+    # CLASS now has an oracle-grade member while c38_hll_sketch_union
+    # stays the library-parity demo); the 6 rows-only keys are genuine
+    # sketches/library-RNG (c10/c11 approx, c29_sample, c38, f19/f20)
+    assert len(got) == 140 and sum(v == "oracle" for v in got.values()) == 134
