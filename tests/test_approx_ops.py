@@ -93,3 +93,39 @@ def test_portable_hll_within_tolerance(spark):
         assert err <= 0.26, (
             f"{month}: HLL estimate {approx[month]} vs exact {n} "
             f"({err:.1%} > 4-sigma band)")
+
+
+def test_portable_quantile_within_bin_tolerance(spark):
+    """c11_portable_quantile (r9): each histogram quantile must sit
+    within 1.5 bin widths (±150) of the exact percentile — the bin
+    midpoint is ±0.5 bins from any member of its bin, and the
+    histogram's CEIL(n·p) rank convention vs Spark percentile()'s
+    (1+(n-1)·p) interpolation can differ by up to one rank, whose
+    value may lie one bin over. Pins the cumulative-count read-off
+    logic without depending on in-bin distribution."""
+    approx = {
+        r.returnflag: (r.p25_price, r.p50_price, r.p75_price)
+        for r in registry.QUERIES["c11_portable_quantile"](
+            spark, SF_DIR).collect()
+    }
+    exact = {
+        r.returnflag: (r.p25, r.p50, r.p75)
+        for r in (
+            table(spark, SF_DIR, "lineitem")
+            .filter("l_extendedprice IS NOT NULL")
+            .groupBy("l_returnflag")
+            .agg(
+                F.expr("percentile(l_extendedprice, 0.25D)").alias("p25"),
+                F.expr("percentile(l_extendedprice, 0.5D)").alias("p50"),
+                F.expr("percentile(l_extendedprice, 0.75D)").alias("p75"),
+            )
+            .withColumnRenamed("l_returnflag", "returnflag")
+            .collect()
+        )
+    }
+    assert set(approx) == set(exact)
+    for flag, (a25, a50, a75) in approx.items():
+        for a, e in zip((a25, a50, a75), exact[flag]):
+            assert abs(a - e) <= 150.0, (
+                f"{flag}: histogram quantile {a} vs exact {e} — "
+                f"off by more than 1.5 bin widths")

@@ -32,9 +32,10 @@ def test_registry_matches_frozen_surface():
         f"registry surface drifted from REGISTRY_KEYS.txt: "
         f"added={added} removed={removed} oracle-status-changed={moved}"
     )
-    # 134 oracle / 6 rows-only since the r9 c38_portable_hll addition
-    # (a from-scratch HLL with an exact cross-engine twin — the sketch
-    # CLASS now has an oracle-grade member while c38_hll_sketch_union
-    # stays the library-parity demo); the 6 rows-only keys are genuine
-    # sketches/library-RNG (c10/c11 approx, c29_sample, c38, f19/f20)
-    assert len(got) == 140 and sum(v == "oracle" for v in got.values()) == 134
+    # 135 oracle / 6 rows-only since the r9 portable-twin additions:
+    # c38_portable_hll (from-scratch HLL) and c11_portable_quantile
+    # (histogram quantile) give the sketch and percentile CLASSES
+    # oracle-grade members while the library keys stay as parity
+    # demos; the 6 rows-only keys are genuine sketches/library-RNG
+    # (c10/c11 approx, c29_sample, c38, f19/f20)
+    assert len(got) == 141 and sum(v == "oracle" for v in got.values()) == 135

@@ -422,6 +422,77 @@ def test_incremental_maintenance_appends_only_the_delta(spark, tmp_path):
         drop_workload_layout(spark, src_dir)
 
 
+def test_incremental_maintenance_partitioned_embeddings(spark, tmp_path):
+    """The maintenance story must hold for the PARTITIONED layout mode
+    too (embeddings ANN index): appended vectors are bucketized by the
+    same static hyperplanes into the same value partitions — O(delta),
+    stored bucket values identical to on-the-fly computation, old
+    partition files untouched."""
+    import os
+    import shutil
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    plain = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    half1 = plain.filter(F.col("vec_id") % 2 == 0)
+    half2 = plain.filter(F.col("vec_id") % 2 == 1)
+    half1.coalesce(1).write.parquet(f"{src_dir}/embeddings.parquet")
+
+    lay = str(tmp_path / "lay")
+    built = build_workload_layout(spark, src_dir, lay,
+                                  tables=("embeddings",))
+    tbl = built["embeddings"]
+    try:
+        assert table(spark, src_dir, "embeddings").count() == \
+            half1.count()
+        # partitioned layout: data files live under bucket=value dirs
+        loc = (
+            spark.sql(f"DESCRIBE FORMATTED {tbl}")
+            .filter("col_name = 'Location'").first()["data_type"]
+        ).replace("file:", "")
+        def _files():
+            out = {}
+            for root, _dirs, files in os.walk(loc):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        p = os.path.join(root, f)
+                        out[p] = os.stat(p).st_mtime_ns
+            return out
+        before = _files()
+
+        # append the second half as one new part file
+        tmp_out = str(tmp_path / "h2")
+        half2.coalesce(1).write.parquet(tmp_out)
+        part = next(p for p in os.listdir(tmp_out)
+                    if p.endswith(".parquet"))
+        shutil.copy(f"{tmp_out}/{part}",
+                    f"{src_dir}/embeddings.parquet/h2-{part}")
+
+        built2 = build_workload_layout(spark, src_dir, lay,
+                                       tables=("embeddings",))
+        assert built2 == built
+        after = _files()
+        for f, mtime in before.items():
+            assert after[f] == mtime, f"incremental append rewrote {f}"
+        assert len(after) > len(before)
+
+        # served = full set; stored buckets equal the on-the-fly rule
+        served = table(spark, src_dir, "embeddings", with_derived=True) \
+            .select("vec_id", "graft_lsh_bucket")
+        spark.conf.set(LAYOUT_SERVE_CONF, "false")
+        try:
+            computed = table(spark, src_dir, "embeddings",
+                             with_derived=True) \
+                .select("vec_id", "graft_lsh_bucket")
+            assert sorted(map(tuple, served.collect())) == \
+                sorted(map(tuple, computed.collect()))
+        finally:
+            spark.conf.unset(LAYOUT_SERVE_CONF)
+        assert served.count() == plain.count()
+    finally:
+        drop_workload_layout(spark, src_dir)
+
+
 def test_modified_part_forces_full_rebuild(spark, tmp_path):
     """A drift the diff can't scope — an EXISTING part rewritten — must
     keep the loud full-rebuild posture, and the rebuilt layout must
