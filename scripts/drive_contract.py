@@ -62,6 +62,29 @@ spark = (
 )
 spark.sparkContext.setLogLevel("ERROR")
 
+# SPARK_GRAFT_DRIVE_LAYOUT=1 (r9): build the full four-table workload
+# layout first and run the WHOLE drive layout-served — every key's
+# Spark result comes off the bucketed/partitioned copies while DuckDB
+# reads the plain parquet, so any transparent-serve divergence (wrong
+# rows, dropped derived column, stale manifest logic) fails the same
+# oracle bar the plain path does. Default off: the plain path is the
+# driver's contract; this is the layout product's end-to-end gate.
+if os.environ.get("SPARK_GRAFT_DRIVE_LAYOUT", "") == "1":
+    import tempfile
+
+    sys.path.insert(0, REPO)
+    from nyc_taxi_data_engineering_project_spark.catalog import (
+        LAYOUT_BUCKET_KEYS,
+        build_workload_layout,
+    )
+
+    _lay_dir = tempfile.mkdtemp(prefix="drive_layout_")
+    _t0 = time.time()
+    build_workload_layout(spark, SF_DIR, _lay_dir,
+                          tables=tuple(LAYOUT_BUCKET_KEYS))
+    print(f"layout-served drive: built 4-table layout in "
+          f"{time.time()-_t0:.1f}s at {_lay_dir}", flush=True)
+
 con = duckdb.connect()
 for name in ("region", "nation", "customer", "supplier", "part", "orders",
              "lineitem", "events", "documents", "embeddings"):
