@@ -696,6 +696,101 @@ def _build_layout_tables(
     return built
 
 
+def compact_workload_layout(spark: SparkSession, sf_dir: str,
+                            path: str,
+                            tables: tuple[str, ...] | None = None,
+                            ) -> dict[str, tuple[int, int]]:
+    """Merge a layout table's accumulated append runs back to one file
+    per bucket (r9 — the maintenance seam incremental appends open):
+    every :func:`build_workload_layout` append lands one new sorted
+    file per touched bucket, so a monthly cadence grows files-per-
+    bucket linearly and eventually hits the small-files pathology the
+    layout exists to avoid. Compaction is the B-tree's merge step.
+
+    Mechanics — no source re-read, no shuffle beyond one co-located
+    repartition: the layout table is read back (one task per bucket),
+    repartitioned on its own bucket key (Spark's repartition hash is
+    the same Murmur3-pmod the bucketed writer uses, so each task holds
+    exactly one bucket → exactly one output file per bucket), written
+    bucketed to a temp location, and the files are SWAPPED under the
+    unchanged catalog table (bucket ids live in the file names, which
+    the swap preserves; REFRESH TABLE drops the stale listing). The
+    manifest is rewritten with the SAME source fingerprint — the
+    source didn't move, so staleness state and future incremental
+    appends are unaffected. Value-partitioned tables compact the same
+    way with a per-partition-value repartition. Single-writer via the
+    build lockfile. Returns {table: (files_before, files_after)}."""
+    import glob as _glob
+    import shutil
+
+    from . import io as _io
+
+    lock = _acquire_build_lock(path)
+    try:
+        out: dict[str, tuple[int, int]] = {}
+        for name in (tables if tables is not None else LAYOUT_BUCKET_KEYS):
+            conf_key = _layout_conf_key(sf_dir, name)
+            tbl = spark.conf.get(conf_key, None)
+            if tbl is None:
+                continue
+            key = LAYOUT_BUCKET_KEYS[name]
+            manifest = _read_manifest(path, tbl)
+            if manifest is None:
+                raise ValueError(
+                    f"no manifest for layout table {tbl!r} under "
+                    f"{path!r} — compact only manifest-tracked layouts "
+                    f"(rebuild with build_workload_layout first)")
+            tbl_dir = os.path.join(path, tbl)
+            tmp_dir = os.path.join(path, tbl + "_compact_tmp")
+            tmp_tbl = tbl + "_compact_tmp"
+
+            def _n_files(d: str) -> int:
+                return sum(
+                    1 for root, _dirs, files in os.walk(d)
+                    for f in files if f.endswith(".parquet"))
+
+            before = _n_files(tbl_dir)
+            # read the FILES, not the catalog table: the bucketed
+            # scan's partitioning already satisfies the repartition,
+            # so the optimizer elides the exchange and each INPUT FILE
+            # task writes its own bucket files — defeating the merge.
+            # A plain file read carries no bucket metadata, so the
+            # repartition really co-locates each bucket into one task
+            # (observed: 12→9 files instead of 12→4 via spark.table).
+            df = spark.read.parquet(tbl_dir)
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+            if name in LAYOUT_VALUE_PARTITIONED:
+                _io.write_value_partitioned(
+                    df.repartition(F.col(key)), tmp_tbl, key,
+                    path=tmp_dir)
+            else:
+                buckets = int(manifest["buckets"])
+                _io.write_bucketed(
+                    df.repartition(buckets, F.col(key)), tmp_tbl, key,
+                    buckets=buckets, path=tmp_dir)
+            # swap: catalog entry for the tmp table goes (external drop
+            # keeps files), then the data directories trade places
+            spark.sql(f"DROP TABLE {tmp_tbl}")
+            old_dir = os.path.join(path, tbl + "_compact_old")
+            shutil.rmtree(old_dir, ignore_errors=True)
+            os.rename(tbl_dir, old_dir)
+            os.rename(tmp_dir, tbl_dir)
+            _write_manifest(path, tbl, {
+                **manifest,
+                "compactions": int(manifest.get("compactions", 0)) + 1,
+            })
+            shutil.rmtree(old_dir, ignore_errors=True)
+            spark.sql(f"REFRESH TABLE {tbl}")
+            out[name] = (before, _n_files(tbl_dir))
+        return out
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
+
+
 def drop_workload_layout(spark: SparkSession, sf_dir: str,
                          tables: tuple[str, ...] | None = None) -> None:
     """Unregister and drop the layout for ``sf_dir`` (``DROP INDEX``).

@@ -545,6 +545,128 @@ def test_modified_part_forces_full_rebuild(spark, tmp_path):
         drop_workload_layout(spark, src_dir)
 
 
+def test_compaction_merges_append_runs(spark, tmp_path):
+    """compact_workload_layout (r9): after two incremental appends the
+    bucketed layout holds multiple sorted runs per bucket; compaction
+    must merge to ~one file per bucket, preserve every row (digest vs
+    the plain source), keep the staleness state intact (same source
+    fingerprint), and leave the layout still incrementally
+    maintainable (a THIRD append after compaction works)."""
+    import os
+    import shutil
+
+    from nyc_taxi_data_engineering_project_spark.catalog import (
+        _read_manifest,
+        compact_workload_layout,
+    )
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    shutil.copy(f"{SF_DIR}/lineitem.parquet",
+                f"{src_dir}/lineitem.parquet")
+    plain = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    slices = [plain.filter(F.col("o_orderkey") % 4 == i)
+              for i in range(4)]
+    slices[0].coalesce(1).write.parquet(f"{src_dir}/orders.parquet")
+
+    lay = str(tmp_path / "lay")
+    built = build_workload_layout(spark, src_dir, lay, buckets=4,
+                                  tables=("orders",))
+    tbl = built["orders"]
+
+    def _append(i):
+        tmp_out = str(tmp_path / f"s{i}")
+        slices[i].coalesce(1).write.parquet(tmp_out)
+        part = next(p for p in os.listdir(tmp_out)
+                    if p.endswith(".parquet"))
+        shutil.copy(f"{tmp_out}/{part}",
+                    f"{src_dir}/orders.parquet/s{i}-{part}")
+        build_workload_layout(spark, src_dir, lay, buckets=4,
+                              tables=("orders",))
+
+    try:
+        _append(1)
+        _append(2)
+        n3 = sum(slices[i].count() for i in range(3))
+        assert table(spark, src_dir, "orders").count() == n3
+        before = len(_layout_data_files(spark, tbl))
+        assert before >= 3  # initial build + two append runs
+
+        res = compact_workload_layout(spark, src_dir, lay,
+                                      tables=("orders",))
+        fb, fa = res["orders"]
+        assert fb == before and fa <= 4, (
+            f"compaction left {fa} files for 4 buckets")
+
+        served = table(spark, src_dir, "orders")
+        src_rows = spark.read.parquet(f"{src_dir}/orders.parquet")
+        assert served.count() == n3
+        assert (served.exceptAll(src_rows).count() == 0
+                and src_rows.exceptAll(served).count() == 0)
+        # fingerprint unchanged — the source didn't move
+        m = _read_manifest(lay, tbl)
+        assert m["compactions"] == 1
+        # still incrementally maintainable after the swap
+        _append(3)
+        assert table(spark, src_dir, "orders").count() == plain.count()
+        # and the bucketed-aggregate property survives compaction
+        assert _n_exchanges(
+            table(spark, src_dir, "orders")
+            .groupBy("o_orderkey").count()) == 0
+    finally:
+        drop_workload_layout(spark, src_dir)
+
+
+def test_compaction_partitioned_embeddings(spark, tmp_path):
+    """Compaction of the VALUE-PARTITIONED layout mode: per-partition
+    append runs merge to one file per bucket value, rows and stored
+    bucket assignments preserved."""
+    import os
+    import shutil
+
+    from nyc_taxi_data_engineering_project_spark.catalog import (
+        compact_workload_layout,
+    )
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    plain = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    h1 = plain.filter(F.col("vec_id") % 2 == 0)
+    h2 = plain.filter(F.col("vec_id") % 2 == 1)
+    h1.coalesce(1).write.parquet(f"{src_dir}/embeddings.parquet")
+    lay = str(tmp_path / "lay")
+    build_workload_layout(spark, src_dir, lay, tables=("embeddings",))
+    try:
+        tmp_out = str(tmp_path / "h2")
+        h2.coalesce(1).write.parquet(tmp_out)
+        part = next(p for p in os.listdir(tmp_out)
+                    if p.endswith(".parquet"))
+        shutil.copy(f"{tmp_out}/{part}",
+                    f"{src_dir}/embeddings.parquet/h2-{part}")
+        build_workload_layout(spark, src_dir, lay,
+                              tables=("embeddings",))
+
+        res = compact_workload_layout(spark, src_dir, lay,
+                                      tables=("embeddings",))
+        fb, fa = res["embeddings"]
+        assert fa < fb
+        served = table(spark, src_dir, "embeddings", with_derived=True)
+        assert served.count() == plain.count()
+        # stored buckets still equal the on-the-fly rule post-swap
+        spark.conf.set(LAYOUT_SERVE_CONF, "false")
+        try:
+            computed = table(spark, src_dir, "embeddings",
+                             with_derived=True)
+            assert sorted(map(tuple, served.select(
+                "vec_id", "graft_lsh_bucket").collect())) == \
+                sorted(map(tuple, computed.select(
+                    "vec_id", "graft_lsh_bucket").collect()))
+        finally:
+            spark.conf.unset(LAYOUT_SERVE_CONF)
+    finally:
+        drop_workload_layout(spark, src_dir)
+
+
 def test_fresh_session_reregisters_without_rebuild(spark, tmp_path):
     """The manifest is the cross-session freshness proof: with the
     session conf wiped (what a NEW SparkSession sees), a build call
