@@ -88,6 +88,21 @@ def main() -> None:
     out["digest_equal"] = d_layout == d_plain
     out["rows_served"] = d_layout[0]
 
+    # compaction: merge the append run back to one file per bucket
+    # (the B-tree merge step), digest re-verified after the swap
+    from nyc_taxi_data_engineering_project_spark.catalog import (
+        compact_workload_layout,
+    )
+
+    t0 = time.time()
+    files_before, files_after = compact_workload_layout(
+        spark, SRC, LAY, tables=("orders",))["orders"]
+    out["compact_s"] = round(time.time() - t0, 2)
+    out["files_before_compact"] = files_before
+    out["files_after_compact"] = files_after
+    d_compacted = fx.hashed_result_digest(table(spark, SRC, "orders"))
+    out["digest_equal_after_compact"] = d_compacted == d_plain
+
     # from-scratch rebuild of the SAME merged source, same bucket count
     t0 = time.time()
     build_workload_layout(spark, SRC, LAY, tables=("orders",),
