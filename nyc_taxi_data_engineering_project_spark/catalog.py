@@ -221,6 +221,19 @@ def table(spark: SparkSession, sf_dir: str, name: str,
                 )
         served = spark.table(bucketed)
         derived = LAYOUT_DERIVED.get(name, {})
+        if derived and with_derived:
+            missing = [c for c in derived if c not in served.columns]
+            if missing:
+                # backstop for a layout built under an older derived-
+                # column set that slipped past the manifest gate (e.g.
+                # conf-registered in this session before an engine
+                # upgrade): refuse loudly rather than fail analysis
+                raise ValueError(
+                    f"workload layout {bucketed!r} lacks derived "
+                    f"column(s) {missing} the current engine defines — "
+                    f"it was built under an older LAYOUT_DERIVED set. "
+                    f"Rebuild with build_workload_layout(..., "
+                    f"rebuild=True).")
         if derived and not with_derived:
             served = served.drop(*derived)
         return served
@@ -335,12 +348,27 @@ def _embeddings_lsh_bucket(df: DataFrame):
     return _hyperplane_bucket(LSH_PLANES, _as_double(F.col("embedding")))
 
 
+def _embeddings_nrm(df: DataFrame):
+    """Derived vector norm (the metadata every real ANN index stores
+    next to its postings): the vector family's exact ``_norm`` over the
+    double-cast embedding, so cosines ride a stored scalar instead of a
+    per-query 64-element fold over every candidate row."""
+    from .queries.llm import _as_double, _norm
+
+    return _norm(_as_double(F.col("embedding")))
+
+
 # table -> {derived_col_name: factory(df) -> Column}; derived columns
 # are MATERIALIZED into the layout table (bucketBy needs a stored
 # column) and recomputed on the fly when no layout is registered, so
 # ``table(..., with_derived=True)`` is value-identical either way.
+# (Unused derived columns are column-pruned out of any plan that
+# doesn't reference them — exposing several costs nothing per query.)
 LAYOUT_DERIVED: dict[str, dict] = {
-    "embeddings": {"graft_lsh_bucket": _embeddings_lsh_bucket},
+    "embeddings": {
+        "graft_lsh_bucket": _embeddings_lsh_bucket,
+        "graft_nrm": _embeddings_nrm,
+    },
 }
 
 
@@ -629,11 +657,21 @@ def _build_layout_tables(
                 "buckets": int(buckets), "key": key, "source": src_path,
                 "mode": ("partitioned" if name in LAYOUT_VALUE_PARTITIONED
                          else "bucketed"),
+                "derived": sorted(LAYOUT_DERIVED.get(name, {})),
             })
 
         reg_buckets = int(buckets)
+        # a layout built under an OLDER derived-column set must be
+        # rebuilt in full — re-registering it would serve a schema the
+        # engine no longer produces (missing graft_* columns), and an
+        # incremental append would write rows the old files lack
+        derived_drift = (
+            manifest is not None
+            and manifest.get("derived", [])
+            != sorted(LAYOUT_DERIVED.get(name, {}))
+        )
         if rebuild or not spark.catalog.tableExists(tbl) \
-                or built_fp is None:
+                or built_fp is None or derived_drift:
             # missing or version-unknown table must never be re-blessed
             # against the current source; build IS the rebuild,
             # CREATE INDEX style
@@ -685,6 +723,7 @@ def _build_layout_tables(
                     "buckets": int(manifest["buckets"]), "key": key,
                     "source": src_path,
                     "mode": manifest.get("mode", "bucketed"),
+                    "derived": sorted(LAYOUT_DERIVED.get(name, {})),
                 })
                 reg_buckets = int(manifest["buckets"])
         # fingerprint the source AS BUILT: table() refuses to serve the

@@ -374,19 +374,23 @@ def _embeddings(spark, sf_dir, with_bucket: bool = False) -> DataFrame:
     one. Every vector-family oracle carries the matching ``_VEC_OK``
     predicate.
 
-    ``with_bucket=True`` additionally exposes the fixed-hyperplane LSH
-    bucket as ``bucket`` (r9): served from the embeddings layout's
-    materialized ``graft_lsh_bucket`` when one is registered (a
-    persisted ANN index — the candidate side of f3_lsh_ann's join
-    arrives pre-partitioned, no Exchange), computed on the fly
-    otherwise — identical values either way (catalog.LAYOUT_DERIVED
-    materializes the same expression)."""
-    e = table(spark, sf_dir, "embeddings",
-              with_derived=with_bucket).filter(
+    The accessor reads the table's DERIVED columns (r9): ``nrm`` comes
+    from the layout's materialized ``graft_nrm`` when one is
+    registered (the metadata a real ANN index stores per row — no
+    per-query 64-element fold over candidates), computed on the fly
+    otherwise — identical values either way, catalog.LAYOUT_DERIVED
+    materializes the exact same expression. ``with_bucket=True``
+    additionally exposes the fixed-hyperplane LSH bucket as ``bucket``
+    (served pre-partitioned from ``graft_lsh_bucket`` under a layout —
+    the persisted ANN index f3_lsh_ann's candidate side rides).
+    Catalyst prunes whichever derived column a query doesn't
+    reference, so the no-layout path pays only for what it uses."""
+    e = table(spark, sf_dir, "embeddings", with_derived=True).filter(
         F.col("embedding").isNotNull()
     )
     emb = _as_double(F.col("embedding"))
-    cols = ["vec_id", "label", emb.alias("emb"), _norm(emb).alias("nrm")]
+    cols = ["vec_id", "label", emb.alias("emb"),
+            F.col("graft_nrm").alias("nrm")]
     if with_bucket:
         cols.append(F.col("graft_lsh_bucket").alias("bucket"))
     out = e.select(*cols)
