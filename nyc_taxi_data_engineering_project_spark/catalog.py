@@ -476,8 +476,15 @@ def _acquire_build_lock(path: str) -> str:
                 try:
                     os.kill(holder, 0)
                     alive = True
-                except (ProcessLookupError, PermissionError):
+                except ProcessLookupError:
                     alive = False
+                except PermissionError:
+                    # EPERM ≠ dead: the pid EXISTS but belongs to
+                    # another user (shared-host build). Treating it as
+                    # dead would steal a live builder's lock — the
+                    # exact race the lock exists to prevent. Only
+                    # ESRCH proves the holder is gone. (r10 ADVICE)
+                    alive = True
             if alive:
                 raise RuntimeError(
                     f"another layout build (pid {holder}) holds "
@@ -677,13 +684,22 @@ def _build_layout_tables(
             # CREATE INDEX style
             _full_build()
         elif built_fp == cur_fp:
-            # fresh — register only (CREATE INDEX IF NOT EXISTS), even
-            # from a brand-new session (manifest carries the proof)
-            if manifest is not None:
-                reg_buckets = int(manifest["buckets"])
+            existing = (int(manifest["buckets"]) if manifest is not None
+                        else int(spark.conf.get(
+                            conf_key + ".buckets", str(int(buckets)))))
+            if buckets_explicit and existing != int(buckets):
+                # fresh table, but built at a DIFFERENT count than the
+                # caller EXPLICITLY asked for: re-registering the old
+                # count would silently hand back a layout the caller
+                # didn't request, while the drift path treats the same
+                # mismatch as a full-rebuild trigger. Match that
+                # posture — rebuild at the requested count. (r10 ADVICE)
+                _full_build()
             else:
-                reg_buckets = int(spark.conf.get(
-                    conf_key + ".buckets", str(int(buckets))))
+                # fresh — register only (CREATE INDEX IF NOT EXISTS),
+                # even from a brand-new session (manifest carries the
+                # proof)
+                reg_buckets = existing
         else:
             # drifted: diff the part maps — append-only drift is the
             # incremental path, anything else rebuilds in full
@@ -764,10 +780,16 @@ def compact_workload_layout(spark: SparkSession, sf_dir: str,
 
     from . import io as _io
 
+    names = tuple(tables) if tables is not None else tuple(LAYOUT_BUCKET_KEYS)
+    unknown = sorted(n for n in names if n not in LAYOUT_BUCKET_KEYS)
+    if unknown:
+        raise ValueError(
+            f"not layout tables: {unknown} — compactable tables are "
+            f"{sorted(LAYOUT_BUCKET_KEYS)} (LAYOUT_BUCKET_KEYS)")
     lock = _acquire_build_lock(path)
     try:
         out: dict[str, tuple[int, int]] = {}
-        for name in (tables if tables is not None else LAYOUT_BUCKET_KEYS):
+        for name in names:
             conf_key = _layout_conf_key(sf_dir, name)
             tbl = spark.conf.get(conf_key, None)
             if tbl is None:
@@ -814,11 +836,28 @@ def compact_workload_layout(spark: SparkSession, sf_dir: str,
             old_dir = os.path.join(path, tbl + "_compact_old")
             shutil.rmtree(old_dir, ignore_errors=True)
             os.rename(tbl_dir, old_dir)
-            os.rename(tmp_dir, tbl_dir)
-            _write_manifest(path, tbl, {
-                **manifest,
-                "compactions": int(manifest.get("compactions", 0)) + 1,
-            })
+            try:
+                os.rename(tmp_dir, tbl_dir)
+                # the old manifest traveled away with old_dir; the
+                # compacted tree gets a fresh one (same fingerprint —
+                # the SOURCE didn't move)
+                _write_manifest(path, tbl, {
+                    **manifest,
+                    "compactions":
+                        int(manifest.get("compactions", 0)) + 1,
+                })
+            except BaseException:
+                # failure-safe swap (r10 ADVICE): the still-registered
+                # catalog table must never point at a missing or
+                # manifest-less directory — park whatever landed and
+                # restore the original tree + manifest
+                if os.path.isdir(old_dir):
+                    if os.path.isdir(tbl_dir):
+                        failed = tbl_dir + "_compact_failed"
+                        shutil.rmtree(failed, ignore_errors=True)
+                        os.rename(tbl_dir, failed)
+                    os.rename(old_dir, tbl_dir)
+                raise
             shutil.rmtree(old_dir, ignore_errors=True)
             spark.sql(f"REFRESH TABLE {tbl}")
             out[name] = (before, _n_files(tbl_dir))

@@ -176,6 +176,40 @@ def ingest_trips(spark: SparkSession, source_path: str, target: str) -> int:
     )
 
 
+def _check_append_location(df: DataFrame, table_name: str,
+                           path: str) -> None:
+    """Guard for ``path`` + ``mode='append'`` on the layout writers
+    (r10 ADVICE): append inherits the EXISTING table's location, so a
+    passed ``path`` is never applied — if the table is absent,
+    ``saveAsTable`` would silently create a MANAGED table in the
+    warehouse instead of at the requested external location, and if it
+    exists somewhere else the rows would land away from where the
+    caller pointed. Fail loudly in both cases."""
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table_name):
+        raise ValueError(
+            f"mode='append' with path={path!r}, but table "
+            f"{table_name!r} does not exist: the append would create a "
+            f"MANAGED warehouse table, ignoring the requested external "
+            f"location. Create the table first with mode='overwrite' "
+            f"(which honors path), or drop the path argument."
+        )
+    loc = next(
+        (r["data_type"] for r in
+         spark.sql(f"DESCRIBE FORMATTED {table_name}").collect()
+         if r["col_name"] == "Location"), None)
+    if loc is not None:
+        existing = os.path.realpath(
+            loc[len("file:"):] if loc.startswith("file:") else loc)
+        if existing != os.path.realpath(path):
+            raise ValueError(
+                f"mode='append' with path={path!r}, but table "
+                f"{table_name!r} lives at {existing!r}: append always "
+                f"writes into the existing table's location — pass "
+                f"that path (or none) if that is what you mean."
+            )
+
+
 def write_bucketed(df: DataFrame, table_name: str, key: str,
                    buckets: int = 16, path: str | None = None,
                    mode: str = "overwrite") -> None:
@@ -204,10 +238,14 @@ def write_bucketed(df: DataFrame, table_name: str, key: str,
         .sortBy(key)
         .format("parquet")
     )
-    if path is not None and mode == "overwrite":
-        # append inherits the existing table's location; re-specifying
-        # it on an existing table is a conflict in Spark's catalog
-        writer = writer.option("path", path)
+    if path is not None:
+        if mode == "overwrite":
+            writer = writer.option("path", path)
+        else:
+            # append inherits the existing table's location;
+            # re-specifying it is a catalog conflict — verify the
+            # caller's intent instead of silently dropping it
+            _check_append_location(df, table_name, path)
     writer.saveAsTable(table_name)
 
 
@@ -227,8 +265,11 @@ def write_value_partitioned(df: DataFrame, table_name: str, key: str,
     adds files into the value directories — incremental maintenance,
     same contract as the bucketed writer's append."""
     writer = df.write.mode(mode).partitionBy(key).format("parquet")
-    if path is not None and mode == "overwrite":
-        writer = writer.option("path", path)
+    if path is not None:
+        if mode == "overwrite":
+            writer = writer.option("path", path)
+        else:
+            _check_append_location(df, table_name, path)
     writer.saveAsTable(table_name)
 
 

@@ -160,12 +160,21 @@ def _dot_unrolled(a, b):
     the 300-node tree costs ~190 py4j round trips (~1 s per query
     invocation — measured as a flat overhead on every key that calls
     this); an unresolved-by-name Column is plan-agnostic, so one
-    build serves every query in the process."""
-    return _dot_unrolled_cached(a, b)
+    build serves every query in the process. The memo key includes
+    the SparkContext's applicationId (r10 ADVICE): a cached Column
+    wraps py4j refs into the JVM context that built it, and after a
+    ``spark.stop()``/restart in the same process (tests, notebooks,
+    probe scripts) the old entries would serve dead JVM references."""
+    from pyspark.sql import SparkSession
+
+    sess = SparkSession.getActiveSession()
+    app_id = (sess.sparkContext.applicationId
+              if sess is not None else "<no-session>")
+    return _dot_unrolled_cached(a, b, app_id)
 
 
 @functools.lru_cache(maxsize=64)
-def _dot_unrolled_cached(a_name: str, b_name: str):
+def _dot_unrolled_cached(a_name: str, b_name: str, _app_id: str):
     a, b = F.col(a_name), F.col(b_name)
     acc = F.lit(0.0)
     for i in range(_EMB_DIM):
