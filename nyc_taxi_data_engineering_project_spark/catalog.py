@@ -342,20 +342,25 @@ def _embeddings_lsh_bucket(df: DataFrame):
     exact bucket expression (sign bits against the fixed seeded
     hyperplanes) over the raw ``embedding`` column. Lazy import — the
     plane literals and the shared bucket rule live with the query
-    family (queries/llm.py) and llm imports this module."""
-    from .queries.llm import LSH_PLANES, _as_double, _hyperplane_bucket
+    family (queries/llm.py) and llm imports this module. Memoized
+    JVM-scoped (r10): the expression references its input by name and
+    is df-independent, so one ~300-round-trip py4j build serves every
+    table() call in the process instead of taxing each one ~0.3 s."""
+    from .queries.llm import LSH_PLANES, bucket_expr
 
-    return _hyperplane_bucket(LSH_PLANES, _as_double(F.col("embedding")))
+    return bucket_expr("lsh", len(LSH_PLANES), "embedding",
+                       as_double=True)
 
 
 def _embeddings_nrm(df: DataFrame):
     """Derived vector norm (the metadata every real ANN index stores
     next to its postings): the vector family's exact ``_norm`` over the
     double-cast embedding, so cosines ride a stored scalar instead of a
-    per-query 64-element fold over every candidate row."""
-    from .queries.llm import _as_double, _norm
+    per-query 64-element fold over every candidate row. Memoized
+    JVM-scoped like the bucket expression."""
+    from .queries.llm import nrm_expr
 
-    return _norm(_as_double(F.col("embedding")))
+    return nrm_expr("embedding", as_double=True)
 
 
 # table -> {derived_col_name: factory(df) -> Column}; derived columns

@@ -165,12 +165,19 @@ def _dot_unrolled(a, b):
     wraps py4j refs into the JVM context that built it, and after a
     ``spark.stop()``/restart in the same process (tests, notebooks,
     probe scripts) the old entries would serve dead JVM references."""
+    return _dot_unrolled_cached(a, b, _jvm_token())
+
+
+def _jvm_token() -> str:
+    """Cache discriminator for memoized Column expressions: the
+    applicationId identifies the JVM context whose py4j refs the
+    cached Column wraps — a restart mints a new one, so stale entries
+    miss instead of serving dead references."""
     from pyspark.sql import SparkSession
 
     sess = SparkSession.getActiveSession()
-    app_id = (sess.sparkContext.applicationId
-              if sess is not None else "<no-session>")
-    return _dot_unrolled_cached(a, b, app_id)
+    return (sess.sparkContext.applicationId
+            if sess is not None else "<no-session>")
 
 
 @functools.lru_cache(maxsize=64)
@@ -558,6 +565,52 @@ def _hyperplane_bucket(planes, emb_col):
         ).cast("int")
         out = out + bit * (2 ** i)
     return out
+
+
+# Memoized spellings of the vector family's df-independent derived
+# expressions (r10, verdict ask 2): building a k-plane bucket tree
+# costs k × (64 F.lit + array + fold) py4j round trips — a flat
+# ~0.3-0.4 s tax every invocation of table(..., with_derived=True) and
+# every f13 call paid, measured as the whole vector family's bench
+# regression after the r9 kernel change. The Columns reference their
+# inputs BY NAME, so one build per (plane set, prefix, column, JVM)
+# serves every query in the process; _jvm_token keys out dead-JVM refs.
+_PLANE_SETS = {
+    "lsh": lambda: LSH_PLANES,
+    "f13": lambda: F13_PLANES,
+    "f13_split": lambda: F13_SPLIT_PLANES,
+}
+
+
+def bucket_expr(planes_key: str, n: int, emb_name: str,
+                as_double: bool = False):
+    """Memoized :func:`_hyperplane_bucket` over the first ``n`` planes
+    of the named module plane set, applied to column ``emb_name``."""
+    return _bucket_expr_cached(planes_key, n, emb_name, as_double,
+                               _jvm_token())
+
+
+@functools.lru_cache(maxsize=64)
+def _bucket_expr_cached(planes_key: str, n: int, emb_name: str,
+                        as_double: bool, _app_id: str):
+    col = F.col(emb_name)
+    if as_double:
+        col = _as_double(col)
+    return _hyperplane_bucket(_PLANE_SETS[planes_key]()[:n], col)
+
+
+def nrm_expr(emb_name: str, as_double: bool = False):
+    """Memoized vector norm over the named column (the stored-metadata
+    expression catalog.LAYOUT_DERIVED materializes as ``graft_nrm``)."""
+    return _nrm_expr_cached(emb_name, as_double, _jvm_token())
+
+
+@functools.lru_cache(maxsize=16)
+def _nrm_expr_cached(emb_name: str, as_double: bool, _app_id: str):
+    col = F.col(emb_name)
+    if as_double:
+        col = _as_double(col)
+    return _norm(col)
 
 
 # ------------------------------------------------------------ F1: dedup
@@ -1220,11 +1273,11 @@ def f13_embedding_neardup(spark, sf_dir):
     # localCheckpoint, not persist: blocks are freed with the result.
     n = _embeddings(spark, sf_dir).count()
     n_planes = max(2, round(math.log2(max(n, 1) / 64 + 1)))
-    planes = _f13_planes(n_planes)
-    split_planes = F13_SPLIT_PLANES
+    _f13_planes(n_planes)  # keeps the >40-plane fail-fast guard
     tagged = pin(
         _embeddings(spark, sf_dir)
-        .withColumn("bucket", _hyperplane_bucket(planes, F.col("emb"))),
+        .withColumn("bucket",
+                    bucket_expr("f13", n_planes, "emb")),
         "f13_tagged",
     )
     # Hot-bucket SPLIT (not drop): plane count targets an EXPECTED width
@@ -1251,7 +1304,8 @@ def f13_embedding_neardup(spark, sf_dir):
             F.when(
                 F.col("_w") > max_bucket,
                 bucket_l * 257 + 1
-                + _hyperplane_bucket(split_planes, F.col("emb")),
+                + bucket_expr("f13_split", len(F13_SPLIT_PLANES),
+                              "emb"),
             ).otherwise(bucket_l * 257),
         )
         .drop("_w")

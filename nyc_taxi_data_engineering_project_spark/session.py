@@ -41,23 +41,64 @@ DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 _TARGET_PARTITION_BYTES = 32 << 20
 
 
+def _input_bytes(data: str | int) -> int:
+    """Total data bytes: a directory of parquet tables (sizes walked
+    on the driver — metadata only) or an explicit byte count."""
+    if not isinstance(data, str):
+        return int(data)
+    total = 0
+    for root, _dirs, files in os.walk(data):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
 def shuffle_partitions_for(data: str | int,
                            cpus: str | int | None = None) -> int:
     """Input-size-derived initial shuffle partition count.
 
-    ``data`` is a directory of parquet tables (sizes walked on the
-    driver — metadata only) or an explicit byte count. Floor = the core
-    count (below it, idle cores); ceiling = none (AQE coalesces)."""
-    if isinstance(data, str):
-        total = 0
-        for root, _dirs, files in os.walk(data):
-            for f in files:
-                if not f.startswith(("_", ".")):
-                    total += os.path.getsize(os.path.join(root, f))
-    else:
-        total = int(data)
+    Floor = the core count (below it, idle cores); ceiling = none
+    (AQE coalesces)."""
     return max(int(cpus or DEFAULT_CPUS),
-               math.ceil(total / _TARGET_PARTITION_BYTES))
+               math.ceil(_input_bytes(data) / _TARGET_PARTITION_BYTES))
+
+
+# AQE skew-gate sizing (r10, verdict ask 1 — the SCALE.md §17 measured
+# rule as engine code): AQE splits a skewed join partition only when it
+# exceeds BOTH 5× the median AND skewedPartitionThresholdInBytes. The
+# 256 MB default threshold assumes 64 MB-advisory healthy partitions;
+# an engine that sizes partitions toward ~32 MB of input leaves even a
+# pathological hot partition under 256 MB, so the split SILENTLY never
+# fires and the stage runs at straggler speed (measured at 60 M rows /
+# 50% hot: 10.9 s with default-gated "AQE on" vs 2.9 s once the byte
+# thresholds were scaled — 2× faster than explicit 16-way salting,
+# scripts/stress100_results/aqe_vs_salting_60m.json). Rule: advisory =
+# half the expected per-partition bytes (the split's target chunk,
+# shuffle data being roughly parquet-compressed), threshold = 2×
+# advisory — the 5×-median guard still protects healthy variation from
+# gratuitous splitting. Floors/caps keep the tiny-SF test tier inside
+# sane AQE coalescing behavior.
+_ADVISORY_MIN_BYTES = 8 << 20
+_ADVISORY_MAX_BYTES = 64 << 20
+
+
+def aqe_skew_conf_for(data: str | int,
+                      cpus: str | int | None = None) -> dict[str, str]:
+    """Input-size-derived AQE skew/advisory byte thresholds — the
+    companion of :func:`shuffle_partitions_for`, derived from the same
+    walk so the skew gate scales with the partition sizing instead of
+    sitting at a 256 MB default the partitions never reach."""
+    expected = max(1, _input_bytes(data)
+                   // shuffle_partitions_for(data, cpus))
+    advisory = max(_ADVISORY_MIN_BYTES,
+                   min(_ADVISORY_MAX_BYTES, expected // 2))
+    return {
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes":
+            str(advisory),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            str(advisory * 2),
+    }
 
 
 def get_session(app_name: str = "nyc_taxi_data_engineering_project_spark",
@@ -69,13 +110,21 @@ def get_session(app_name: str = "nyc_taxi_data_engineering_project_spark",
     Local-mode testing uses ``local[N]``; every setting below is
     cluster-safe (AQE does the runtime right-sizing at scale).
     ``sf_dir`` sizes the initial shuffle-partition count from the input
-    bytes (``shuffle_partitions_for``); without it the count defaults
-    to the core count (right for the ≤sf0.1 bench/test tier). An
-    explicit ``spark.sql.shuffle.partitions`` in ``extra_conf`` wins.
+    bytes (``shuffle_partitions_for``) AND the AQE skew/advisory byte
+    gates from the same walk (``aqe_skew_conf_for`` — the measured
+    §17 rule: the 256 MB default silently never fires on ~32 MB-sized
+    partitions); without it the count defaults to the core count and
+    the Spark-default gates stand (right for the ≤sf0.1 bench/test
+    tier). ``extra_conf`` is applied last, so an explicit
+    ``spark.sql.shuffle.partitions`` or skew gate wins.
     """
     cpus = str(cpus or DEFAULT_CPUS)
     n_shuffle = (shuffle_partitions_for(sf_dir, cpus)
                  if sf_dir is not None else int(cpus))
+    # the skew gate scales with the same walk (r10): without sf_dir the
+    # Spark defaults stand (the ≤sf0.1 tier has nothing to split)
+    skew_conf = (aqe_skew_conf_for(sf_dir, cpus)
+                 if sf_dir is not None else {})
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -88,6 +137,16 @@ def get_session(app_name: str = "nyc_taxi_data_engineering_project_spark",
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # align whole-stage-codegen's bail-out with HotSpot's actual
+        # JIT refusal threshold (DontCompileHugeMethods: 8000 bytecode
+        # bytes; Spark's 65535 default only guards the JANINO limit):
+        # a fused method past 8000 bytes NEVER JITs, so the stage runs
+        # bytecode-interpreted forever — measured 3× on the unrolled
+        # 64-dim dot stage (1.42 s → 0.47 s at sf0.1, SCALE.md §18c).
+        # Past the limit Spark falls back to per-expression codegen of
+        # the SAME tree: identical semantics and FP order, JIT-able
+        # method sizes.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
@@ -96,6 +155,8 @@ def get_session(app_name: str = "nyc_taxi_data_engineering_project_spark",
     if os.environ.get("SPARK_GRAFT_PIN_MODE"):
         builder = builder.config("spark.spark_graft.pin_mode",
                                  os.environ["SPARK_GRAFT_PIN_MODE"])
+    for k, v in skew_conf.items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

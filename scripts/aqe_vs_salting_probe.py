@@ -27,6 +27,13 @@ C. Bucketed scans: no Exchange exists for AQE to re-split — measured
    there; not re-run here.
 
 Run: python scripts/aqe_vs_salting_probe.py [n_rows] → one JSON line.
+
+``--materialized`` (r10, verdict ask 1): the end-to-end gate for the
+OPERATIONALIZED rule — the planted tables are written to parquet, a
+PLAIN ``get_session(sf_dir=<that dir>)`` session is opened (no manual
+skew confs: the thresholds come from session.aqe_skew_conf_for's
+input-bytes walk), and the probe asserts the skew split actually
+FIRES (``skew=true`` on the SMJ node) and re-measures the join.
 """
 
 from __future__ import annotations
@@ -43,7 +50,8 @@ from pyspark.sql import functions as F  # noqa: E402
 from nyc_taxi_data_engineering_project_spark.session import get_session  # noqa: E402
 from nyc_taxi_data_engineering_project_spark.skew import salted_join  # noqa: E402
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000_000
+_ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
+N = int(_ARGS[0]) if _ARGS else 60_000_000
 HOT_FRACTION = 0.5
 N_DIM = 2_000_000  # too big to broadcast at default threshold
 
@@ -82,6 +90,86 @@ def skew_split_fired(df) -> bool:
     probe.collect()
     return "skew=true" in probe._jdf.queryExecution() \
         .executedPlan().toString()
+
+
+def materialized_main() -> None:
+    """End-to-end gate: the derived skew confs (from a plain
+    ``get_session(sf_dir=...)``) make the split fire on parquet-backed
+    planted skew — no per-query tuning."""
+    import shutil
+    import tempfile
+
+    from nyc_taxi_data_engineering_project_spark.session import (
+        aqe_skew_conf_for,
+    )
+
+    data_dir = os.path.join(tempfile.gettempdir(), "aqe_probe_sf")
+    shutil.rmtree(data_dir, ignore_errors=True)
+
+    spark = get_session("aqe-probe-writer")
+    spark.sparkContext.setLogLevel("ERROR")
+    planted_fact(spark).write.parquet(
+        os.path.join(data_dir, "fact.parquet"))
+    planted_dim(spark).write.parquet(
+        os.path.join(data_dir, "dim.parquet"))
+    spark.stop()
+
+    # the session under test: NOTHING set by hand except disabling the
+    # broadcast dodge (the rule is about joins whose dim CAN'T
+    # broadcast) — shuffle partitions AND skew gates come from the walk
+    spark = get_session("aqe-probe-materialized", sf_dir=data_dir)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    derived = aqe_skew_conf_for(data_dir)
+    for k, v in derived.items():
+        assert spark.conf.get(k) == v, (k, spark.conf.get(k), v)
+
+    fact = spark.read.parquet(os.path.join(data_dir, "fact.parquet"))
+    dim = spark.read.parquet(os.path.join(data_dir, "dim.parquet"))
+    mk_join = lambda: fact.join(  # noqa: E731
+        dim.hint("merge"), "k").select("payload", "attr")
+
+    reps = int(os.environ.get("REPS", "2"))
+    times = [timed(mk_join()) for _ in range(reps)]
+    fired = skew_split_fired(mk_join())
+
+    # contrast: the same session forced back to the DEFAULT gate the
+    # rule replaces (256 MB threshold / 64 MB advisory — the setting
+    # that silently never fired in the in-memory probe)
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "256MB")
+    spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+    default_times = [timed(mk_join()) for _ in range(reps)]
+    default_fired = skew_split_fired(mk_join())
+    for k, v in derived.items():
+        spark.conf.set(k, v)
+
+    out = {
+        "mode": "materialized_plain_get_session",
+        "n_rows": N, "hot_fraction": HOT_FRACTION, "n_dim": N_DIM,
+        "derived_conf": derived,
+        "shuffle_partitions": spark.conf.get(
+            "spark.sql.shuffle.partitions"),
+        "join_secs": min(times), "join_reps": times,
+        "skew_split_fired": fired,
+        "default_gate_secs": min(default_times),
+        "default_gate_reps": default_times,
+        "default_gate_split_fired": default_fired,
+    }
+    print(json.dumps(out), flush=True)
+    art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "stress100_results", "aqe_session_gate_60m.json")
+    with open(art, "w") as f:
+        json.dump(out, f)
+        f.write("\n")
+    assert fired, (
+        "the derived skew gate did NOT fire through a plain "
+        f"get_session(sf_dir=...): {out}")
+    spark.stop()
+    shutil.rmtree(data_dir, ignore_errors=True)
 
 
 def main() -> None:
@@ -165,4 +253,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--materialized" in sys.argv:
+        materialized_main()
+    else:
+        main()

@@ -39,3 +39,53 @@ def test_walks_directory_sizes(tmp_path):
     (d / "t.parquet" / ".crc").write_bytes(b"x" * (10 << 20))
     assert shuffle_partitions_for(str(d), cpus=2) == 5
     assert os.path.isdir(str(d))
+
+
+def test_aqe_skew_conf_scales_with_input(tmp_path):
+    """r10: the AQE skew gate derives from the same byte walk — at
+    stress scale (expected partition ≈ 32 MB of input) the threshold
+    lands at 32 MB / advisory 16 MB, the setting the 60 M-row probe
+    measured firing (SCALE.md §17); the 256 MB default never fired."""
+    from nyc_taxi_data_engineering_project_spark.session import (
+        aqe_skew_conf_for,
+    )
+
+    # 11 GB input, 32 cores → ~344 partitions of ~32 MB → 16/32 MB
+    conf = aqe_skew_conf_for(11_000_000_000, cpus=32)
+    adv = int(conf["spark.sql.adaptive.advisoryPartitionSizeInBytes"])
+    thr = int(conf[
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"])
+    assert adv == 16 << 20 or abs(adv - (16 << 20)) < (1 << 20), adv
+    assert thr == 2 * adv
+    assert thr < 256 << 20  # the default that never fired
+
+    # tiny test tier: floors keep AQE coalescing sane
+    conf = aqe_skew_conf_for(17_500_000, cpus=32)
+    assert int(conf[
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes"]) == 8 << 20
+
+
+def test_get_session_applies_skew_conf(tmp_path, monkeypatch):
+    """get_session(sf_dir=...) must hand the derived skew gates to the
+    builder (pinned via the builder's config map, no new JVM session
+    needed)."""
+    from pyspark.sql import SparkSession
+
+    from nyc_taxi_data_engineering_project_spark import session as S
+
+    captured: dict[str, str] = {}
+    real_config = SparkSession.Builder.config
+
+    def spy(self, key=None, value=None, *a, **kw):
+        if key is not None:
+            captured[key] = str(value)
+        return real_config(self, key, value, *a, **kw)
+
+    monkeypatch.setattr(SparkSession.Builder, "config", spy)
+    d = tmp_path / "data"
+    d.mkdir()
+    (d / "t.parquet").write_bytes(b"x" * (64 << 20))
+    S.get_session("skew-conf-spy", cpus=2, sf_dir=str(d))
+    expect = S.aqe_skew_conf_for(str(d), cpus=2)
+    for k, v in expect.items():
+        assert captured.get(k) == v, (k, captured.get(k), v)
