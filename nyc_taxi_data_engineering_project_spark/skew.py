@@ -31,6 +31,12 @@ stress100_results/aqe_vs_salting_60m.json; SCALE.md §17):
    because salting pays the n_salt× dim replication AQE doesn't.
    Operationally: check ``skew=true`` on the SMJ node of the executed
    plan (the probe's sampled-twin trick), not just the conf.
+   **Operationalized in r10** (verdict ask 1): a plain
+   ``get_session(sf_dir=...)`` now derives the byte gates from the
+   input walk (``session.aqe_skew_conf_for``) and the probe's
+   ``--materialized`` mode proves the split fires with NO per-query
+   tuning — 4.9 s vs 21.2 s under the default gate in the same
+   session (SCALE.md §19a, ``aqe_session_gate_60m.json``).
 3. **Salting remains the tool when AQE structurally cannot act**: a
    plan that must not depend on runtime statistics (regression-gated
    plans, this module's tests), joins over bucketed layouts (a

@@ -703,3 +703,139 @@ def test_d8_chunked_replay_state_carries_across_batches(spark, tmp_path):
                for s in pr.get("stateOperators", []))
     )
     assert updated_batches >= 2, "state updated in fewer than 2 batches"
+
+
+def _crash_then_recover(stream_factory, target, ckpt, crash_at,
+                        output_mode="append"):
+    """Run a multi-batch stream through the production epoch-overwrite
+    sink, kill it AFTER epoch ``crash_at``'s sink write but BEFORE its
+    checkpoint commit (the worst-case window), restart from the same
+    checkpoint, and drain. Returns (epochs_run1, epochs_run2)."""
+    from pyspark.errors import StreamingQueryException
+
+    from nyc_taxi_data_engineering_project_spark.streaming import (
+        epoch_overwrite_writer,
+    )
+
+    writer = epoch_overwrite_writer(target)
+    run1: list[int] = []
+
+    def crashing_writer(batch_df, epoch_id):
+        writer(batch_df, epoch_id)
+        run1.append(epoch_id)
+        if epoch_id == crash_at:
+            raise RuntimeError("injected crash")
+
+    q = (
+        stream_factory().writeStream.foreachBatch(crashing_writer)
+        .option("checkpointLocation", ckpt)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination()
+    assert run1[-1] == crash_at
+
+    run2: list[int] = []
+    q2 = (
+        stream_factory().writeStream.foreachBatch(
+            lambda df, eid: (writer(df, eid), run2.append(eid)))
+        .option("checkpointLocation", ckpt)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    # the restart RESUMES at the uncommitted epoch, not at 0 — the
+    # checkpoint recovery contract
+    assert run2 and run2[0] == crash_at, (run1, run2)
+    return run1, run2
+
+
+def test_d2_watermark_state_survives_crash_restart(spark, tmp_path):
+    """d2 kill-and-resume (r10, verdict ask 4): the watermarked window
+    state (open windows + current watermark) must survive a mid-stream
+    crash. 6 time-ordered chunks, killed after epoch 2's sink write but
+    before its commit, restarted from the checkpoint. If state were
+    lost, windows spanning the crash boundary would re-emit or emit
+    partial counts; if the watermark were lost, already-closed windows
+    would re-open. The final appended window set must equal the batch
+    twin exactly once each."""
+    from nyc_taxi_data_engineering_project_spark.queries.streaming_q import (
+        d2_windowed,
+    )
+
+    path, ev = _chunked_events_dir(spark, tmp_path)
+    schema = spark.read.parquet(path).schema
+    target, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        _crash_then_recover(
+            lambda: d2_windowed(_stream_chunks(spark, path, schema)),
+            target, ckpt, crash_at=2)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    wm_row = ev.agg(F.max("ts").alias("m")).first()
+    batch = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("window.end").cast("timestamp_ntz")
+                <= F.lit(wm_row.m) - F.expr("INTERVAL 10 MINUTES"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("win_start"),
+            "event_type", "n",
+        )
+    )
+    sink = spark.read.option("basePath", target).parquet(target)
+    cols = ["win_start", "event_type", "n"]
+    # exactly-once across the crash: each closed window appears ONCE
+    # with its FULL count (multiset equality covers both failure modes)
+    assert _rows(sink, cols) == _rows(batch, cols)
+
+
+def test_d11_join_state_survives_crash_restart(spark, tmp_path):
+    """d11 kill-and-resume (r10, verdict ask 4): stream-stream join
+    state (buffered unmatched rows on both sides) must survive a
+    mid-stream crash — a click buffered before the crash must still
+    meet its purchase arriving after the restart. Same crash window as
+    d2's test; final appended matches must equal the batch join."""
+    from nyc_taxi_data_engineering_project_spark.queries.streaming_q import (
+        d11_joined,
+    )
+
+    path, ev = _chunked_events_dir(spark, tmp_path)
+    schema = spark.read.parquet(path).schema
+    target, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        _crash_then_recover(
+            lambda: d11_joined(_stream_chunks(spark, path, schema),
+                               _stream_chunks(spark, path, schema)),
+            target, ckpt, crash_at=2)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+    batch = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("click_id", "purchase_id")
+
+    sink = spark.read.option("basePath", target).parquet(target)
+    cols = ["click_id", "purchase_id"]
+    assert _rows(sink, cols) == _rows(batch, cols)
