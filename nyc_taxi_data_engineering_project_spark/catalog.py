@@ -739,14 +739,25 @@ def _build_layout_tables(
                                        buckets=int(manifest["buckets"]),
                                        mode="append")
                 _toctou_gate("incrementally appending to")
-                _write_manifest(path, tbl, {
+                new_manifest = {
                     "fingerprint": cur_fp, "parts": cur_parts,
                     "buckets": int(manifest["buckets"]), "key": key,
                     "source": src_path,
                     "mode": manifest.get("mode", "bucketed"),
                     "derived": sorted(LAYOUT_DERIVED.get(name, {})),
-                })
+                    "compactions": int(manifest.get("compactions", 0)),
+                }
+                _write_manifest(path, tbl, new_manifest)
                 reg_buckets = int(manifest["buckets"])
+                # auto-compaction (r10, verdict ask 5): each append
+                # lands one new sorted run per touched bucket; once the
+                # average passes LAYOUT_COMPACT_RUNS_PER_BUCKET, merge
+                # back to ~one file per bucket NOW, under the build
+                # lock this path already holds — the policy decision
+                # the manual compact_workload_layout left open.
+                if (_runs_per_bucket(path, tbl, new_manifest)
+                        > LAYOUT_COMPACT_RUNS_PER_BUCKET):
+                    _compact_one(spark, path, name, tbl)
         # fingerprint the source AS BUILT: table() refuses to serve the
         # layout once the source drifts from this
         spark.conf.set(conf_key + ".src", cur_fp)
@@ -754,6 +765,118 @@ def _build_layout_tables(
         spark.conf.set(conf_key, tbl)
         built[name] = tbl
     return built
+
+
+def _layout_n_files(d: str) -> int:
+    return sum(1 for root, _dirs, files in os.walk(d)
+               for f in files if f.endswith(".parquet"))
+
+
+def _runs_per_bucket(path: str, tbl: str, manifest: dict) -> float:
+    """Average sorted runs per bucket/partition of a layout table —
+    the auto-compaction trigger metric. Bucketed tables divide total
+    parquet files by the bucket count; value-partitioned tables by the
+    number of partition directories (each append lands ≤1 new file per
+    touched bucket/partition, so the average tracks append cadence
+    without parsing bucket ids out of file names)."""
+    tbl_dir = os.path.join(path, tbl)
+    n_files = _layout_n_files(tbl_dir)
+    if manifest.get("mode") == "partitioned":
+        n_parts = sum(
+            1 for e in os.scandir(tbl_dir)
+            if e.is_dir() and "=" in e.name)
+        return n_files / max(1, n_parts)
+    return n_files / max(1, int(manifest.get("buckets", 1)))
+
+
+# Auto-compaction threshold (r10, verdict ask 5): compact a layout
+# table once its appends average more than this many sorted runs per
+# bucket. Economics from the K=100 lifecycle probe (SCALE.md §18a):
+# one compaction costs ~½ an append (2.7 s vs 4.7 s) and resets the
+# per-bucket read fan-in to 1, so triggering every ~4 appends keeps
+# the amortized maintenance overhead ~15% while capping the
+# small-files growth that §15c measured turning the layout into a
+# regression. Tune per deployment cadence if needed.
+LAYOUT_COMPACT_RUNS_PER_BUCKET = 4
+
+
+def _compact_one(spark: SparkSession, path: str, name: str,
+                 tbl: str) -> tuple[int, int]:
+    """Compact ONE layout table back to ~one file per bucket. Assumes
+    the caller holds the build lock (compact_workload_layout and the
+    auto-compaction hook in the incremental-append path both do).
+    Returns (files_before, files_after)."""
+    import shutil
+
+    from . import io as _io
+
+    key = LAYOUT_BUCKET_KEYS[name]
+    manifest = _read_manifest(path, tbl)
+    if manifest is None:
+        raise ValueError(
+            f"no manifest for layout table {tbl!r} under "
+            f"{path!r} — compact only manifest-tracked layouts "
+            f"(rebuild with build_workload_layout first)")
+    tbl_dir = os.path.join(path, tbl)
+    tmp_dir = os.path.join(path, tbl + "_compact_tmp")
+    tmp_tbl = tbl + "_compact_tmp"
+
+    before = _layout_n_files(tbl_dir)
+    # read the FILES, not the catalog table: the bucketed
+    # scan's partitioning already satisfies the repartition,
+    # so the optimizer elides the exchange and each INPUT FILE
+    # task writes its own bucket files — defeating the merge.
+    # A plain file read carries no bucket metadata, so the
+    # repartition really co-locates each bucket into one task
+    # (observed: 12→9 files instead of 12→4 via spark.table).
+    df = spark.read.parquet(tbl_dir)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+    if name in LAYOUT_VALUE_PARTITIONED:
+        _io.write_value_partitioned(
+            df.repartition(F.col(key)), tmp_tbl, key,
+            path=tmp_dir)
+    else:
+        buckets = int(manifest["buckets"])
+        _io.write_bucketed(
+            df.repartition(buckets, F.col(key)), tmp_tbl, key,
+            buckets=buckets, path=tmp_dir)
+    # swap: catalog entry for the tmp table goes (external drop
+    # keeps files), then the data directories trade places
+    spark.sql(f"DROP TABLE {tmp_tbl}")
+    old_dir = os.path.join(path, tbl + "_compact_old")
+    shutil.rmtree(old_dir, ignore_errors=True)
+    os.rename(tbl_dir, old_dir)
+    try:
+        os.rename(tmp_dir, tbl_dir)
+        # the old manifest traveled away with old_dir; the
+        # compacted tree gets a fresh one (same fingerprint —
+        # the SOURCE didn't move)
+        _write_manifest(path, tbl, {
+            **manifest,
+            "compactions":
+                int(manifest.get("compactions", 0)) + 1,
+        })
+    except BaseException:
+        # failure-safe swap (r10 ADVICE): the still-registered
+        # catalog table must never point at a missing or
+        # manifest-less directory — park whatever landed and
+        # restore the original tree + manifest
+        if os.path.isdir(old_dir):
+            if os.path.isdir(tbl_dir):
+                failed = tbl_dir + "_compact_failed"
+                shutil.rmtree(failed, ignore_errors=True)
+                os.rename(tbl_dir, failed)
+            os.rename(old_dir, tbl_dir)
+        raise
+    # REFRESH before deleting the old tree: queries planned from here
+    # on list the compacted files; only a query already executing
+    # against the pre-swap listing races the delete (the honest limit
+    # of directory-swap compaction on a plain filesystem — pinned by
+    # tests/test_workload_layout.py's concurrent-reader test)
+    spark.sql(f"REFRESH TABLE {tbl}")
+    shutil.rmtree(old_dir, ignore_errors=True)
+    return before, _layout_n_files(tbl_dir)
 
 
 def compact_workload_layout(spark: SparkSession, sf_dir: str,
@@ -779,12 +902,12 @@ def compact_workload_layout(spark: SparkSession, sf_dir: str,
     source didn't move, so staleness state and future incremental
     appends are unaffected. Value-partitioned tables compact the same
     way with a per-partition-value repartition. Single-writer via the
-    build lockfile. Returns {table: (files_before, files_after)}."""
-    import glob as _glob
-    import shutil
+    build lockfile. Returns {table: (files_before, files_after)}.
 
-    from . import io as _io
-
+    Since r10 this is also called AUTOMATICALLY by the maintenance
+    path: an incremental append that pushes a table past
+    ``LAYOUT_COMPACT_RUNS_PER_BUCKET`` average runs per bucket
+    triggers a compaction of that table under the same build lock."""
     names = tuple(tables) if tables is not None else tuple(LAYOUT_BUCKET_KEYS)
     unknown = sorted(n for n in names if n not in LAYOUT_BUCKET_KEYS)
     if unknown:
@@ -799,73 +922,7 @@ def compact_workload_layout(spark: SparkSession, sf_dir: str,
             tbl = spark.conf.get(conf_key, None)
             if tbl is None:
                 continue
-            key = LAYOUT_BUCKET_KEYS[name]
-            manifest = _read_manifest(path, tbl)
-            if manifest is None:
-                raise ValueError(
-                    f"no manifest for layout table {tbl!r} under "
-                    f"{path!r} — compact only manifest-tracked layouts "
-                    f"(rebuild with build_workload_layout first)")
-            tbl_dir = os.path.join(path, tbl)
-            tmp_dir = os.path.join(path, tbl + "_compact_tmp")
-            tmp_tbl = tbl + "_compact_tmp"
-
-            def _n_files(d: str) -> int:
-                return sum(
-                    1 for root, _dirs, files in os.walk(d)
-                    for f in files if f.endswith(".parquet"))
-
-            before = _n_files(tbl_dir)
-            # read the FILES, not the catalog table: the bucketed
-            # scan's partitioning already satisfies the repartition,
-            # so the optimizer elides the exchange and each INPUT FILE
-            # task writes its own bucket files — defeating the merge.
-            # A plain file read carries no bucket metadata, so the
-            # repartition really co-locates each bucket into one task
-            # (observed: 12→9 files instead of 12→4 via spark.table).
-            df = spark.read.parquet(tbl_dir)
-            shutil.rmtree(tmp_dir, ignore_errors=True)
-            spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
-            if name in LAYOUT_VALUE_PARTITIONED:
-                _io.write_value_partitioned(
-                    df.repartition(F.col(key)), tmp_tbl, key,
-                    path=tmp_dir)
-            else:
-                buckets = int(manifest["buckets"])
-                _io.write_bucketed(
-                    df.repartition(buckets, F.col(key)), tmp_tbl, key,
-                    buckets=buckets, path=tmp_dir)
-            # swap: catalog entry for the tmp table goes (external drop
-            # keeps files), then the data directories trade places
-            spark.sql(f"DROP TABLE {tmp_tbl}")
-            old_dir = os.path.join(path, tbl + "_compact_old")
-            shutil.rmtree(old_dir, ignore_errors=True)
-            os.rename(tbl_dir, old_dir)
-            try:
-                os.rename(tmp_dir, tbl_dir)
-                # the old manifest traveled away with old_dir; the
-                # compacted tree gets a fresh one (same fingerprint —
-                # the SOURCE didn't move)
-                _write_manifest(path, tbl, {
-                    **manifest,
-                    "compactions":
-                        int(manifest.get("compactions", 0)) + 1,
-                })
-            except BaseException:
-                # failure-safe swap (r10 ADVICE): the still-registered
-                # catalog table must never point at a missing or
-                # manifest-less directory — park whatever landed and
-                # restore the original tree + manifest
-                if os.path.isdir(old_dir):
-                    if os.path.isdir(tbl_dir):
-                        failed = tbl_dir + "_compact_failed"
-                        shutil.rmtree(failed, ignore_errors=True)
-                        os.rename(tbl_dir, failed)
-                    os.rename(old_dir, tbl_dir)
-                raise
-            shutil.rmtree(old_dir, ignore_errors=True)
-            spark.sql(f"REFRESH TABLE {tbl}")
-            out[name] = (before, _n_files(tbl_dir))
+            out[name] = _compact_one(spark, path, name, tbl)
         return out
     finally:
         try:
