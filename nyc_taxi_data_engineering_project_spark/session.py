@@ -137,16 +137,22 @@ def get_session(app_name: str = "nyc_taxi_data_engineering_project_spark",
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        # align whole-stage-codegen's bail-out with HotSpot's actual
-        # JIT refusal threshold (DontCompileHugeMethods: 8000 bytecode
-        # bytes; Spark's 65535 default only guards the JANINO limit):
-        # a fused method past 8000 bytes NEVER JITs, so the stage runs
-        # bytecode-interpreted forever — measured 3× on the unrolled
-        # 64-dim dot stage (1.42 s → 0.47 s at sf0.1, SCALE.md §18c).
-        # Past the limit Spark falls back to per-expression codegen of
-        # the SAME tree: identical semantics and FP order, JIT-able
-        # method sizes.
-        .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        # let HotSpot JIT the wide fused methods whole-stage codegen
+        # emits for join-consume stages (SCALE.md §19b): the unrolled
+        # 64-dim dot fuses into a ~17 KB-bytecode method, past
+        # HotSpot's DontCompileHugeMethods threshold (8000), so the
+        # stage ran bytecode-INTERPRETED on every execution (the whole
+        # r9→r10 vector-family regression). Measured alternatives:
+        # spark.sql.codegen.hugeMethodLimit=8000 fixes these stages 3×
+        # via per-expression fallback but un-fuses every 8–64 KB stage
+        # board-wide (+16 s at sf0.1, rejected); this JVM flag keeps
+        # fusion everywhere and compiles the big methods too (1.42 s →
+        # 0.45 s on the pair-dot stage). Cluster deployments need it on
+        # executors as well — set on both here.
+        .config("spark.driver.extraJavaOptions",
+                "-XX:-DontCompileHugeMethods")
+        .config("spark.executor.extraJavaOptions",
+                "-XX:-DontCompileHugeMethods")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
