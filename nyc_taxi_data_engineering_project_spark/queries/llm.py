@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 import random
 
 from pyspark.sql import DataFrame, Window as W, functions as F
@@ -201,12 +202,20 @@ def _norm(a):
 
 # Fixed random-hyperplane set for the ANN scale path — seeded, so the
 # DuckDB oracle can inline the exact same literals and check values.
+# Like F13_PLANES, the full set is ONE seeded prefix-stable stream
+# (r10): plane i is identical at every count, so the 4-plane oracle
+# contract is untouched while the scale mode (SPARK_GRAFT_LSH_PLANES /
+# lsh_planes_for) can widen to up to _LSH_MAX_PLANES as the corpus
+# grows. 16 planes = 65 536 buckets ≈ a 130 M-vector corpus at the
+# measured ~2 K target bucket width (SCALE.md §19c).
 _N_LSH_PLANES = 4
+_LSH_MAX_PLANES = 16
 _LSH_RNG = random.Random(42)
-LSH_PLANES = [
+LSH_ALL_PLANES = [
     [_LSH_RNG.uniform(-1.0, 1.0) for _ in range(64)]
-    for _ in range(_N_LSH_PLANES)
+    for _ in range(_LSH_MAX_PLANES)
 ]
+LSH_PLANES = LSH_ALL_PLANES[:_N_LSH_PLANES]
 
 # f13's hyperplane sets — module-level so the implementation and its
 # DuckDB oracle inline the SAME literals. The base planes are a PREFIX
@@ -576,7 +585,7 @@ def _hyperplane_bucket(planes, emb_col):
 # inputs BY NAME, so one build per (plane set, prefix, column, JVM)
 # serves every query in the process; _jvm_token keys out dead-JVM refs.
 _PLANE_SETS = {
-    "lsh": lambda: LSH_PLANES,
+    "lsh": lambda: LSH_ALL_PLANES,
     "f13": lambda: F13_PLANES,
     "f13_split": lambda: F13_SPLIT_PLANES,
 }
@@ -1077,6 +1086,24 @@ def f3_cosine_topk(spark, sf_dir):
     )
 
 
+def lsh_planes_for(n_rows: int, target_bucket: int = 2000) -> int:
+    """Measured plane-count rule for the LSH ANN scale mode (r10,
+    SCALE.md §19c): hold the EXPECTED bucket width ≈ ``target_bucket``
+    as the corpus grows — ``n = log2(corpus / target)`` planes, floored
+    at the 4-plane oracle contract, capped at the seeded prefix. With
+    Hamming-1 multi-probe the probed candidate count per query is then
+    ≈ (n+1)·target, i.e. LOGARITHMIC growth in corpus size where the
+    pinned-4-plane contract is linear (pairs/query = corpus/16 — the
+    §18b honest negative this rule closes)."""
+    import math as _math
+
+    if n_rows <= 0:
+        return _N_LSH_PLANES
+    return max(_N_LSH_PLANES,
+               min(_LSH_MAX_PLANES,
+                   round(_math.log2(max(n_rows / target_bucket, 1.0)))))
+
+
 @query("f3_lsh_ann", oracle=_lsh_ann_oracle())
 def f3_lsh_ann(spark, sf_dir):
     """F3 scale path: random-hyperplane LSH ANN with multi-probe. Each
@@ -1090,13 +1117,33 @@ def f3_lsh_ann(spark, sf_dir):
     never by widening to all-pairs. Recall vs the exact baseline is
     asserted in tests/test_llm_ops.py; because the hyperplanes are fixed
     literals, the whole approximate pipeline is ALSO value-checked
-    against a DuckDB twin that inlines the same planes."""
-    n_planes = _N_LSH_PLANES
-    # bucket comes from the shared accessor (r9): the embeddings
-    # layout serves it pre-partitioned (stored graft_lsh_bucket — the
-    # persisted ANN index); without a layout it's computed inline from
-    # the same LSH_PLANES expression
-    tagged = _embeddings(spark, sf_dir, with_bucket=True)
+    against a DuckDB twin that inlines the same planes.
+
+    Scale mode (r10): ``SPARK_GRAFT_LSH_PLANES=<n>`` widens the
+    signature to ``n`` planes from the same seeded prefix
+    (:data:`LSH_ALL_PLANES`; probe radius widens with it). The default
+    stays the 4-plane oracle contract; deployments size ``n`` with
+    :func:`lsh_planes_for` (the measured bucket-width rule, SCALE.md
+    §19c, recall ≥ 0.9 gated in tests/test_llm_ops.py). A non-default
+    count computes buckets inline — the persisted layout index stores
+    the 4-plane assignment and is intentionally not consulted."""
+    n_planes = int(os.environ.get("SPARK_GRAFT_LSH_PLANES",
+                                  _N_LSH_PLANES))
+    if not _N_LSH_PLANES <= n_planes <= _LSH_MAX_PLANES:
+        raise ValueError(
+            f"SPARK_GRAFT_LSH_PLANES={n_planes} outside "
+            f"[{_N_LSH_PLANES}, {_LSH_MAX_PLANES}] — the seeded plane "
+            f"prefix holds {_LSH_MAX_PLANES} planes and the oracle "
+            f"contract floors at {_N_LSH_PLANES}")
+    if n_planes == _N_LSH_PLANES:
+        # bucket comes from the shared accessor (r9): the embeddings
+        # layout serves it pre-partitioned (stored graft_lsh_bucket —
+        # the persisted ANN index); without a layout it's computed
+        # inline from the same LSH_PLANES expression
+        tagged = _embeddings(spark, sf_dir, with_bucket=True)
+    else:
+        tagged = _embeddings(spark, sf_dir).withColumn(
+            "bucket", bucket_expr("lsh", n_planes, "emb"))
     probes = F.array(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
