@@ -175,17 +175,32 @@ def main() -> None:
         out["corpora"].append(rec)
         emb.unpersist()
         shutil.rmtree(path, ignore_errors=True)
+        _write_artifact(out)  # incremental: an OOM later must not
+        # lose this corpus's measurements
 
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
+def _write_artifact(out: dict) -> None:
     out["rule"] = ("n_planes = clamp(round(log2(corpus/2000)), 4, 16) "
                    "— hold expected bucket width ~2000 "
                    "(llm.lsh_planes_for)")
     art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "stress100_results", "lsh_plane_rule.json")
+    prev: dict = {}
+    try:
+        with open(art) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        pass
+    seen = {c["n_rows"] for c in out["corpora"]}
+    merged = [c for c in prev.get("corpora", [])
+              if c["n_rows"] not in seen] + out["corpora"]
+    out = {**out, "corpora": sorted(merged, key=lambda c: c["n_rows"])}
     with open(art, "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")
-    print(json.dumps(out), flush=True)
-    spark.stop()
 
 
 if __name__ == "__main__":
