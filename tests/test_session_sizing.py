@@ -65,7 +65,7 @@ def test_aqe_skew_conf_scales_with_input(tmp_path):
         "spark.sql.adaptive.advisoryPartitionSizeInBytes"]) == 8 << 20
 
 
-def test_get_session_applies_skew_conf(tmp_path, monkeypatch):
+def test_get_session_applies_skew_conf(spark, tmp_path, monkeypatch):
     """get_session(sf_dir=...) must hand the derived skew gates to the
     builder (pinned via the builder's config map, no new JVM session
     needed)."""
@@ -82,6 +82,13 @@ def test_get_session_applies_skew_conf(tmp_path, monkeypatch):
         return real_config(self, key, value, *a, **kw)
 
     monkeypatch.setattr(SparkSession.Builder, "config", spy)
+    # getOrCreate on an EXISTING session applies the builder's runtime
+    # confs to it — letting it run would leak a 2-partition shuffle
+    # conf into every later test in the shared session. The assertion
+    # target is what get_session HANDS the builder, so stub it out.
+    monkeypatch.setattr(
+        SparkSession.Builder, "getOrCreate",
+        lambda self: SparkSession.getActiveSession())
     d = tmp_path / "data"
     d.mkdir()
     (d / "t.parquet").write_bytes(b"x" * (64 << 20))
