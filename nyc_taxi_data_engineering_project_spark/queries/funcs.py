@@ -484,6 +484,34 @@ def c31_cte(spark, sf_dir):
     return spark.sql(_C31_SQL)
 
 
+# C41 (r10, self-initiated): LATERAL correlated derived table — the
+# per-row-subquery surface (top-2 orders per customer). One SQL text
+# serves both engines; Catalyst decorrelates the LATERAL into a
+# ranked window over an equi join (DomainJoin rewrite), so the plan
+# stays shuffle-partitionable — no per-customer re-execution, which is
+# exactly what makes the construct survivable at 100 TB (a naive
+# nested-loop LATERAL would run one orders scan per customer row).
+# Money kept at the source's exact 2-dp double per fx.py's drift
+# class; top-2 ties broken on o_orderkey so the row set is unique.
+_C41_SQL = """
+SELECT c_custkey AS custkey, t.o_orderkey AS orderkey,
+       t.o_totalprice AS totalprice
+FROM customer,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+"""
+
+
+@query("c41_lateral_topk", oracle=_C41_SQL)
+def c41_lateral_topk(spark, sf_dir):
+    """LATERAL subquery (correlated derived table) — top-2 orders per
+    customer. Shared SQL text; Spark decorrelates (no per-row rescan),
+    DuckDB runs its native LATERAL."""
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(_C41_SQL)
+
+
 @query(
     "c39_variant_shred",
     oracle="""
