@@ -248,6 +248,13 @@ def hashed_compare(spark, con, key: str, sdf_builder) -> dict:
 
 
 def main() -> None:
+    # driver-heap sizing lesson (r10): the K=1000 battery OOM'd in
+    # q5's shuffle under the bare 8 g default — stress tiers need the
+    # bigger heap unless the caller explicitly sized it.
+    if "SPARK_GRAFT_DRIVER_MEM" not in os.environ and K >= 300:
+        os.environ["SPARK_GRAFT_DRIVER_MEM"] = "20g"
+        print("driver memory defaulted to 20g for K>=300 "
+              "(set SPARK_GRAFT_DRIVER_MEM to override)", flush=True)
     spark = get_session()
     spark.sparkContext.setLogLevel("ERROR")
     registry.load_all()
@@ -273,6 +280,15 @@ def main() -> None:
     spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
     print(f"shuffle partitions: {n_shuffle} (input-bytes heuristic)",
           flush=True)
+    # the companion AQE skew gates from the same walk (r10 — what a
+    # get_session(sf_dir=WORK) session would derive; set at runtime
+    # here because this harness reuses one session across corpora)
+    from nyc_taxi_data_engineering_project_spark.session import (
+        aqe_skew_conf_for,
+    )
+
+    for _k, _v in aqe_skew_conf_for(WORK).items():
+        spark.conf.set(_k, _v)
 
     con = duckdb.connect()
     for name in list(_REKEY) + _FIXED:
