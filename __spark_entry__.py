@@ -20,6 +20,15 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from nyc_taxi_data_engineering_project_spark import registry  # noqa: E402
+from nyc_taxi_data_engineering_project_spark.envguard import (  # noqa: E402
+    scrub_contract_env,
+)
+
+# the driver's correctness run and every harness that loads this module
+# assert the DEFAULT contract — a leaked env override (e.g.
+# SPARK_GRAFT_LSH_PLANES from a probe shell) must not masquerade as an
+# engine regression (r10 ADVICE)
+scrub_contract_env()
 
 registry.load_all()
 

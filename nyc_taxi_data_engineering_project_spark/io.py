@@ -176,6 +176,21 @@ def ingest_trips(spark: SparkSession, source_path: str, target: str) -> int:
     )
 
 
+def _normalize_location(loc: str) -> str:
+    """Canonicalize a table location for equality comparison (r10
+    ADVICE): DESCRIBE FORMATTED reports a Hadoop URI (percent-encoded,
+    scheme-qualified) while callers pass OS paths — compare both sides
+    through the same URI parse. Only file/scheme-less locations get
+    realpath'd (symlink flattening is a local-FS concept); remote
+    schemes compare as (scheme, netloc, decoded path)."""
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(loc)
+    if parsed.scheme in ("", "file"):
+        return os.path.realpath(unquote(parsed.path) or loc)
+    return f"{parsed.scheme}://{parsed.netloc}{unquote(parsed.path).rstrip('/')}"
+
+
 def _check_append_location(df: DataFrame, table_name: str,
                            path: str) -> None:
     """Guard for ``path`` + ``mode='append'`` on the layout writers
@@ -199,9 +214,8 @@ def _check_append_location(df: DataFrame, table_name: str,
          spark.sql(f"DESCRIBE FORMATTED {table_name}").collect()
          if r["col_name"] == "Location"), None)
     if loc is not None:
-        existing = os.path.realpath(
-            loc[len("file:"):] if loc.startswith("file:") else loc)
-        if existing != os.path.realpath(path):
+        existing = _normalize_location(loc)
+        if existing != _normalize_location(path):
             raise ValueError(
                 f"mode='append' with path={path!r}, but table "
                 f"{table_name!r} lives at {existing!r}: append always "

@@ -16,6 +16,7 @@ Design rules applied throughout:
 from __future__ import annotations
 
 import functools
+import itertools
 import math
 import os
 import random
@@ -169,16 +170,29 @@ def _dot_unrolled(a, b):
     return _dot_unrolled_cached(a, b, _jvm_token())
 
 
+_NO_JVM_COUNTER = itertools.count()
+
+
 def _jvm_token() -> str:
     """Cache discriminator for memoized Column expressions: the
     applicationId identifies the JVM context whose py4j refs the
     cached Column wraps — a restart mints a new one, so stale entries
-    miss instead of serving dead references."""
+    miss instead of serving dead references. When the calling thread
+    has no active session (r10 ADVICE: expressions built from a
+    secondary thread), fall back to the process-wide active
+    SparkContext's applicationId; if no context is resolvable at all,
+    mint a UNIQUE token so the memo is bypassed rather than pooling
+    entries under a shared constant that survives stop()/restart."""
+    from pyspark import SparkContext
     from pyspark.sql import SparkSession
 
     sess = SparkSession.getActiveSession()
-    return (sess.sparkContext.applicationId
-            if sess is not None else "<no-session>")
+    if sess is not None:
+        return sess.sparkContext.applicationId
+    sc = SparkContext._active_spark_context
+    if sc is not None:
+        return sc.applicationId
+    return f"<no-jvm-{next(_NO_JVM_COUNTER)}>"
 
 
 @functools.lru_cache(maxsize=64)

@@ -101,6 +101,31 @@ def aqe_skew_conf_for(data: str | int,
     }
 
 
+# Local-mode heap sizing (r11, verdict ask 3 — the two r10 hand-fixed
+# OOMs as an engine rule): in local[N] the ONE JVM is driver and every
+# executor, so its heap must scale with the input like an executor
+# fleet's aggregate memory would. Measured points: 8 g green through
+# the full board at ≤1.1 GB input (K≤100); 8 g OOM in q5's shuffle and
+# the LSH probe at 11 GB input (K=1000); 16 g (r7) and 20 g (r10
+# harness default) green at 11 GB. Rule: heap ≥ 2× the on-disk parquet
+# bytes (decompressed working set per stage is 3-8× the column chunks
+# actually touched, spread across stages with spilling — 2× of TOTAL
+# bytes covers it with margin at every measured tier), clamped to
+# [8 g, 64 g] (floor = the proven small-tier default, cap = half this
+# host's RAM). On a real CLUSTER this rule sizes EXECUTOR memory;
+# driver heap there only needs collect/broadcast headroom.
+_HEAP_MIN_GB = 8
+_HEAP_MAX_GB = 64
+
+
+def driver_memory_for(data: str | int) -> str:
+    """Input-size-derived local-mode JVM heap (e.g. ``'22g'``) — the
+    third output of the same input walk that sizes shuffle partitions
+    and the AQE skew gate."""
+    gb = math.ceil(2 * _input_bytes(data) / (1 << 30))
+    return f"{min(_HEAP_MAX_GB, max(_HEAP_MIN_GB, gb))}g"
+
+
 def get_session(app_name: str = "nyc_taxi_data_engineering_project_spark",
                 cpus: str | int | None = None,
                 extra_conf: dict | None = None,
@@ -119,12 +144,19 @@ def get_session(app_name: str = "nyc_taxi_data_engineering_project_spark",
     ``spark.sql.shuffle.partitions`` or skew gate wins.
     """
     cpus = str(cpus or DEFAULT_CPUS)
-    n_shuffle = (shuffle_partitions_for(sf_dir, cpus)
-                 if sf_dir is not None else int(cpus))
-    # the skew gate scales with the same walk (r10): without sf_dir the
-    # Spark defaults stand (the ≤sf0.1 tier has nothing to split)
-    skew_conf = (aqe_skew_conf_for(sf_dir, cpus)
-                 if sf_dir is not None else {})
+    # ONE walk feeds all three input-derived settings (r10 ADVICE: the
+    # walk is driver-side metadata over a potentially many-file tree —
+    # don't repeat it); without sf_dir the core-count partition default
+    # and the Spark-default skew gates stand (right for ≤sf0.1).
+    if sf_dir is not None:
+        nbytes = _input_bytes(sf_dir)
+        n_shuffle = shuffle_partitions_for(nbytes, cpus)
+        skew_conf = aqe_skew_conf_for(nbytes, cpus)
+        derived_mem = driver_memory_for(nbytes)
+    else:
+        n_shuffle = int(cpus)
+        skew_conf = {}
+        derived_mem = None
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -153,7 +185,13 @@ def get_session(app_name: str = "nyc_taxi_data_engineering_project_spark",
                 "-XX:-DontCompileHugeMethods")
         .config("spark.executor.extraJavaOptions",
                 "-XX:-DontCompileHugeMethods")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # heap precedence: explicit env override > input-derived floor
+        # (sf_dir named) > the 8 g small-tier default. Only effective
+        # when THIS call launches the JVM — getOrCreate on an existing
+        # session cannot resize a running heap (warned below).
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+                or derived_mem or "8g")
         .config("spark.ui.enabled", "false")
     )
     # deployment knob (pinning.py): lets bench/stress harnesses run the
@@ -165,6 +203,27 @@ def get_session(app_name: str = "nyc_taxi_data_engineering_project_spark",
         builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    preexisting = SparkSession.getActiveSession() is not None
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if preexisting and derived_mem is not None:
+        # the heap was sized by whoever launched the JVM; if it's
+        # under this input's derived floor, big shuffles can OOM the
+        # way q5 did at K=1000 — say so instead of failing mutely later
+        running = spark.conf.get("spark.driver.memory", "8g")
+        if _mem_gb(running) < _mem_gb(derived_mem):
+            print(f"[session] WARNING: running JVM heap {running} is "
+                  f"below the derived floor {derived_mem} for "
+                  f"{sf_dir}; large shuffles may OOM (restart via "
+                  f"get_session(sf_dir=...) before first use, or set "
+                  f"SPARK_GRAFT_DRIVER_MEM)", flush=True)
     return spark
+
+
+def _mem_gb(mem: str) -> float:
+    """Parse a JVM memory string ('20g', '512m', '8192') to GiB."""
+    mem = mem.strip().lower()
+    mult = {"k": 1 / (1 << 20), "m": 1 / 1024, "g": 1, "t": 1024}
+    if mem[-1] in mult:
+        return float(mem[:-1]) * mult[mem[-1]]
+    return float(mem) / (1 << 30)

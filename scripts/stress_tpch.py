@@ -248,13 +248,23 @@ def hashed_compare(spark, con, key: str, sdf_builder) -> dict:
 
 
 def main() -> None:
-    # driver-heap sizing lesson (r10): the K=1000 battery OOM'd in
-    # q5's shuffle under the bare 8 g default — stress tiers need the
-    # bigger heap unless the caller explicitly sized it.
-    if "SPARK_GRAFT_DRIVER_MEM" not in os.environ and K >= 300:
-        os.environ["SPARK_GRAFT_DRIVER_MEM"] = "20g"
-        print("driver memory defaulted to 20g for K>=300 "
-              "(set SPARK_GRAFT_DRIVER_MEM to override)", flush=True)
+    # driver-heap sizing (r11, verdict ask 3): the engine now owns the
+    # rule (session.driver_memory_for — 2× input bytes, [8g, 64g]).
+    # When the corpus already exists its real bytes drive the floor;
+    # before materialization, estimate from K at the measured ~11 MB
+    # of parquet per K unit (K=1000 ≈ 11 GB).
+    from nyc_taxi_data_engineering_project_spark.session import (
+        driver_memory_for,
+    )
+
+    if "SPARK_GRAFT_DRIVER_MEM" not in os.environ:
+        est = (WORK if os.path.exists(f"{WORK}/lineitem.parquet")
+               else K * (11 << 20))
+        mem = driver_memory_for(est)
+        os.environ["SPARK_GRAFT_DRIVER_MEM"] = mem
+        print(f"driver memory defaulted to {mem} "
+              f"(engine rule driver_memory_for; set "
+              f"SPARK_GRAFT_DRIVER_MEM to override)", flush=True)
     spark = get_session()
     spark.sparkContext.setLogLevel("ERROR")
     registry.load_all()

@@ -520,8 +520,8 @@ def test_lsh_scale_mode_widens_planes_with_recall_gate(
         F.array(*[
             (F.xxhash64((F.col("id") % n_q) * 64 + F.lit(d))
              % 1_000_001).cast("double") / 500_000.0
-            + (F.xxhash64(F.col("id") * 64 + F.lit(d) + 7_777_777)
-               % 41).cast("double") / 1000.0 - 0.02
+            + (F.pmod(F.xxhash64(F.col("id") * 64 + F.lit(d) + 7_777_777),
+                      F.lit(41))).cast("double") / 1000.0 - 0.02
             for d in range(64)
         ]).alias("embedding"),
     )

@@ -96,3 +96,100 @@ def test_get_session_applies_skew_conf(spark, tmp_path, monkeypatch):
     expect = S.aqe_skew_conf_for(str(d), cpus=2)
     for k, v in expect.items():
         assert captured.get(k) == v, (k, captured.get(k), v)
+
+
+def test_driver_memory_floor_derivation():
+    """r11 (verdict ask 3): local-mode heap floor = 2x on-disk input
+    bytes clamped to [8g, 64g] — the rule distilled from the two r10
+    hand-fixed OOMs (8g died at 11 GB input; 16-20g green there; 8g
+    green through the whole board at <=1.1 GB)."""
+    from nyc_taxi_data_engineering_project_spark.session import (
+        driver_memory_for,
+    )
+
+    assert driver_memory_for(0) == "8g"
+    assert driver_memory_for(1_100_000_000) == "8g"      # K=100 tier
+    assert driver_memory_for(11 * (1 << 30)) == "22g"    # K=1000 tier
+    assert driver_memory_for(10**15) == "64g"            # clamp
+
+
+def test_get_session_memory_precedence(spark, tmp_path, monkeypatch):
+    """env override > derived floor > 8g default — asserted via the
+    builder spy (same recipe as the skew-conf test)."""
+    from pyspark.sql import SparkSession
+
+    from nyc_taxi_data_engineering_project_spark import session as S
+
+    captured: dict[str, str] = {}
+    real_config = SparkSession.Builder.config
+
+    def spy(self, key=None, value=None, *a, **kw):
+        if key is not None:
+            captured[key] = str(value)
+        return real_config(self, key, value, *a, **kw)
+
+    monkeypatch.setattr(SparkSession.Builder, "config", spy)
+    monkeypatch.setattr(
+        SparkSession.Builder, "getOrCreate",
+        lambda self: SparkSession.getActiveSession())
+    d = tmp_path / "data"
+    d.mkdir()
+    (d / "t.parquet").write_bytes(b"x" * (64 << 20))
+
+    monkeypatch.delenv("SPARK_GRAFT_DRIVER_MEM", raising=False)
+    S.get_session("mem-spy", cpus=2)          # no sf_dir -> default
+    assert captured["spark.driver.memory"] == "8g"
+
+    captured.clear()
+    S.get_session("mem-spy", cpus=2, sf_dir=str(d))
+    assert captured["spark.driver.memory"] == S.driver_memory_for(str(d))
+
+    captured.clear()
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "48g")
+    S.get_session("mem-spy", cpus=2, sf_dir=str(d))
+    assert captured["spark.driver.memory"] == "48g"
+
+
+def test_single_walk_feeds_all_derived_settings(tmp_path, monkeypatch):
+    """r10 ADVICE: get_session(sf_dir=...) walks the input tree ONCE
+    (the walk is a driver-side stat pass over a potentially many-file
+    100 TB tree) and feeds partitions + skew gate + heap from the one
+    byte count."""
+    from pyspark.sql import SparkSession
+
+    from nyc_taxi_data_engineering_project_spark import session as S
+
+    d = tmp_path / "data"
+    d.mkdir()
+    (d / "t.parquet").write_bytes(b"x" * (64 << 20))
+
+    calls = []
+    real = S._input_bytes
+
+    def counting(data):
+        if isinstance(data, str):
+            calls.append(data)
+        return real(data)
+
+    monkeypatch.setattr(S, "_input_bytes", counting)
+    monkeypatch.setattr(
+        SparkSession.Builder, "getOrCreate",
+        lambda self: SparkSession.getActiveSession())
+    S.get_session("walk-spy", cpus=2, sf_dir=str(d))
+    assert calls == [str(d)], calls
+
+
+def test_envguard_scrubs_nondefault_contract_knobs(monkeypatch):
+    """r10 ADVICE: a leaked SPARK_GRAFT_LSH_PLANES cannot reach a
+    default-contract run — scrubbed loudly, default value tolerated."""
+    from nyc_taxi_data_engineering_project_spark.envguard import (
+        scrub_contract_env,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_LSH_PLANES", "10")
+    assert scrub_contract_env() == ["SPARK_GRAFT_LSH_PLANES=10"]
+    assert "SPARK_GRAFT_LSH_PLANES" not in os.environ
+
+    monkeypatch.setenv("SPARK_GRAFT_LSH_PLANES", "4")
+    assert scrub_contract_env() == []
+    assert os.environ["SPARK_GRAFT_LSH_PLANES"] == "4"
