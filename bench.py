@@ -128,34 +128,24 @@ def main() -> None:
     except OSError as exc:
         print(f"# BENCH DETAIL WRITE ERROR: {exc}", file=sys.stderr)
 
-    # Final stdout line: headline keys first (flagship + TPC-H), then the
-    # most expensive remaining keys, greedily until the line would exceed
-    # the capture budget — always parseable, never truncated.
-    budget = 1800
-    headline = ["flagship_daily_region_revenue"] + sorted(
-        k for k in timings if k.startswith("tpch_")
-    )
-    rest = sorted(
-        (k for k in timings if k not in headline),
-        key=lambda k: -timings[k],
-    )
-    out: dict[str, float] = {}
-
-    def _line(qs: dict[str, float]) -> str:
-        return json.dumps(
-            {"metric": "total_query_wall_clock", "value": total,
-             "unit": "sec", "queries": qs, "sf": sf,
-             "n_queries": len(timings), "detail": "BENCH_DETAIL.json"},
-            separators=(",", ":"),
-        )
-
-    for key in headline + rest:
-        trial = dict(out)
-        trial[key] = timings[key]
-        if len(_line(trial)) > budget:
-            break
-        out = trial
-    print(_line(out))
+    # Final stdout line (r11, verdict ask 6): the driver's stdout tail
+    # capture decapitated a 142-key line two rounds running (73/142
+    # parsed), so BENCH_DETAIL.json is the DECLARED per-key source of
+    # truth and the stdout line stays compact — total + flagship + the
+    # 12 slowest keys (~700 B, far inside any tail window). Printed
+    # LAST so the tail always catches it whole.
+    print(f"# full per-key board ({len(timings)} keys): {detail_path}",
+          flush=True)
+    slowest = sorted(timings, key=lambda k: -timings[k])[:12]
+    out = {k: timings[k] for k in
+           ["flagship_daily_region_revenue", *slowest] if k in timings}
+    print(json.dumps(
+        {"metric": "total_query_wall_clock", "value": total,
+         "unit": "sec", "queries": out, "sf": sf,
+         "n_queries": len(timings), "queries_shown": len(out),
+         "detail": "BENCH_DETAIL.json"},
+        separators=(",", ":"),
+    ))
     spark.stop()
 
 

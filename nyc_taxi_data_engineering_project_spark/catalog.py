@@ -346,10 +346,57 @@ def _embeddings_lsh_bucket(df: DataFrame):
     JVM-scoped (r10): the expression references its input by name and
     is df-independent, so one ~300-round-trip py4j build serves every
     table() call in the process instead of taxing each one ~0.3 s."""
-    from .queries.llm import LSH_PLANES, bucket_expr
+    from .queries.llm import LSH_PLANES
 
-    return bucket_expr("lsh", len(LSH_PLANES), "embedding",
-                       as_double=True)
+    return _embeddings_lsh_bucket_at(len(LSH_PLANES))(df)
+
+
+def _embeddings_lsh_bucket_at(n_planes: int):
+    """Width-parameterized variant (r11, the wide-plane ANN layout):
+    the SAME seeded prefix-stable plane stream, first ``n_planes``
+    planes — plane i is identical at every width, so a 4-plane layout
+    and a 10-plane layout agree on the shared sign bits and the
+    4-plane oracle contract never moves. Deployments size the width
+    with ``llm.lsh_planes_for(corpus_rows)`` (the measured §19c
+    bucket-width rule) and build the layout AT that width, so the
+    stored assignment — not a per-run tagging scan — is what the wide
+    mode probes (SCALE.md §19c finding 2: the wide mode without a
+    stored assignment goes tagging-scan-bound)."""
+    def factory(df: DataFrame):
+        from .queries.llm import bucket_expr
+
+        return bucket_expr("lsh", n_planes, "embedding", as_double=True)
+
+    return factory
+
+
+def _derived_factories(name: str, lsh_planes: int | None) -> dict:
+    """The derived-column factory map for one table, with the
+    embeddings bucket bound to ``lsh_planes`` when given (None = the
+    default 4-plane contract width)."""
+    facs = dict(LAYOUT_DERIVED.get(name, {}))
+    if name == "embeddings" and lsh_planes is not None:
+        facs["graft_lsh_bucket"] = _embeddings_lsh_bucket_at(lsh_planes)
+    return facs
+
+
+def layout_lsh_planes(spark: SparkSession, sf_dir: str) -> int | None:
+    """Plane width of the registered-and-serving embeddings layout's
+    stored ``graft_lsh_bucket``, or None when no layout serves. The
+    vector family gates on this: a stored bucket is only trusted when
+    its build width matches the query's requested width — otherwise
+    the bucket is recomputed inline and the layout is just a plain
+    (correct, unpruned) scan."""
+    if spark.conf.get(_layout_conf_key(sf_dir, "embeddings"),
+                      None) is None:
+        return None
+    if spark.conf.get(LAYOUT_SERVE_CONF, "true").lower() != "true":
+        return None
+    from .queries.llm import LSH_PLANES
+
+    return int(spark.conf.get(
+        _layout_conf_key(sf_dir, "embeddings") + ".lsh_planes",
+        str(len(LSH_PLANES))))
 
 
 def _embeddings_nrm(df: DataFrame):
@@ -512,9 +559,21 @@ def build_workload_layout(
     buckets: int | None = None,
     tables: tuple[str, ...] = ("orders", "lineitem"),
     rebuild: bool = False,
+    lsh_planes: int | None = None,
 ) -> dict[str, str]:
     """Build + register the bucketed workload layout — Spark's
     ``CREATE INDEX`` (A15, ``sql/init.sql:44-47``).
+
+    ``lsh_planes`` (r11) sets the plane width of the embeddings
+    layout's stored LSH bucket (default: the 4-plane oracle-contract
+    width; deployments pass ``llm.lsh_planes_for(corpus_rows)``). Like
+    an explicit ``buckets``, an explicit width that mismatches an
+    existing fresh layout triggers a full rebuild; ``None`` reuses
+    whatever width the manifest records. The width is registered in
+    session conf and consulted by the vector family
+    (:func:`layout_lsh_planes`): a query probing at a different width
+    than the stored assignment recomputes buckets inline instead of
+    trusting mismatched storage.
 
     Each fact table is rewritten once as a hash-bucketed, per-bucket-
     sorted external table on its orderkey (``io.write_bucketed``) under
@@ -590,7 +649,8 @@ def build_workload_layout(
     lock = _acquire_build_lock(path)
     try:
         return _build_layout_tables(spark, sf_dir, path, buckets,
-                                    buckets_explicit, tables, rebuild)
+                                    buckets_explicit, tables, rebuild,
+                                    lsh_planes)
     finally:
         try:
             os.remove(lock)
@@ -606,6 +666,7 @@ def _build_layout_tables(
     buckets_explicit: bool,
     tables: tuple[str, ...],
     rebuild: bool,
+    lsh_planes: int | None = None,
 ) -> dict[str, str]:
     from . import io as _io
 
@@ -624,6 +685,23 @@ def _build_layout_tables(
         # from; session conf is the fallback for pre-manifest layouts
         built_fp = (manifest or {}).get("fingerprint") \
             or spark.conf.get(conf_key + ".src", None)
+        # r11: plane width of the embeddings stored LSH bucket —
+        # explicit param > manifest-recorded width > the 4-plane
+        # contract default (a pre-r11 manifest without the field IS
+        # the default width)
+        if name == "embeddings":
+            from .queries.llm import LSH_PLANES as _LSH_DEFAULT
+
+            planes_req = lsh_planes
+            default_planes = len(_LSH_DEFAULT)
+            manifest_planes = (manifest or {}).get("lsh_planes")
+            eff_planes: int | None = (planes_req or manifest_planes
+                                      or default_planes)
+        else:
+            planes_req = None
+            default_planes = 0
+            manifest_planes = None
+            eff_planes = None
 
         def _toctou_gate(what: str) -> None:
             # r8 ADVICE: the fingerprint was taken BEFORE a potentially
@@ -652,14 +730,26 @@ def _build_layout_tables(
             prev = spark.conf.get(LAYOUT_SERVE_CONF, "true")
             spark.conf.set(LAYOUT_SERVE_CONF, "false")
             try:
-                # with_derived: materialize the derived bucket columns
-                # (computed on the fly by the plain path) into the table
-                src = table(spark, sf_dir, name, with_derived=True)
+                # materialize the derived bucket columns (computed on
+                # the fly by the plain path) into the table, bound to
+                # this build's plane width (r11)
+                src = table(spark, sf_dir, name)
+                for cn, fac in _derived_factories(name,
+                                                  eff_planes).items():
+                    src = src.withColumn(cn, fac(src))
             finally:
                 spark.conf.set(LAYOUT_SERVE_CONF, prev)
             if name in LAYOUT_VALUE_PARTITIONED:
+                # co-locate each partition VALUE into one task before
+                # the partitioned write (r11): an unrepartitioned frame
+                # writes every input partition × every value it touches
+                # — at a wide-plane LSH layout (2^11+ dirs × 64 input
+                # partitions) that is the 100k-tiny-files failure mode;
+                # repartition(key) caps files at ~one per value (the
+                # posture _compact_one already takes)
                 _io.write_value_partitioned(
-                    src, tbl, key, path=os.path.join(path, tbl))
+                    src.repartition(F.col(key)), tbl, key,
+                    path=os.path.join(path, tbl))
             else:
                 _io.write_bucketed(src, tbl, key, buckets=buckets,
                                    path=os.path.join(path, tbl))
@@ -670,6 +760,8 @@ def _build_layout_tables(
                 "mode": ("partitioned" if name in LAYOUT_VALUE_PARTITIONED
                          else "bucketed"),
                 "derived": sorted(LAYOUT_DERIVED.get(name, {})),
+                **({"lsh_planes": int(eff_planes)}
+                   if name == "embeddings" else {}),
             })
 
         reg_buckets = int(buckets)
@@ -692,19 +784,26 @@ def _build_layout_tables(
             existing = (int(manifest["buckets"]) if manifest is not None
                         else int(spark.conf.get(
                             conf_key + ".buckets", str(int(buckets)))))
-            if buckets_explicit and existing != int(buckets):
-                # fresh table, but built at a DIFFERENT count than the
-                # caller EXPLICITLY asked for: re-registering the old
-                # count would silently hand back a layout the caller
-                # didn't request, while the drift path treats the same
-                # mismatch as a full-rebuild trigger. Match that
-                # posture — rebuild at the requested count. (r10 ADVICE)
+            planes_mismatch = (
+                planes_req is not None
+                and planes_req != (manifest_planes or default_planes))
+            if (buckets_explicit and existing != int(buckets)) \
+                    or planes_mismatch:
+                # fresh table, but built at a DIFFERENT count/width
+                # than the caller EXPLICITLY asked for: re-registering
+                # the old build would silently hand back a layout the
+                # caller didn't request, while the drift path treats
+                # the same mismatch as a full-rebuild trigger. Match
+                # that posture — rebuild as requested. (r10 ADVICE;
+                # r11 extends it to the LSH plane width)
                 _full_build()
             else:
                 # fresh — register only (CREATE INDEX IF NOT EXISTS),
                 # even from a brand-new session (manifest carries the
                 # proof)
                 reg_buckets = existing
+                if name == "embeddings":
+                    eff_planes = manifest_planes or default_planes
         else:
             # drifted: diff the part maps — append-only drift is the
             # incremental path, anything else rebuilds in full
@@ -719,21 +818,33 @@ def _build_layout_tables(
                         for n, meta in old_parts.items())
                 and (not buckets_explicit
                      or int(buckets) == int(manifest["buckets"]))
+                and (planes_req is None
+                     or planes_req == (manifest_planes or default_planes))
             )
             if not appended_only:
                 _full_build()
             else:
+                if name == "embeddings":
+                    # appended rows MUST get the stored assignment's
+                    # width, whatever this call would default to
+                    eff_planes = manifest_planes or default_planes
                 delta = _read_parquet_dispatch(
                     spark, tuple(os.path.join(src_path, n)
                                  for n in sorted(new_names)))
-                for cn, fac in LAYOUT_DERIVED.get(name, {}).items():
+                for cn, fac in _derived_factories(name,
+                                                  eff_planes).items():
                     # static derived rules only (fixed-literal hashes):
                     # appended rows get the same bucket assignment the
                     # existing rows got at build
                     delta = delta.withColumn(cn, fac(delta))
                 if name in LAYOUT_VALUE_PARTITIONED:
-                    _io.write_value_partitioned(delta, tbl, key,
-                                                mode="append")
+                    # same tiny-files guard as the full build: one new
+                    # run per touched VALUE, not per (input partition ×
+                    # value) — wide-plane layouts touch thousands of
+                    # dirs per append otherwise
+                    _io.write_value_partitioned(
+                        delta.repartition(F.col(key)), tbl, key,
+                        mode="append")
                 else:
                     _io.write_bucketed(delta, tbl, key,
                                        buckets=int(manifest["buckets"]),
@@ -746,6 +857,8 @@ def _build_layout_tables(
                     "mode": manifest.get("mode", "bucketed"),
                     "derived": sorted(LAYOUT_DERIVED.get(name, {})),
                     "compactions": int(manifest.get("compactions", 0)),
+                    **({"lsh_planes": int(eff_planes)}
+                       if name == "embeddings" else {}),
                 }
                 _write_manifest(path, tbl, new_manifest)
                 reg_buckets = int(manifest["buckets"])
@@ -762,6 +875,11 @@ def _build_layout_tables(
         # layout once the source drifts from this
         spark.conf.set(conf_key + ".src", cur_fp)
         spark.conf.set(conf_key + ".buckets", str(reg_buckets))
+        if name == "embeddings":
+            # the width of the STORED assignment — layout_lsh_planes
+            # reads this so the vector family only trusts a stored
+            # bucket built at the width it is probing (r11)
+            spark.conf.set(conf_key + ".lsh_planes", str(int(eff_planes)))
         spark.conf.set(conf_key, tbl)
         built[name] = tbl
     return built
@@ -946,3 +1064,4 @@ def drop_workload_layout(spark: SparkSession, sf_dir: str,
             spark.conf.unset(conf_key)
             spark.conf.unset(conf_key + ".src")
             spark.conf.unset(conf_key + ".buckets")
+            spark.conf.unset(conf_key + ".lsh_planes")

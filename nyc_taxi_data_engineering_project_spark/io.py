@@ -279,6 +279,17 @@ def write_value_partitioned(df: DataFrame, table_name: str, key: str,
     adds files into the value directories — incremental maintenance,
     same contract as the bucketed writer's append."""
     writer = df.write.mode(mode).partitionBy(key).format("parquet")
+    if mode == "overwrite":
+        # overwrite must mean THE TABLE EQUALS THE FRAME: under the
+        # session's dynamic partitionOverwriteMode (right for the
+        # month-window reload sinks), a rebuild only replaces
+        # partitions PRESENT in the new frame — a partition value that
+        # vanished between builds (e.g. an LSH relayout to a narrower
+        # plane width, r11) would survive as stale duplicate rows
+        # (observed: 500-row source served 874 after a 6→4-plane
+        # rebuild). Static mode truncates every existing partition
+        # first; per-write option, the session default is untouched.
+        writer = writer.option("partitionOverwriteMode", "static")
     if path is not None:
         if mode == "overwrite":
             writer = writer.option("path", path)

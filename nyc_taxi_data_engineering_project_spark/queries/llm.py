@@ -394,7 +394,8 @@ def _lsh_ann_oracle() -> str:
     """
 
 
-def _embeddings(spark, sf_dir, with_bucket: bool = False) -> DataFrame:
+def _embeddings(spark, sf_dir, with_bucket: bool = False,
+                n_planes: int | None = None) -> DataFrame:
     """Shared embeddings source for the vector family (f3/f13/f21/f28).
 
     Unusable vectors are EXCLUDED at the source (r6 edge findings): a
@@ -431,7 +432,24 @@ def _embeddings(spark, sf_dir, with_bucket: bool = False) -> DataFrame:
     cols = ["vec_id", "label", emb.alias("emb"),
             F.col("graft_nrm").alias("nrm")]
     if with_bucket:
-        cols.append(F.col("graft_lsh_bucket").alias("bucket"))
+        # r11 (wide-plane layout end-to-end): the STORED bucket column
+        # is only trusted when its build width matches the requested
+        # width — `graft_lsh_bucket` serves both the 4-plane contract
+        # default and a wide-plane layout built via
+        # build_workload_layout(lsh_planes=...); any mismatch (e.g.
+        # wide query over a 4-plane layout, or the default oracle
+        # contract over a wide layout) recomputes inline from the same
+        # prefix-stable plane stream, value-correct but unpruned.
+        from ..catalog import layout_lsh_planes
+
+        want = n_planes or _N_LSH_PLANES
+        stored = layout_lsh_planes(spark, sf_dir)
+        served_width = stored if stored is not None else _N_LSH_PLANES
+        if want == served_width:
+            cols.append(F.col("graft_lsh_bucket").alias("bucket"))
+        else:
+            cols.append(bucket_expr("lsh", want, "embedding",
+                                    as_double=True).alias("bucket"))
     out = e.select(*cols)
     return out.filter(
         ~F.isnan("nrm") & (F.col("nrm") > 0)
@@ -1138,9 +1156,13 @@ def f3_lsh_ann(spark, sf_dir):
     (:data:`LSH_ALL_PLANES`; probe radius widens with it). The default
     stays the 4-plane oracle contract; deployments size ``n`` with
     :func:`lsh_planes_for` (the measured bucket-width rule, SCALE.md
-    §19c, recall ≥ 0.9 gated in tests/test_llm_ops.py). A non-default
-    count computes buckets inline — the persisted layout index stores
-    the 4-plane assignment and is intentionally not consulted."""
+    §19c, recall ≥ 0.9 gated in tests/test_llm_ops.py) and build the
+    embeddings layout AT that width
+    (``build_workload_layout(lsh_planes=n)``, r11) so the wide mode
+    rides the stored pre-partitioned assignment with DPP pruning —
+    the 100 TB deployment shape §19c finding 2 named. A width with no
+    matching layout computes buckets inline (value-correct,
+    tagging-scan-bound)."""
     n_planes = int(os.environ.get("SPARK_GRAFT_LSH_PLANES",
                                   _N_LSH_PLANES))
     if not _N_LSH_PLANES <= n_planes <= _LSH_MAX_PLANES:
@@ -1149,15 +1171,15 @@ def f3_lsh_ann(spark, sf_dir):
             f"[{_N_LSH_PLANES}, {_LSH_MAX_PLANES}] — the seeded plane "
             f"prefix holds {_LSH_MAX_PLANES} planes and the oracle "
             f"contract floors at {_N_LSH_PLANES}")
-    if n_planes == _N_LSH_PLANES:
-        # bucket comes from the shared accessor (r9): the embeddings
-        # layout serves it pre-partitioned (stored graft_lsh_bucket —
-        # the persisted ANN index); without a layout it's computed
-        # inline from the same LSH_PLANES expression
-        tagged = _embeddings(spark, sf_dir, with_bucket=True)
-    else:
-        tagged = _embeddings(spark, sf_dir).withColumn(
-            "bucket", bucket_expr("lsh", n_planes, "emb"))
+    # bucket comes from the shared accessor: the embeddings layout
+    # serves it pre-partitioned (stored graft_lsh_bucket — the
+    # persisted ANN index) whenever the layout was BUILT at this
+    # width (r11: build_workload_layout(lsh_planes=n) persists a
+    # wide-plane assignment, closing SCALE.md §19c finding 2's
+    # tagging-scan-bound wide mode); any width mismatch recomputes
+    # inline from the same prefix-stable plane stream.
+    tagged = _embeddings(spark, sf_dir, with_bucket=True,
+                         n_planes=n_planes)
     probes = F.array(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],

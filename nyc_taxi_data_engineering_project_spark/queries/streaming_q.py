@@ -205,6 +205,42 @@ def d5_session(spark, sf_dir):
     )
 
 
+def d5_sessionized(events: DataFrame) -> DataFrame:
+    """The d5 session-window plan over an already-constructed event
+    stream (split out in r11 for the kill-and-restart recovery test,
+    the d2_windowed/d12_deduped pattern): watermarked 30-minute-gap
+    sessions per user, append mode emits each session once the
+    watermark passes its end. Session state (open sessions: start,
+    last-event, running agg) is exactly what must survive a crash."""
+    return (
+        events
+        .filter(F.col("ts").isNotNull())
+        .withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", _TS_FMT)
+            .alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def d6_deduped(events: DataFrame) -> DataFrame:
+    """The d6 stream-dedup plan over an already-constructed event
+    stream (r11, for the crash-recovery test): plain ``dropDuplicates``
+    — unbounded state, each key emitted exactly ONCE for the stream's
+    lifetime, which is precisely the state a restart must recover (a
+    lost state store would re-emit every key the post-crash chunks
+    carry)."""
+    return (
+        events
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+
+
 @query(
     "d6_stream_dedup",
     oracle="SELECT DISTINCT user_id, event_type FROM events",

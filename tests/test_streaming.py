@@ -839,3 +839,133 @@ def test_d11_join_state_survives_crash_restart(spark, tmp_path):
     sink = spark.read.option("basePath", target).parquet(target)
     cols = ["click_id", "purchase_id"]
     assert _rows(sink, cols) == _rows(batch, cols)
+
+
+def test_d5_session_state_survives_crash_restart(spark, tmp_path):
+    """d5 kill-and-resume (r11, verdict ask 2): open session-window
+    state (session start, last event, running count — plus the merge
+    rule that fuses sessions as gap-bridging events arrive) must
+    survive a mid-stream crash. Same crash window as d2's test: killed
+    after epoch 2's sink write, before its commit. If state were lost,
+    sessions spanning the crash boundary would split in two or re-emit
+    partial counts; the final appended session set must equal the
+    batch twin (sessions the final watermark closed) exactly once
+    each."""
+    from nyc_taxi_data_engineering_project_spark.queries.streaming_q import (
+        d5_sessionized,
+    )
+
+    path, ev = _chunked_events_dir(spark, tmp_path)
+    schema = spark.read.parquet(path).schema
+    target, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        _crash_then_recover(
+            lambda: d5_sessionized(_stream_chunks(spark, path, schema)),
+            target, ckpt, crash_at=2)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    wm_row = ev.agg(F.max("ts").alias("m")).first()
+    batch = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("session_window.end").cast("timestamp_ntz")
+                <= F.lit(wm_row.m) - F.expr("INTERVAL 10 MINUTES"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_start"),
+            "n_events",
+        )
+    )
+    sink = spark.read.option("basePath", target).parquet(target)
+    cols = ["user_id", "session_start", "n_events"]
+    # exactly-once across the crash: each closed session appears ONCE
+    # with its FULL count and UNSPLIT extent
+    assert _rows(sink.select(*cols), cols) == _rows(batch, cols)
+
+
+def test_d6_dedup_state_survives_crash_restart(spark, tmp_path):
+    """d6 kill-and-resume (r11, verdict ask 2): plain dropDuplicates
+    carries one state entry per key for the stream's LIFETIME — a
+    restart that lost the store would re-emit every key the post-crash
+    chunks repeat. Final appended rows must be the batch DISTINCT,
+    each key exactly once across both runs."""
+    from nyc_taxi_data_engineering_project_spark.queries.streaming_q import (
+        d6_deduped,
+    )
+
+    path, ev = _chunked_events_dir(spark, tmp_path)
+    schema = spark.read.parquet(path).schema
+    target, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        _crash_then_recover(
+            lambda: d6_deduped(_stream_chunks(spark, path, schema)),
+            target, ckpt, crash_at=2)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    sink = spark.read.option("basePath", target).parquet(target)
+    cols = ["user_id", "event_type"]
+    # multiset equality with DISTINCT: a key re-emitted after the
+    # restart (lost state) shows up as a duplicate here
+    assert _rows(sink.select(*cols), cols) == _rows(
+        ev.select(*cols).distinct(), cols)
+
+
+def test_d12_dedup_eviction_state_survives_crash_restart(spark, tmp_path):
+    """d12 kill-and-resume (r11, verdict ask 2): the watermark-bounded
+    dedup state (key + first-seen event time, evicted as the watermark
+    passes) must survive a crash. Exact DISTINCT equality is not the
+    operator's contract (eviction legitimately re-admits — see
+    test_d12_chunked_replay_within_dedup_contract); the crash-safe
+    invariants are: emitted KEY SET == batch DISTINCT, and per-key
+    admissions bounded by the instant-eviction first-occurrence
+    chains. A restart that lost the store would re-admit every key
+    repeating within its chain window and blow the bound."""
+    from nyc_taxi_data_engineering_project_spark.queries.streaming_q import (
+        d12_deduped,
+    )
+
+    path, ev = _chunked_events_dir(spark, tmp_path)
+    schema = spark.read.parquet(path).schema
+    target, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        _crash_then_recover(
+            lambda: d12_deduped(_stream_chunks(spark, path, schema)),
+            target, ckpt, crash_at=2)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    sink = spark.read.option("basePath", target).parquet(target)
+    cols = ["user_id", "event_type"]
+    assert _rows(sink.select(*cols).distinct(), cols) == _rows(
+        ev.select(*cols).distinct(), cols)
+
+    # per-key admission bound: greedy first-occurrence chains at the
+    # 1h delay (the same bound the no-crash replay test pins)
+    delay_s = 3600
+    chains: dict[tuple, int] = {}
+    chain_start: dict[tuple, float] = {}
+    for r in (ev.select("user_id", "event_type", "ts")
+              .orderBy("user_id", "event_type", "ts").collect()):
+        k = (r.user_id, r.event_type)
+        t = r.ts.timestamp()
+        if k not in chain_start or t > chain_start[k] + delay_s:
+            chain_start[k] = t
+            chains[k] = chains.get(k, 0) + 1
+    mult = {(r.user_id, r.event_type): r.n
+            for r in sink.groupBy(*cols).agg(F.count(F.lit(1)).alias("n"))
+            .collect()}
+    over = {k: (m, chains[k]) for k, m in mult.items() if m > chains[k]}
+    assert not over, f"admissions exceed instant-eviction bound: {over}"

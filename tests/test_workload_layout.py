@@ -11,6 +11,7 @@ keys), and a clean A/B switch back to the plain path.
 
 from __future__ import annotations
 
+import os
 import re
 
 import pytest
@@ -931,3 +932,141 @@ def test_concurrent_reader_during_compaction_swap(spark, tmp_path):
         f"(expected {expected}) — a mixed/partial tree was served")
     # post-swap reads must succeed (the window healed)
     assert counts[-1] == expected
+
+
+# ------------------------------------------- r11: wide-plane ANN layout
+
+
+def test_wide_plane_layout_serves_f3_wide_mode(spark, tmp_path, monkeypatch):
+    """r11 (verdict ask 1): the embeddings layout built at a wide plane
+    width (build_workload_layout(lsh_planes=n), the lsh_planes_for
+    deployment shape) serves f3_lsh_ann's wide mode from the STORED
+    assignment with dynamic partition pruning — closing SCALE.md §19c
+    finding 2's tagging-scan-bound wide mode — while the default
+    4-plane oracle contract stays value-true alongside it."""
+    from nyc_taxi_data_engineering_project_spark.catalog import (
+        layout_lsh_planes,
+    )
+
+    registry.load_all()
+    q = registry.QUERIES["f3_lsh_ann"]
+    path = str(tmp_path / "wide_layout")
+
+    # wide inline baseline (no layout): value truth for the wide mode
+    monkeypatch.setenv("SPARK_GRAFT_LSH_PLANES", "6")
+    inline_rows = sorted(map(tuple, q(spark, SF_DIR).collect()))
+
+    built = build_workload_layout(spark, SF_DIR, path,
+                                  tables=("embeddings",), lsh_planes=6)
+    try:
+        assert layout_lsh_planes(spark, SF_DIR) == 6
+        wide = q(spark, SF_DIR)
+        plan = _fmt_plan(wide)
+        # the WIDE mode rides the stored assignment: pruned scan on the
+        # materialized bucket, not a per-run tagging recompute
+        assert "dynamicpruning" in plan.lower()
+        assert "graft_lsh_bucket" in plan
+        assert sorted(map(tuple, wide.collect())) == inline_rows
+
+        # the DEFAULT contract over the wide layout must not trust the
+        # mismatched stored bucket: recomputed inline, identical to the
+        # plain default
+        monkeypatch.delenv("SPARK_GRAFT_LSH_PLANES")
+        d_over_wide = sorted(map(tuple, q(spark, SF_DIR).collect()))
+        spark.conf.set(LAYOUT_SERVE_CONF, "false")
+        try:
+            d_plain = sorted(map(tuple, q(spark, SF_DIR).collect()))
+        finally:
+            spark.conf.unset(LAYOUT_SERVE_CONF)
+        assert d_over_wide == d_plain
+
+        # width lifecycle: lsh_planes=None re-registers the manifest's
+        # width; an explicit mismatching width is a full rebuild
+        build_workload_layout(spark, SF_DIR, path, tables=("embeddings",))
+        assert layout_lsh_planes(spark, SF_DIR) == 6
+        build_workload_layout(spark, SF_DIR, path,
+                              tables=("embeddings",), lsh_planes=4)
+        assert layout_lsh_planes(spark, SF_DIR) == 4
+        d_over_4 = sorted(map(tuple, q(spark, SF_DIR).collect()))
+        assert d_over_4 == d_plain
+    finally:
+        drop_workload_layout(spark, SF_DIR, tables=("embeddings",))
+
+
+def test_value_partitioned_rebuild_clears_vanished_partitions(
+        spark, tmp_path):
+    """Regression (r11): a value-partitioned rebuild whose new frame
+    no longer produces some partition values (a 6→4-plane relayout)
+    must TRUNCATE them — under the session's dynamic
+    partitionOverwriteMode the stale directories survived and the
+    served table duplicated rows (500-row source served 874)."""
+    import os
+
+    path = str(tmp_path / "relayout")
+    build_workload_layout(spark, SF_DIR, path,
+                          tables=("embeddings",), lsh_planes=6)
+    tbl = None
+    try:
+        build_workload_layout(spark, SF_DIR, path,
+                              tables=("embeddings",), lsh_planes=4)
+        from nyc_taxi_data_engineering_project_spark.catalog import (
+            _layout_conf_key,
+        )
+
+        tbl = spark.conf.get(_layout_conf_key(SF_DIR, "embeddings"))
+        d = os.path.join(path, tbl)
+        dirs = [x for x in os.listdir(d)
+                if x.startswith("graft_lsh_bucket=")]
+        assert len(dirs) <= 16, f"stale wide-plane dirs survived: {dirs}"
+        src_rows = spark.read.parquet(
+            f"{SF_DIR}/embeddings.parquet").count()
+        assert spark.table(tbl).count() == src_rows
+    finally:
+        drop_workload_layout(spark, SF_DIR, tables=("embeddings",))
+
+
+def test_build_lock_cross_process_contention(tmp_path):
+    """r11 (verdict ask 5): the build lock across REAL process
+    boundaries — a second process must refuse loudly while the holder
+    lives, then steal cleanly after the holder is SIGKILLed (no
+    cleanup, the crashed-builder case). The r10 EPERM fix was reasoned
+    from unit tests only; this is the end-to-end contention proof."""
+    import subprocess
+    import sys
+
+    from nyc_taxi_data_engineering_project_spark.catalog import (
+        _acquire_build_lock,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(
+        sys.modules["nyc_taxi_data_engineering_project_spark"].__file__)))
+    path = str(tmp_path / "lay")
+    child = subprocess.Popen(
+        [sys.executable, "-c",
+         "import os, sys, time\n"
+         f"sys.path.insert(0, {repo!r})\n"
+         "from nyc_taxi_data_engineering_project_spark.catalog import "
+         "_acquire_build_lock\n"
+         f"_acquire_build_lock({path!r})\n"
+         "print('held', flush=True)\n"
+         "time.sleep(120)\n"],
+        stdout=subprocess.PIPE, text=True)
+    try:
+        assert child.stdout.readline().strip() == "held"
+        # live cross-process holder -> loud refusal, lock untouched
+        with pytest.raises(RuntimeError, match="holds"):
+            _acquire_build_lock(path)
+        lock = os.path.join(path, "_graft_build.lock")
+        with open(lock) as f:
+            assert int(f.read().strip()) == child.pid
+    finally:
+        child.kill()
+        child.wait()
+    # SIGKILLed holder left its lock behind: the claim must detect the
+    # dead pid, steal, and re-claim under OUR pid
+    got = _acquire_build_lock(path)
+    try:
+        with open(got) as f:
+            assert int(f.read().strip()) == os.getpid()
+    finally:
+        os.remove(got)
