@@ -997,6 +997,41 @@ def _compact_one(spark: SparkSession, path: str, name: str,
     return before, _layout_n_files(tbl_dir)
 
 
+def build_ann_index(spark: SparkSession, sf_dir: str,
+                    path: str, rebuild: bool = False) -> dict:
+    """The ANN deployment recipe as ONE call (r11): size the LSH plane
+    width from the corpus with the measured §19c rule
+    (``llm.lsh_planes_for`` — hold expected bucket width ≈ 2000), build
+    the embeddings layout AT that width, and return what a deployment
+    needs to know. Queries opt into the wide width explicitly
+    (``SPARK_GRAFT_LSH_PLANES=<lsh_planes>`` for f3_lsh_ann) — the
+    width is deliberately NOT auto-followed by default queries, because
+    the engine's transparency invariant says results never depend on
+    whether an index exists; an approximate op's RESULT changing with
+    layout registration would break it (and the 4-plane oracle
+    contract with it).
+
+    Returns ``{"table": <layout table>, "lsh_planes": <width>,
+    "corpus_rows": <n>, "buckets": 2**width}``. Measured at 3.16 M /
+    9.8 M vectors (SCALE.md §20): layout-served wide queries run
+    7.3× / 6.5× faster than the 4-plane layout and 10× / 18× faster
+    than the scan-bound wide mode, recall 1.0."""
+    from .queries.llm import lsh_planes_for
+
+    prev = spark.conf.get(LAYOUT_SERVE_CONF, "true")
+    spark.conf.set(LAYOUT_SERVE_CONF, "false")
+    try:
+        n = table(spark, sf_dir, "embeddings").count()
+    finally:
+        spark.conf.set(LAYOUT_SERVE_CONF, prev)
+    width = lsh_planes_for(n)
+    built = build_workload_layout(spark, sf_dir, path,
+                                  tables=("embeddings",),
+                                  rebuild=rebuild, lsh_planes=width)
+    return {"table": built["embeddings"], "lsh_planes": width,
+            "corpus_rows": n, "buckets": 1 << width}
+
+
 def compact_workload_layout(spark: SparkSession, sf_dir: str,
                             path: str,
                             tables: tuple[str, ...] | None = None,

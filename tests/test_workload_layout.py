@@ -1070,3 +1070,40 @@ def test_build_lock_cross_process_contention(tmp_path):
             assert int(f.read().strip()) == os.getpid()
     finally:
         os.remove(got)
+
+
+def test_build_ann_index_sizes_width_from_corpus(spark, tmp_path,
+                                                 monkeypatch):
+    """r11: the one-call ANN deployment recipe — width from
+    lsh_planes_for(corpus rows), layout built at it, f3 wide mode
+    (explicit env opt-in) value-identical to the inline wide mode."""
+    from nyc_taxi_data_engineering_project_spark.catalog import (
+        build_ann_index,
+        layout_lsh_planes,
+    )
+    from nyc_taxi_data_engineering_project_spark.queries.llm import (
+        lsh_planes_for,
+    )
+
+    registry.load_all()
+    q = registry.QUERIES["f3_lsh_ann"]
+    path = str(tmp_path / "ann_index")
+    info = build_ann_index(spark, SF_DIR, path)
+    try:
+        n = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+        assert info["corpus_rows"] == n
+        assert info["lsh_planes"] == lsh_planes_for(n)
+        assert info["buckets"] == 1 << info["lsh_planes"]
+        assert layout_lsh_planes(spark, SF_DIR) == info["lsh_planes"]
+
+        monkeypatch.setenv("SPARK_GRAFT_LSH_PLANES",
+                           str(info["lsh_planes"]))
+        served = sorted(map(tuple, q(spark, SF_DIR).collect()))
+        spark.conf.set(LAYOUT_SERVE_CONF, "false")
+        try:
+            inline = sorted(map(tuple, q(spark, SF_DIR).collect()))
+        finally:
+            spark.conf.unset(LAYOUT_SERVE_CONF)
+        assert served == inline
+    finally:
+        drop_workload_layout(spark, SF_DIR, tables=("embeddings",))
