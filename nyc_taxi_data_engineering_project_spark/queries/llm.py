@@ -356,18 +356,21 @@ def _f13_oracle() -> str:
     """
 
 
-def _lsh_ann_oracle() -> str:
-    """DuckDB twin of f3_lsh_ann: same planes (inlined literals), same
-    bucket rule (sign bits), same Hamming-1 multi-probe, same top-k."""
+def _lsh_ann_oracle(n_planes: int = _N_LSH_PLANES) -> str:
+    """DuckDB twin of f3_lsh_ann (and, at ``n_planes`` > 4, of the wide
+    scale mode — r11's f3_lsh_ann_wide): same planes (inlined literals
+    from the one prefix-stable seeded stream), same bucket rule (sign
+    bits), same Hamming-1 multi-probe, same top-k."""
     plane_sql = [
-        "[" + ", ".join(repr(v) for v in plane) + "]" for plane in LSH_PLANES
+        "[" + ", ".join(repr(v) for v in plane) + "]"
+        for plane in LSH_ALL_PLANES[:n_planes]
     ]
     bucket = " + ".join(
         f"(CASE WHEN list_dot_product(e, {p}) > 0 THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(plane_sql)
     )
     probe_list = ", ".join(
-        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(_N_LSH_PLANES)]
+        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(n_planes)]
     )
     return f"""
     WITH tagged AS (
@@ -1178,6 +1181,13 @@ def f3_lsh_ann(spark, sf_dir):
     # wide-plane assignment, closing SCALE.md §19c finding 2's
     # tagging-scan-bound wide mode); any width mismatch recomputes
     # inline from the same prefix-stable plane stream.
+    return _lsh_ann_topk(spark, sf_dir, n_planes)
+
+
+def _lsh_ann_topk(spark, sf_dir, n_planes: int):
+    """The LSH ANN plan at one signature width — shared by f3_lsh_ann
+    (env-selected width, default the 4-plane contract) and
+    f3_lsh_ann_wide (pinned 8-plane scale mode, r11)."""
     tagged = _embeddings(spark, sf_dir, with_bucket=True,
                          n_planes=n_planes)
     probes = F.array(
@@ -1211,6 +1221,31 @@ def f3_lsh_ann(spark, sf_dir):
         .select("query_id", "neighbor_id",
                 fx.r6(F.col("_cos")).alias("cosine"), "rk")
     )
+
+
+# the wide demo width: 8 planes = 256 buckets — wide enough that the
+# probed fraction (9/256 ≈ 3.5%) is a different regime from the
+# contract default's 5/16 ≈ 31%, small enough that the sf0.01 oracle
+# corpus (~5k vectors) still populates buckets
+_WIDE_DEMO_PLANES = 8
+
+
+@query("f3_lsh_ann_wide", oracle=_lsh_ann_oracle(_WIDE_DEMO_PLANES))
+def f3_lsh_ann_wide(spark, sf_dir):
+    """F3 scale mode under ORACLE (r11, self-initiated): the WIDE LSH
+    signature itself value-checked against a DuckDB twin — 8 planes
+    from the same prefix-stable seeded stream (256 buckets, Hamming-1
+    multi-probe = 9 probes), fixed literals inlined on both sides, so
+    the approximate SCALE path gets the same oracle grade as the
+    4-plane contract instead of a rows-only recall gate. Serves the
+    stored assignment with DPP pruning when the embeddings layout was
+    built at this width (``build_workload_layout(lsh_planes=8)`` /
+    ``build_ann_index`` at an ~0.5 M-row corpus); computes inline
+    otherwise — value-identical either way (the §20 transparency
+    test). At 100 TB the width comes from :func:`lsh_planes_for` and
+    the layout is built AT it; this key pins the machinery at a width
+    the sf0.01 oracle corpus can populate."""
+    return _lsh_ann_topk(spark, sf_dir, _WIDE_DEMO_PLANES)
 
 
 def _f21_oracle(k: int = 16, nprobe: int = 4) -> str:

@@ -96,7 +96,10 @@ def main() -> None:
     evlog = tempfile.mkdtemp(prefix="q2_tiers_ev_")
     spark = get_session("q2-shuffle-tiers", extra_conf={
         "spark.eventLog.enabled": "true",
-        "spark.eventLog.dir": evlog,
+        "spark.eventLog.dir": f"file://{evlog}",
+        # group_shuffle_bytes reads the log as JSON lines — Spark 4
+        # compresses event logs by default
+        "spark.eventLog.compress": "false",
     })
     spark.sparkContext.setLogLevel("ERROR")
     sc = spark.sparkContext

@@ -32,11 +32,13 @@ def test_registry_matches_frozen_surface():
         f"registry surface drifted from REGISTRY_KEYS.txt: "
         f"added={added} removed={removed} oracle-status-changed={moved}"
     )
-    # 136 oracle / 6 rows-only: the r9 portable twins (c38_portable_hll,
+    # 137 oracle / 6 rows-only: the r9 portable twins (c38_portable_hll,
     # c11_portable_quantile) gave the sketch and percentile CLASSES
     # oracle-grade members while the library keys stay as parity
     # demos; r10 adds c41_lateral_topk (LATERAL correlated derived
-    # table, shared SQL text both engines). The 6 rows-only keys are
+    # table, shared SQL text both engines); r11 adds f3_lsh_ann_wide
+    # (the wide LSH scale mode itself under oracle — 8 prefix-stable
+    # planes inlined on both sides). The 6 rows-only keys are
     # genuine sketches/library-RNG (c10/c11 approx, c29_sample, c38,
     # f19/f20)
-    assert len(got) == 142 and sum(v == "oracle" for v in got.values()) == 136
+    assert len(got) == 143 and sum(v == "oracle" for v in got.values()) == 137
