@@ -156,6 +156,19 @@ def main() -> None:
         "sf_big": SF_BIG,
         "secs": round(time.time() - t0, 1),
         "keys": rows,
+        # standing adjudications for flagged outliers (r11, verdict
+        # ask 4): carried by the generator so regeneration keeps them
+        "notes": {
+            "tpch_q2": (
+                "16.5x on the sf0.01->sf0.1 step is a broadcast-"
+                "threshold denominator artifact, not super-linear "
+                "scaling: measured at real tiers the growth is LINEAR "
+                "(K=100->K=1000, 10x input: 10.82x shuffle bytes; "
+                "sf0.1->K=100 shows 260x for the same reason - "
+                "supplier-side joins cross from broadcast to shuffle). "
+                "scripts/stress100_results/q2_shuffle_tiers.json"
+            ),
+        },
     }
     with open(OUT, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
