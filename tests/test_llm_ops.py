@@ -558,3 +558,18 @@ def test_lsh_scale_mode_widens_planes_with_recall_gate(
     monkeypatch.setenv("SPARK_GRAFT_LSH_PLANES", "99")
     with pytest.raises(ValueError, match="outside"):
         registry.QUERIES["f3_lsh_ann"](spark, sf)
+
+
+def test_f3_wide_key_equals_env_mode(spark, monkeypatch):
+    """r11: f3_lsh_ann_wide (pinned 8 planes, oracle-checked) must be
+    row-identical to the env-selected scale mode at the same width —
+    one machinery, two entry points."""
+    from nyc_taxi_data_engineering_project_spark.queries.llm import (
+        f3_lsh_ann,
+        f3_lsh_ann_wide,
+    )
+
+    wide = sorted(map(tuple, f3_lsh_ann_wide(spark, SF_DIR).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_LSH_PLANES", "8")
+    env_mode = sorted(map(tuple, f3_lsh_ann(spark, SF_DIR).collect()))
+    assert wide == env_mode
