@@ -1107,3 +1107,57 @@ def test_build_ann_index_sizes_width_from_corpus(spark, tmp_path,
         assert served == inline
     finally:
         drop_workload_layout(spark, SF_DIR, tables=("embeddings",))
+
+
+def test_incremental_append_pins_the_stored_wide_width(spark, tmp_path):
+    """r11: an append-only maintenance pass against a WIDE-plane layout
+    must bucketize the delta at the MANIFEST's stored width — whatever
+    the maintaining call would default to — and the wide buckets must
+    equal the on-the-fly wide rule over the full set. A delta tagged at
+    the default 4-plane width would silently corrupt the wide index."""
+    import os
+    import shutil
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    plain = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    half1 = plain.filter(F.col("vec_id") % 2 == 0)
+    half2 = plain.filter(F.col("vec_id") % 2 == 1)
+    half1.coalesce(1).write.parquet(f"{src_dir}/embeddings.parquet")
+
+    lay = str(tmp_path / "lay")
+    built = build_workload_layout(spark, src_dir, lay,
+                                  tables=("embeddings",), lsh_planes=6)
+    tbl = built["embeddings"]
+    try:
+        tmp_out = str(tmp_path / "h2")
+        half2.coalesce(1).write.parquet(tmp_out)
+        part = next(p for p in os.listdir(tmp_out)
+                    if p.endswith(".parquet"))
+        shutil.copy(f"{tmp_out}/{part}",
+                    f"{src_dir}/embeddings.parquet/h2-{part}")
+
+        # maintenance call does NOT restate the width (lsh_planes=None)
+        built2 = build_workload_layout(spark, src_dir, lay,
+                                       tables=("embeddings",))
+        assert built2 == built
+        from nyc_taxi_data_engineering_project_spark.catalog import (
+            layout_lsh_planes,
+        )
+
+        assert layout_lsh_planes(spark, src_dir) == 6
+
+        # stored wide buckets == the on-the-fly 6-plane rule, full set
+        from nyc_taxi_data_engineering_project_spark.queries.llm import (
+            bucket_expr,
+        )
+
+        served = spark.table(tbl).select("vec_id", "graft_lsh_bucket")
+        expect = plain.filter(F.col("embedding").isNotNull()).select(
+            "vec_id",
+            bucket_expr("lsh", 6, "embedding", as_double=True)
+            .alias("graft_lsh_bucket"))
+        assert sorted(map(tuple, served.collect())) == \
+            sorted(map(tuple, expect.collect()))
+    finally:
+        drop_workload_layout(spark, src_dir)
