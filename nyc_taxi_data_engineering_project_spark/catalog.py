@@ -645,6 +645,21 @@ def build_workload_layout(
                 )
     if buckets is None:
         buckets = max(32, 4 * spark.sparkContext.defaultParallelism)
+    if lsh_planes is not None:
+        # same validation f3's env gate applies (r11 review): the plane
+        # stream is a 16-deep seeded prefix and bucket_expr silently
+        # truncates past it — an out-of-range width would build an
+        # index LABELED wider than its data, which no query width could
+        # ever match (permanently unserved) and which a later in-range
+        # call would needlessly full-rebuild
+        from .queries.llm import _LSH_MAX_PLANES, _N_LSH_PLANES
+
+        if not _N_LSH_PLANES <= int(lsh_planes) <= _LSH_MAX_PLANES:
+            raise ValueError(
+                f"lsh_planes={lsh_planes} outside "
+                f"[{_N_LSH_PLANES}, {_LSH_MAX_PLANES}] — the seeded "
+                f"plane prefix holds {_LSH_MAX_PLANES} planes and the "
+                f"oracle contract floors at {_N_LSH_PLANES}")
 
     lock = _acquire_build_lock(path)
     try:

@@ -17,16 +17,27 @@ from __future__ import annotations
 import os
 import sys
 
-# knob -> default-equivalent values (unset counts as default)
-_CONTRACT_KNOBS: dict[str, tuple[str, ...]] = {
-    "SPARK_GRAFT_LSH_PLANES": ("4",),
+def _lsh_default() -> tuple[str, ...]:
+    # derived from the single source of truth, lazily (llm pulls
+    # pyspark; every caller of the guard imports it anyway) — a
+    # hardcoded "4" here would silently diverge if the oracle-contract
+    # width ever moved (r11 review)
+    from .queries.llm import _N_LSH_PLANES
+
+    return (str(_N_LSH_PLANES),)
+
+
+# knob -> thunk returning default-equivalent values (unset = default)
+_CONTRACT_KNOBS = {
+    "SPARK_GRAFT_LSH_PLANES": _lsh_default,
 }
 
 
 def scrub_contract_env() -> list[str]:
     """Unset contract-affecting env overrides; return what was scrubbed."""
     scrubbed = []
-    for var, defaults in _CONTRACT_KNOBS.items():
+    for var, defaults_fn in _CONTRACT_KNOBS.items():
+        defaults = defaults_fn()
         val = os.environ.get(var)
         if val is not None and val not in defaults:
             del os.environ[var]

@@ -178,16 +178,23 @@ def ingest_trips(spark: SparkSession, source_path: str, target: str) -> int:
 
 def _normalize_location(loc: str) -> str:
     """Canonicalize a table location for equality comparison (r10
-    ADVICE): DESCRIBE FORMATTED reports a Hadoop URI (percent-encoded,
-    scheme-qualified) while callers pass OS paths — compare both sides
-    through the same URI parse. Only file/scheme-less locations get
-    realpath'd (symlink flattening is a local-FS concept); remote
-    schemes compare as (scheme, netloc, decoded path)."""
+    ADVICE; r11 review fix): DESCRIBE FORMATTED reports a Hadoop URI
+    (percent-encoded, scheme-qualified) while callers usually pass raw
+    OS paths — so ONLY a string that actually carries a scheme is
+    URI-parsed. Running a raw path through urlparse would truncate at
+    '#'/'?' and wrongly decode literal %XX sequences ('/data/run#3'
+    would normalize to '/data/run' and both false-refuse a legitimate
+    append and false-pass a different directory). Local (file/bare)
+    locations realpath; remote schemes compare as
+    scheme://netloc/decoded-path."""
+    import re
     from urllib.parse import unquote, urlparse
 
+    if not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", loc):
+        return os.path.realpath(loc)  # raw OS path: no URI semantics
     parsed = urlparse(loc)
-    if parsed.scheme in ("", "file"):
-        return os.path.realpath(unquote(parsed.path) or loc)
+    if parsed.scheme == "file":
+        return os.path.realpath(unquote(parsed.path))
     return f"{parsed.scheme}://{parsed.netloc}{unquote(parsed.path).rstrip('/')}"
 
 

@@ -247,13 +247,11 @@ def d6_deduped(events: DataFrame) -> DataFrame:
 )
 def d6_stream_dedup(spark, sf_dir):
     """D6: dedup on a key subset — ``dropDuplicates`` in batch form; the
-    streaming form (state-backed, watermark-bounded) is asserted
-    equivalent in tests/test_streaming.py."""
-    return (
-        table(spark, sf_dir, "events")
-        .select("user_id", "event_type")
-        .dropDuplicates(["user_id", "event_type"])
-    )
+    streaming form (state-backed) is asserted equivalent and
+    crash-recoverable in tests/test_streaming.py. Delegates to the
+    split-out plan the recovery test exercises (the d2/d8/d11/d12
+    pattern), so the tested plan IS the registry key's plan."""
+    return d6_deduped(table(spark, sf_dir, "events"))
 
 
 @query(

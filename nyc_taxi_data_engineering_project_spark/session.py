@@ -203,13 +203,18 @@ def get_session(app_name: str = "nyc_taxi_data_engineering_project_spark",
         builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    preexisting = SparkSession.getActiveSession() is not None
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if preexisting and derived_mem is not None:
+    if derived_mem is not None:
         # the heap was sized by whoever launched the JVM; if it's
         # under this input's derived floor, big shuffles can OOM the
-        # way q5 did at K=1000 — say so instead of failing mutely later
+        # way q5 did at K=1000 — say so instead of failing mutely
+        # later. Compared on the RETURNED session's conf, not an
+        # active-session flag: getActiveSession is thread-scoped, so a
+        # secondary thread re-entering the process-wide session would
+        # skip a flag-gated check exactly when it matters (r11 review).
+        # When THIS call launched the JVM the conf equals derived_mem
+        # and the check is a no-op.
         running = spark.conf.get("spark.driver.memory", "8g")
         if _mem_gb(running) < _mem_gb(derived_mem):
             print(f"[session] WARNING: running JVM heap {running} is "
@@ -221,9 +226,12 @@ def get_session(app_name: str = "nyc_taxi_data_engineering_project_spark",
 
 
 def _mem_gb(mem: str) -> float:
-    """Parse a JVM memory string ('20g', '512m', '8192') to GiB."""
+    """Parse a JVM memory string ('20g', '512m', '20480') to GiB.
+    Spark reads a bare number in spark.driver.memory as MiB (r11
+    review: '20480' is 20 GiB, not 20 KB), so the suffix-less branch
+    divides by 1024."""
     mem = mem.strip().lower()
     mult = {"k": 1 / (1 << 20), "m": 1 / 1024, "g": 1, "t": 1024}
     if mem[-1] in mult:
         return float(mem[:-1]) * mult[mem[-1]]
-    return float(mem) / (1 << 30)
+    return float(mem) / 1024

@@ -50,15 +50,11 @@ from nyc_taxi_data_engineering_project_spark.session import (  # noqa: E402
 
 KS = [int(a) for a in sys.argv[1:]] or [100, 1000]
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-_SHIFT = 100_000_000
-_REKEY = {
-    "customer": ["c_custkey"],
-    "supplier": ["s_suppkey"],
-    "part": ["p_partkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
-}
-_FIXED = ["region", "nation"]
+# ONE copy of the replication rules (r11 review): the rekey map and
+# shift constant live in stress_tpch — a second copy here would let
+# the corpora silently diverge and this probe's q2 adjudication would
+# stop measuring the battery's workload
+from stress_tpch import _FIXED, _REKEY, _SHIFT  # noqa: E402
 
 
 def materialize(spark, k: int, work: str) -> None:

@@ -55,11 +55,13 @@ def main() -> None:
           f"{spark.conf.get('spark.sql.shuffle.partitions')}", flush=True)
     assert got == expect, (got, expect)
 
+    # ONE full execution (r11 review): q5's result is a tiny aggregate,
+    # so a count() is a full-plan evaluation AND the row evidence — a
+    # separate noop pass would double a multi-minute 11 GB shuffle for
+    # no extra measurement
     t0 = time.time()
-    df = tpch_q5(spark, CORPUS)
-    df.write.format("noop").mode("overwrite").save()
+    n = tpch_q5(spark, CORPUS).count()
     wall = round(time.time() - t0, 1)
-    n = df.count()
     print(f"q5: {n} rows, {wall}s — green through the derived heap",
           flush=True)
     out = {"corpus": CORPUS, "input_bytes": nbytes,
