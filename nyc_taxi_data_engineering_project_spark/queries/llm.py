@@ -3116,3 +3116,99 @@ def f33_data_quality(spark, sf_dir):
         [], ["null_text", "bad_lang", "nchars_mismatch", "dup_doc_id"],
         "expectation", "violations",
     )
+
+
+# ------------------------------------------- F34: count-min heavy hitters
+# Sketch geometry: d=4 seeded rows x w=4096 buckets (3 md5 hex chars).
+# Error bound e/w ~ 0.066% of the token stream per estimate at
+# delta = e^-4 ~ 1.8%; the grid is <= 16384 integer counters no matter
+# how many trillions of tokens flow through it.
+_CM_D = 4
+_CM_W = 4096
+
+_F34_SQL = f"""
+    WITH toks AS (
+        SELECT t.token FROM (
+            SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents WHERE text IS NOT NULL
+        ) t WHERE length(t.token) > 0
+    ), bucketed AS (
+        SELECT token, i,
+               (POSITION(substr(h, 1, 1) IN '0123456789abcdef') - 1) * 256
+             + (POSITION(substr(h, 2, 1) IN '0123456789abcdef') - 1) * 16
+             + (POSITION(substr(h, 3, 1) IN '0123456789abcdef') - 1)
+                   AS bucket
+        FROM (
+            SELECT token, i,
+                   md5(CAST(i AS VARCHAR) || ':' || token) AS h
+            FROM toks, (SELECT unnest([0, 1, 2, 3]) AS i)
+        )
+    ), grid AS (
+        SELECT i, bucket, COUNT(*) AS c FROM bucketed GROUP BY 1, 2
+    ), est AS (
+        SELECT b.token, MIN(g.c) AS cm_count
+        FROM (SELECT DISTINCT token, i, bucket FROM bucketed) b
+        JOIN grid g ON b.i = g.i AND b.bucket = g.bucket
+        GROUP BY 1
+    )
+    SELECT token, cm_count FROM est
+    WHERE cm_count * 200 > (SELECT COUNT(*) FROM toks)
+"""
+
+
+@query("f34_heavy_hitters", oracle=_F34_SQL)
+def f34_heavy_hitters(spark, sf_dir):
+    """F34 (r11, self-initiated): heavy-hitter tokens via a PORTABLE
+    count-min sketch — the c38_portable_hll playbook applied to the
+    frequency-sketch class. Every step is computed bit-identically by
+    both engines: md5("i:token") picks each of the 4 seeded rows'
+    bucket (3 hex chars -> 4096 buckets, the POSITION string-ops trick
+    from the portable HLL), the grid is per-(row, bucket) COUNT(*),
+    the estimate is the INTEGER MIN over the 4 rows, and a token is
+    reported when cm_count exceeds 0.5% of the stream (the comparison
+    stays in integers: cm_count * 200 > total — no float anywhere, so
+    the twin is exact, not tolerance-gated).
+
+    Scale posture — why a sketch and not a groupBy(token): the GRID is
+    the aggregate. Per-(row,bucket) counts partial-aggregate map-side
+    into <= 16 384 counters per partition regardless of corpus size,
+    so the shuffle moves constant-size state where an exact
+    top-frequency query shuffles the full vocabulary; the estimate
+    join broadcasts the tiny grid. Candidate enumeration here scans
+    the corpus vocabulary (right for a self-contained key — and the
+    distinct is vocabulary-sized, not stream-sized); a 100 TB
+    deployment estimates only QUERIED tokens against the same stored
+    grid, which is the point of the structure. CM never
+    under-estimates, so no truly-heavy token can be missed; the
+    one-sided error is pinned in tests/test_llm_ops.py.
+
+    Reference anchor: the frequency/monitoring class of the
+    reference's analytical corpus (SURVEY §2 group F); sketch is
+    public Cormode-Muthukrishnan count-min."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(_tokens()).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    seeded = toks.select(
+        "token",
+        F.explode(F.array(*[F.lit(i) for i in range(_CM_D)])).alias("i"),
+    )
+    h = F.md5(F.concat_ws(":", F.col("i"), F.col("token")))
+    bucketed = seeded.withColumn(
+        "bucket", F.conv(F.substring(h, 1, 3), 16, 10).cast("int"))
+    grid = bucketed.groupBy("i", "bucket").agg(
+        F.count(F.lit(1)).alias("c"))
+    cand = bucketed.select("token", "i", "bucket").distinct()
+    est = (
+        cand.join(F.broadcast(grid), ["i", "bucket"])
+        .groupBy("token")
+        .agg(F.min("c").alias("cm_count"))
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        est.join(F.broadcast(total))
+        .filter(F.col("cm_count") * 200 > F.col("_total"))
+        .select("token", "cm_count")
+    )

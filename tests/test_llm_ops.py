@@ -573,3 +573,37 @@ def test_f3_wide_key_equals_env_mode(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_LSH_PLANES", "8")
     env_mode = sorted(map(tuple, f3_lsh_ann(spark, SF_DIR).collect()))
     assert wide == env_mode
+
+
+def test_f34_count_min_one_sided_error_and_no_false_negatives(spark):
+    """r11: the count-min contract — cm_count NEVER under-estimates
+    (min over 4 rows each >= the true count), and therefore every
+    token whose TRUE frequency clears the 0.5% threshold is reported
+    (no false negatives; false positives are the sketch's documented
+    one-sided trade)."""
+    from nyc_taxi_data_engineering_project_spark.catalog import table
+    from nyc_taxi_data_engineering_project_spark.queries.llm import (
+        _tokens,
+        f34_heavy_hitters,
+    )
+
+    got = {r.token: r.cm_count
+           for r in f34_heavy_hitters(spark, SF_DIR).collect()}
+    assert got, "corpus produced no heavy hitters"
+
+    toks = (
+        table(spark, SF_DIR, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(_tokens()).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    true = {r.token: r.n for r in
+            toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+            .collect()}
+    total = sum(true.values())
+
+    for tok, est in got.items():
+        assert est >= true[tok], (tok, est, true[tok])
+    truly_heavy = {t for t, n in true.items() if n * 200 > total}
+    missed = truly_heavy - set(got)
+    assert not missed, f"CM under-estimated a heavy token: {missed}"

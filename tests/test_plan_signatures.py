@@ -73,7 +73,13 @@ def test_no_cartesian_products_anywhere(derived):
 #   c6_cross_join      — deliberate small×small cross (5×25 dims)
 #   c7_range_join      — non-equi band join, broadcast band table
 #   f3_cosine_topk     — one broadcast query vector vs the corpus
-_BNLJ_OK = {"c6_cross_join", "c7_range_join", "f3_cosine_topk"}
+_BNLJ_OK = {
+    "c6_cross_join", "c7_range_join", "f3_cosine_topk",
+    # r11: f34's BNL is the ONE-ROW scalar total (the 0.5%-of-stream
+    # threshold) broadcast onto the vocabulary-sized estimate frame —
+    # the bounded-scalar-join spelling, not an unbounded cross product
+    "f34_heavy_hitters",
+}
 
 
 def test_nested_loop_joins_only_on_bounded_small_sides(derived):
