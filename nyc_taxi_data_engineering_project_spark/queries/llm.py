@@ -3212,3 +3212,122 @@ def f34_heavy_hitters(spark, sf_dir):
         .filter(F.col("cm_count") * 200 > F.col("_total"))
         .select("token", "cm_count")
     )
+
+
+# ------------------------------------- F35: Bloom-filter decontamination
+# Completes the portable-sketch taxonomy (r11): HLL = cardinality
+# (c38_portable_hll), histogram = quantile (c11_portable_quantile),
+# count-min = frequency (f34), BLOOM = membership. k=3 seeded
+# positions per gram over m=2^16 bits: the whole filter is <= 3x|eval
+# grams| DISTINCT 16-bit integers — ~8 KB as a bitmap — against a
+# corpus-sized gram stream.
+_BLOOM_K = 3
+
+_F35_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), g AS (
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(toks[i : i + {_DECON_W - 1}], ' ')) AS gh
+        FROM (SELECT doc_id, toks,
+                     unnest(range(1, len(toks) - {_DECON_W - 2})) AS i
+              FROM t)
+    ), gp AS (
+        SELECT doc_id, gh,
+               (POSITION(substr(h, 1, 1) IN '0123456789abcdef') - 1) * 4096
+             + (POSITION(substr(h, 2, 1) IN '0123456789abcdef') - 1) * 256
+             + (POSITION(substr(h, 3, 1) IN '0123456789abcdef') - 1) * 16
+             + (POSITION(substr(h, 4, 1) IN '0123456789abcdef') - 1)
+                   AS pos
+        FROM (
+            SELECT doc_id, gh,
+                   md5(CAST(j AS VARCHAR) || ':' || gh) AS h
+            FROM g, (SELECT unnest([0, 1, 2]) AS j)
+        )
+    ), bits AS (
+        SELECT DISTINCT pos FROM gp WHERE doc_id % 89 = 0
+    ), khit AS (
+        SELECT doc_id, gh,
+               COUNT(*) FILTER (WHERE b.pos IS NOT NULL) AS k_hit
+        FROM gp LEFT JOIN bits b ON gp.pos = b.pos
+        GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(*) FILTER (WHERE k_hit = {_BLOOM_K}) AS n_bloom_hit,
+           (COUNT(*) FILTER (WHERE k_hit = {_BLOOM_K})) * 10 >= COUNT(*)
+               AS contaminated
+    FROM khit GROUP BY 1
+"""
+
+
+@query("f35_bloom_decontaminate", oracle=_F35_SQL)
+def f35_bloom_decontaminate(spark, sf_dir):
+    """F35 (r11, self-initiated): f30's n-gram decontamination with the
+    eval-gram set compressed into a PORTABLE BLOOM FILTER — the
+    membership sketch, oracle-exact because every step is integer/string
+    ops both engines compute identically: each distinct 5-gram md5 maps
+    to k=3 seeded positions (md5("j:gram"), 4 hex chars -> 2^16 bits,
+    the f34 position trick), the filter is the DISTINCT position set of
+    the planted eval grams (doc_id % 89, f30's stand-in), a gram
+    bloom-hits iff ALL k positions are set, and a doc is contaminated
+    at >= 10% bloom-hit grams (f30's overlap rule, integer
+    comparison).
+
+    Why a Bloom filter when f30 broadcasts exact gram hashes: the
+    exact set costs 16 bytes per eval gram; the filter is m = 2^16
+    BITS TOTAL (~8 KB serialized) at any eval-set size up to its
+    capacity — the structure a 1000-executor decontamination ships to
+    every task when even the hash set is too big to broadcast. The
+    price is one-sided false positives (over-flagging, never
+    under-flagging — bloom membership cannot miss), pinned against
+    f30's exact answer in tests/test_llm_ops.py.
+
+    Scale posture mirrors f30: per-doc gram dedup map-side
+    (array_distinct before the explode), positions join the tiny bits
+    set (AQE broadcast-when-small — the planted set grows with the
+    corpus, a REAL eval suite is fixed KBs), per-doc rollup is one
+    map-side-combinable aggregate."""
+    toked = table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("toks")
+    )
+    grams = toked.filter(F.size("toks") >= _DECON_W).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (_DECON_W - 1)),
+                    lambda i: F.md5(F.array_join(
+                        F.slice("toks", i, _DECON_W), " ")),
+                )
+            )
+        ).alias("gh"),
+    )
+    h = F.md5(F.concat_ws(":", F.col("j"), F.col("gh")))
+    gp = grams.select(
+        "doc_id", "gh",
+        F.explode(F.array(*[F.lit(j) for j in range(_BLOOM_K)])).alias("j"),
+    ).withColumn("pos", F.conv(F.substring(h, 1, 4), 16, 10).cast("int"))
+    bits = (
+        gp.filter(F.col("doc_id") % 89 == 0)
+        .select("pos").distinct()
+        .withColumn("_set", F.lit(True))
+    )
+    khit = (
+        gp.join(bits, "pos", "left")
+        .groupBy("doc_id", "gh")
+        .agg(F.sum(F.when(F.col("_set"), 1).otherwise(0)).alias("k_hit"))
+    )
+    return (
+        khit.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("k_hit") == _BLOOM_K, 1).otherwise(0))
+            .alias("n_bloom_hit"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_bloom_hit",
+            (F.col("n_bloom_hit") * 10 >= F.col("n_grams"))
+            .alias("contaminated"),
+        )
+    )

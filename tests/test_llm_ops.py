@@ -607,3 +607,26 @@ def test_f34_count_min_one_sided_error_and_no_false_negatives(spark):
     truly_heavy = {t for t, n in true.items() if n * 200 > total}
     missed = truly_heavy - set(got)
     assert not missed, f"CM under-estimated a heavy token: {missed}"
+
+
+def test_f35_bloom_never_misses_what_f30_catches(spark):
+    """r11: the Bloom membership contract — bloom-hit grams are a
+    SUPERSET of exact-membership grams (false positives allowed, false
+    negatives impossible), so per doc n_bloom_hit >= f30's exact n_hit
+    and every f30-contaminated doc is f35-contaminated."""
+    from nyc_taxi_data_engineering_project_spark.queries.llm import (
+        f30_ngram_decontaminate,
+        f35_bloom_decontaminate,
+    )
+
+    exact = {r.doc_id: (r.n_hit, r.contaminated)
+             for r in f30_ngram_decontaminate(spark, SF_DIR).collect()}
+    bloom = {r.doc_id: (r.n_bloom_hit, r.contaminated)
+             for r in f35_bloom_decontaminate(spark, SF_DIR).collect()}
+    assert set(exact) == set(bloom)
+    assert any(c for _, c in exact.values()), "no contaminated docs"
+    for d, (n_hit, contaminated) in exact.items():
+        n_bloom, bloom_c = bloom[d]
+        assert n_bloom >= n_hit, (d, n_bloom, n_hit)
+        if contaminated:
+            assert bloom_c, f"bloom missed contaminated doc {d}"

@@ -38,8 +38,10 @@ def test_registry_matches_frozen_surface():
     # demos; r10 adds c41_lateral_topk (LATERAL correlated derived
     # table, shared SQL text both engines); r11 adds f3_lsh_ann_wide
     # (the wide LSH scale mode itself under oracle — 8 prefix-stable
-    # planes inlined on both sides) and f34_heavy_hitters (portable
-    # count-min, exact-integer twin). The 6 rows-only keys are
-    # genuine sketches/library-RNG (c10/c11 approx, c29_sample, c38,
-    # f19/f20)
-    assert len(got) == 144 and sum(v == "oracle" for v in got.values()) == 138
+    # planes inlined on both sides), f34_heavy_hitters (portable
+    # count-min, exact-integer twin) and f35_bloom_decontaminate
+    # (portable Bloom membership) — completing the oracle-grade
+    # sketch taxonomy: cardinality/quantile/frequency/membership.
+    # The 6 rows-only keys are genuine sketches/library-RNG
+    # (c10/c11 approx, c29_sample, c38, f19/f20)
+    assert len(got) == 145 and sum(v == "oracle" for v in got.values()) == 139
