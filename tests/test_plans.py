@@ -82,7 +82,14 @@ def test_f1_dedup_aggregate_is_partial(spark):
 # c6 is the cross-join operator itself; c7 is a broadcast band lookup;
 # f3's exact baseline is a deliberate broadcast all-pairs (its scale path
 # f3_lsh_ann joins equi on bucket id and is asserted below).
-NON_EQUI_ALLOWED = {"c6_cross_join", "c7_range_join", "f3_cosine_topk"}
+NON_EQUI_ALLOWED = {
+    "c6_cross_join", "c7_range_join", "f3_cosine_topk",
+    # r11: f34's nested-loop is the ONE-ROW scalar total (the
+    # threshold) broadcast onto the estimate frame — the accepted
+    # scalar-broadcast spelling (cf. advanced.py's c6 helper), not an
+    # unbounded cross product (same allowlist as test_plan_signatures)
+    "f34_heavy_hitters",
+}
 
 # streaming keys exercise readStream plumbing in their rows-only form and
 # are planned separately by the streaming engine
