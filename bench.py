@@ -18,6 +18,28 @@ worker spawns) is strictly additive, so min-of-N estimates the true
 steady-state cost (the standard JMH/hyperfine posture). Round-1 runs
 measured single-shot and the same keys swung 4-10× between runs purely
 by which of them absorbed the pauses.
+
+Noise-immune per-key metrics (r12, verdict ask 2): wall clock on this
+shared box has a documented ±40% ambient band, which made every
+round-over-round delta an adjudication. Each key now ALSO records, via
+the Spark event log (the same source scripts/shuffle_audit.py uses):
+
+- ``task_cpu_s`` — summed executor task-thread CPU seconds. CPU time
+  is what the plan actually burns; page-cache state, GC pauses on
+  other threads, and co-tenant load move wall but barely move it. The
+  r12+ regression read uses this as the PRIMARY per-key signal; wall
+  stays the gate.
+- ``shuffle_bytes`` — summed shuffle bytes written. A plan regression
+  (new Exchange, lost broadcast) shows here exactly, with zero noise.
+
+Jobs are attributed per key/rep through thread-local job groups, so
+the handful of jobs streaming keys launch from their microbatch
+threads fall outside their group — streaming task_cpu_s undercounts
+by that share (same known limit as SHUFFLE_AUDIT; the d-keys'
+authoritative cost model is the replay tests). Python-worker CPU
+(Pandas UDF keys) is likewise outside executor CPU time by
+definition. BENCH_DETAIL.json carries the full per-key triple under
+``metrics``; ``queries`` stays wall-only for older readers.
 """
 
 from __future__ import annotations
@@ -51,9 +73,63 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _group_metrics(evlog: str) -> dict[str, dict[str, float]]:
+    """job-group -> {task_cpu_s, shuffle_bytes} from the event log —
+    the SparkListenerTaskEnd walk scripts/shuffle_audit.py proved out,
+    extended with Executor CPU Time (ns)."""
+    paths = []
+    for root, _dirs, files in os.walk(evlog):
+        paths += [os.path.join(root, f) for f in files
+                  if not f.startswith((".", "appstatus"))]
+    stage_group: dict[int, str] = {}
+    out: dict[str, dict[str, float]] = {}
+    for path in paths:
+        with open(path) as fh:
+            for line in fh:
+                if '"SparkListenerJobStart"' in line:
+                    try:
+                        ev = json.loads(line)
+                        grp = (ev.get("Properties") or {}).get(
+                            "spark.jobGroup.id")
+                        if grp:
+                            for sid in ev.get("Stage IDs", []):
+                                stage_group[int(sid)] = grp
+                    except (ValueError, json.JSONDecodeError):
+                        continue
+                elif '"SparkListenerTaskEnd"' in line:
+                    try:
+                        ev = json.loads(line)
+                        grp = stage_group.get(int(ev.get("Stage ID", -1)))
+                        if grp is None:
+                            continue
+                        tm = ev.get("Task Metrics") or {}
+                        sw = tm.get("Shuffle Write Metrics") or {}
+                        d = out.setdefault(
+                            grp, {"task_cpu_s": 0.0, "shuffle_bytes": 0})
+                        d["task_cpu_s"] += int(
+                            tm.get("Executor CPU Time", 0)) / 1e9
+                        d["shuffle_bytes"] += int(
+                            sw.get("Shuffle Bytes Written", 0))
+                    except (ValueError, json.JSONDecodeError):
+                        continue
+    return out
+
+
 def main() -> None:
+    import shutil
+    import tempfile
+
     registry.load_all()
-    spark = get_session("bench")
+    # event log feeds the per-key {task_cpu_s, shuffle_bytes} metrics;
+    # uncompressed JSON at bench scale is ~1 MB/s of sequential write —
+    # inside the ambient band, and the CPU numbers it buys are immune
+    # to the band entirely
+    evlog = tempfile.mkdtemp(prefix="bench_ev_")
+    spark = get_session("bench", extra_conf={
+        "spark.eventLog.enabled": "true",
+        "spark.eventLog.dir": f"file://{evlog}",
+        "spark.eventLog.compress": "false",
+    })
 
     # Opt-in A15 workload layout (catalog.build_workload_layout): with
     # SPARK_GRAFT_LAYOUT_DIR set, the full four-table layout (orderkey-
@@ -87,18 +163,26 @@ def main() -> None:
 
     REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
+    reps_run: dict[str, int] = {}
     for key in sorted(registry.QUERIES):
         fn = registry.QUERIES[key]
         best = -1.0
-        for _ in range(REPS):
+        reps_run[key] = 0
+        for rep in range(REPS):
+            # thread-local tag: every job this rep submits lands in one
+            # event-log group so _group_metrics can attribute it
+            spark.sparkContext.setJobGroup(f"{key}::rep{rep}", key)
             t0 = time.perf_counter()
             try:
                 _materialize(fn(spark, SF_DIR))
                 t = round(time.perf_counter() - t0, 3)
                 best = t if best < 0 else min(best, t)
+                reps_run[key] = rep + 1
             except Exception as exc:  # a failing key must not hide others
                 print(f"# BENCH ERROR {key}: {exc}", file=sys.stderr)
                 break
+            finally:
+                spark.sparkContext.setJobGroup("bench-untagged", "")
             # clear between reps as well as keys: rep 2 must re-run the
             # whole plan cold, not read rep 1's pinned frames
             spark.catalog.clearCache()
@@ -106,6 +190,31 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = _sf_of(SF_DIR)
+
+    # flush + parse the event log into per-key noise-immune metrics:
+    # min task-CPU across reps (min-of-N, same additive-noise argument
+    # as wall) and that same rep's shuffle bytes (bytes are
+    # plan-deterministic — reps agree to the byte unless AQE flips a
+    # runtime decision, in which case min-CPU rep is the steady state)
+    spark.stop()
+    metrics: dict[str, dict[str, float]] = {}
+    try:
+        by_group = _group_metrics(evlog)
+        for key, n in reps_run.items():
+            per_rep = [by_group[f"{key}::rep{r}"] for r in range(n)
+                       if f"{key}::rep{r}" in by_group]
+            if not per_rep:
+                continue
+            pick = min(per_rep, key=lambda d: d["task_cpu_s"])
+            metrics[key] = {
+                "wall_s": timings[key],
+                "task_cpu_s": round(pick["task_cpu_s"], 3),
+                "shuffle_bytes": int(pick["shuffle_bytes"]),
+            }
+    except Exception as exc:
+        print(f"# BENCH METRICS PARSE ERROR: {exc}", file=sys.stderr)
+    finally:
+        shutil.rmtree(evlog, ignore_errors=True)
 
     # Full per-key detail → repo file (the driver's stdout tail capture is
     # ~2 KB; a 104-key JSON line is ~2.7 KB and gets decapitated, r01).
@@ -116,6 +225,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "n_queries": len(timings),
+        # r12 (verdict ask 2): {wall_s, task_cpu_s, shuffle_bytes} per
+        # key — task_cpu_s is the primary regression signal (immune to
+        # the box's ±40% wall band), wall stays the gate
+        "metrics": metrics,
     }
     if layout_build_s is not None:
         detail["layout_dir"] = layout_dir
@@ -145,8 +258,7 @@ def main() -> None:
          "n_queries": len(timings), "queries_shown": len(out),
          "detail": "BENCH_DETAIL.json"},
         separators=(",", ":"),
-    ))
-    spark.stop()
+    ))  # session already stopped above (event-log flush)
 
 
 if __name__ == "__main__":

@@ -710,12 +710,22 @@ def _build_layout_tables(
             planes_req = lsh_planes
             default_planes = len(_LSH_DEFAULT)
             manifest_planes = (manifest or {}).get("lsh_planes")
-            eff_planes: int | None = (planes_req or manifest_planes
+            # stored width of an EXISTING build: manifest first; for a
+            # conf-only pre-manifest layout (manifest None) fall back
+            # to the .lsh_planes conf set at the original build —
+            # otherwise a wide stored assignment would silently
+            # re-register as the 4-plane default and _embeddings would
+            # trust a wide bucket as 4-plane (r11 ADVICE)
+            conf_planes = spark.conf.get(conf_key + ".lsh_planes", None)
+            stored_planes = manifest_planes or (
+                int(conf_planes) if conf_planes else None)
+            eff_planes: int | None = (planes_req or stored_planes
                                       or default_planes)
         else:
             planes_req = None
             default_planes = 0
             manifest_planes = None
+            stored_planes = None
             eff_planes = None
 
         def _toctou_gate(what: str) -> None:
@@ -801,7 +811,7 @@ def _build_layout_tables(
                             conf_key + ".buckets", str(int(buckets)))))
             planes_mismatch = (
                 planes_req is not None
-                and planes_req != (manifest_planes or default_planes))
+                and planes_req != (stored_planes or default_planes))
             if (buckets_explicit and existing != int(buckets)) \
                     or planes_mismatch:
                 # fresh table, but built at a DIFFERENT count/width
@@ -818,7 +828,7 @@ def _build_layout_tables(
                 # proof)
                 reg_buckets = existing
                 if name == "embeddings":
-                    eff_planes = manifest_planes or default_planes
+                    eff_planes = stored_planes or default_planes
         else:
             # drifted: diff the part maps — append-only drift is the
             # incremental path, anything else rebuilds in full

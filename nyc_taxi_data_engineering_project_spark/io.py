@@ -176,6 +176,15 @@ def ingest_trips(spark: SparkSession, source_path: str, target: str) -> int:
     )
 
 
+# filesystem schemes Hadoop/Spark report or accept in table locations;
+# a single-slash 'file:/path' (no '//') is URI-parsed only for these —
+# any other 'word:' prefix is treated as a raw OS path (r11 ADVICE)
+_KNOWN_FS_SCHEMES = frozenset({
+    "file", "hdfs", "viewfs", "o3fs", "ofs", "s3", "s3a", "s3n", "gs",
+    "abfs", "abfss", "wasb", "wasbs", "oss", "dbfs", "cos", "swift",
+})
+
+
 def _normalize_location(loc: str) -> str:
     """Canonicalize a table location for equality comparison (r10
     ADVICE; r11 review fix): DESCRIBE FORMATTED reports a Hadoop URI
@@ -186,11 +195,20 @@ def _normalize_location(loc: str) -> str:
     would normalize to '/data/run' and both false-refuse a legitimate
     append and false-pass a different directory). Local (file/bare)
     locations realpath; remote schemes compare as
-    scheme://netloc/decoded-path."""
+    scheme://netloc/decoded-path.
+
+    What counts as "carries a scheme" (r11 ADVICE): a leading
+    ``name:`` alone does NOT — a relative dir literally named
+    ``data:v2/part`` would otherwise take the URI branch. Only an
+    explicit ``scheme://`` or a KNOWN filesystem scheme qualifies
+    (the known set covers Hadoop's single-slash ``file:/path``
+    spelling that DESCRIBE FORMATTED reports)."""
     import re
     from urllib.parse import unquote, urlparse
 
-    if not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", loc):
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):(//)?", loc)
+    if not m or (m.group(2) is None
+                 and m.group(1).lower() not in _KNOWN_FS_SCHEMES):
         return os.path.realpath(loc)  # raw OS path: no URI semantics
     parsed = urlparse(loc)
     if parsed.scheme == "file":

@@ -3126,6 +3126,120 @@ def f33_data_quality(spark, sf_dir):
 _CM_D = 4
 _CM_W = 4096
 
+
+def _cm_token_stream(spark, sf_dir):
+    """The documents token stream the CM sketch summarizes."""
+    return (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(_tokens()).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+
+
+def _cm_bucketed(toks):
+    """(token, ...) -> (token, ..., i, bucket): ONE md5 per token row,
+    row i's bucket = hex chars [3i+1, 3i+3] -> 12 bits (r12, verdict
+    ask 5: ¼ the hash work of the former per-row md5("i:token"); md5
+    bits are independent, so disjoint nibble ranges of one digest act
+    as the d seeded hashes)."""
+    hashed = toks.withColumn("_h", F.md5(F.col("token")))
+    seeded = hashed.select(
+        "*",
+        F.explode(F.array(*[F.lit(i) for i in range(_CM_D)])).alias("i"),
+    )
+    return seeded.withColumn(
+        "bucket",
+        F.conv(F.expr("substring(_h, i * 3 + 1, 3)"), 16, 10).cast("int"),
+    ).drop("_h")
+
+
+def _cm_grid_of(toks):
+    """The count-min GRID: per-(row, bucket) occurrence counts —
+    <= _CM_D × _CM_W integer counters at any stream size, the whole
+    sketch as one map-side-combinable aggregate."""
+    return (_cm_bucketed(toks)
+            .groupBy("i", "bucket")
+            .agg(F.count(F.lit(1)).alias("c")))
+
+
+def cm_estimate_against(cand_bucketed, grid, complete: bool = False):
+    """(token, i, bucket) candidates × grid -> (token, cm_count): the
+    INTEGER MIN over the d rows' cells. ``complete=True`` treats a
+    NEVER-HIT cell as the true count 0 (left join + coalesce) — needed
+    when the queried tokens may not come from the summarized stream;
+    f34's candidates ARE the stream vocabulary, so every cell is >= 1
+    and the inner join is exact there."""
+    joined = cand_bucketed.join(F.broadcast(grid), ["i", "bucket"],
+                                "left" if complete else "inner")
+    c = F.coalesce(F.col("c"), F.lit(0)) if complete else F.col("c")
+    return (joined.groupBy("token")
+            .agg(F.min(c).alias("cm_count")))
+
+
+def build_cm_grid(spark, sf_dir: str, path: str) -> dict:
+    """Productized count-min deployment, step 1 (r11 verdict ask 3):
+    summarize the documents token stream into a PERSISTED grid at
+    ``path`` — f34's exact geometry (d=4 × w=4096, one-md5 split) —
+    so a later session estimates any queried token without touching
+    the corpus again. This is the API f34's docstring promises: "a
+    100 TB deployment estimates only QUERIED tokens against the same
+    stored grid". One pass over the stream builds the grid; the stream
+    total falls out of the grid itself (every occurrence lands in
+    exactly one row-0 cell), so no second scan. Returns the manifest
+    {d, w, total, source}, also written atomically next to the data
+    (the io.py temp+rename posture)."""
+    import json as _json
+    import os as _os
+
+    toks = _cm_token_stream(spark, sf_dir)
+    grid = _cm_grid_of(toks)
+    _os.makedirs(path, exist_ok=True)
+    grid.coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(path, "grid.parquet"))
+    stored = spark.read.parquet(_os.path.join(path, "grid.parquet"))
+    total = (stored.filter(F.col("i") == 0)
+             .agg(F.sum("c")).collect()[0][0]) or 0
+    manifest = {"d": _CM_D, "w": _CM_W, "total": int(total),
+                "source": sf_dir}
+    tmp = _os.path.join(path, ".manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(manifest, fh)
+    _os.replace(tmp, _os.path.join(path, "manifest.json"))
+    return manifest
+
+
+def cm_estimate(spark, path: str, tokens):
+    """Productized count-min deployment, step 2: estimate the stream
+    frequency of ``tokens`` (a list of strings, or any DataFrame with
+    a ``token`` column) against the grid stored by
+    :func:`build_cm_grid` — (token, cm_count), never under the true
+    count (CM's one-sided guarantee; a token absent from the
+    summarized stream estimates its true 0 unless it collides on all
+    d rows). Refuses loudly if the stored geometry differs from the
+    engine's — estimating at the wrong width would silently return
+    garbage, the catalog's stale-layout posture."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "manifest.json")) as fh:
+        manifest = _json.load(fh)
+    if manifest.get("d") != _CM_D or manifest.get("w") != _CM_W:
+        raise ValueError(
+            f"stored CM grid at {path} was built at geometry "
+            f"d={manifest.get('d')} w={manifest.get('w')}, but this "
+            f"engine estimates at d={_CM_D} w={_CM_W}; rebuild the "
+            f"grid (build_cm_grid) or use the matching engine version."
+        )
+    if not hasattr(tokens, "columns"):
+        tokens = spark.createDataFrame(
+            [(t,) for t in tokens], "token string")
+    grid = spark.read.parquet(_os.path.join(path, "grid.parquet"))
+    return cm_estimate_against(
+        _cm_bucketed(tokens.select("token").distinct()), grid,
+        complete=True)
+
+
 _F34_SQL = f"""
     WITH toks AS (
         SELECT t.token FROM (
@@ -3134,14 +3248,16 @@ _F34_SQL = f"""
         ) t WHERE length(t.token) > 0
     ), bucketed AS (
         SELECT token, i,
-               (POSITION(substr(h, 1, 1) IN '0123456789abcdef') - 1) * 256
-             + (POSITION(substr(h, 2, 1) IN '0123456789abcdef') - 1) * 16
-             + (POSITION(substr(h, 3, 1) IN '0123456789abcdef') - 1)
+               (POSITION(substr(h, i * 3 + 1, 1) IN '0123456789abcdef') - 1)
+                   * 256
+             + (POSITION(substr(h, i * 3 + 2, 1) IN '0123456789abcdef') - 1)
+                   * 16
+             + (POSITION(substr(h, i * 3 + 3, 1) IN '0123456789abcdef') - 1)
                    AS bucket
         FROM (
-            SELECT token, i,
-                   md5(CAST(i AS VARCHAR) || ':' || token) AS h
-            FROM toks, (SELECT unnest([0, 1, 2, 3]) AS i)
+            SELECT token, i, h
+            FROM (SELECT token, md5(token) AS h FROM toks),
+                 (SELECT unnest([0, 1, 2, 3]) AS i)
         )
     ), grid AS (
         SELECT i, bucket, COUNT(*) AS c FROM bucketed GROUP BY 1, 2
@@ -3161,13 +3277,16 @@ def f34_heavy_hitters(spark, sf_dir):
     """F34 (r11, self-initiated): heavy-hitter tokens via a PORTABLE
     count-min sketch — the c38_portable_hll playbook applied to the
     frequency-sketch class. Every step is computed bit-identically by
-    both engines: md5("i:token") picks each of the 4 seeded rows'
-    bucket (3 hex chars -> 4096 buckets, the POSITION string-ops trick
-    from the portable HLL), the grid is per-(row, bucket) COUNT(*),
-    the estimate is the INTEGER MIN over the 4 rows, and a token is
-    reported when cm_count exceeds 0.5% of the stream (the comparison
-    stays in integers: cm_count * 200 > total — no float anywhere, so
-    the twin is exact, not tolerance-gated).
+    both engines: ONE md5(token) per occurrence, split into d=4
+    disjoint 3-hex-char fields — field i is row i's bucket (4096
+    buckets, the POSITION string-ops trick from the portable HLL;
+    md5's bits are independent, so disjoint nibble ranges of one
+    digest serve as the d seeded hashes at ¼ the hash work — the r11
+    verdict's ask 5, was md5("i:token") × 4). The grid is per-(row,
+    bucket) COUNT(*), the estimate is the INTEGER MIN over the 4 rows,
+    and a token is reported when cm_count exceeds 0.5% of the stream
+    (the comparison stays in integers: cm_count * 200 > total — no
+    float anywhere, so the twin is exact, not tolerance-gated).
 
     Scale posture — why a sketch and not a groupBy(token): the GRID is
     the aggregate. Per-(row,bucket) counts partial-aggregate map-side
@@ -3178,34 +3297,23 @@ def f34_heavy_hitters(spark, sf_dir):
     the corpus vocabulary (right for a self-contained key — and the
     distinct is vocabulary-sized, not stream-sized); a 100 TB
     deployment estimates only QUERIED tokens against the same stored
-    grid, which is the point of the structure. CM never
+    grid, which is the point of the structure — and is now product
+    surface: :func:`build_cm_grid` persists the grid once,
+    :func:`cm_estimate` probes it later (r12, verdict ask 3; pinned
+    estimate-for-estimate against this key in test_llm_ops.py). CM never
     under-estimates, so no truly-heavy token can be missed; the
     one-sided error is pinned in tests/test_llm_ops.py.
 
     Reference anchor: the frequency/monitoring class of the
     reference's analytical corpus (SURVEY §2 group F); sketch is
     public Cormode-Muthukrishnan count-min."""
-    toks = (
-        table(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
-        .select(F.explode(_tokens()).alias("token"))
-        .filter(F.length("token") > 0)
-    )
-    seeded = toks.select(
-        "token",
-        F.explode(F.array(*[F.lit(i) for i in range(_CM_D)])).alias("i"),
-    )
-    h = F.md5(F.concat_ws(":", F.col("i"), F.col("token")))
-    bucketed = seeded.withColumn(
-        "bucket", F.conv(F.substring(h, 1, 3), 16, 10).cast("int"))
-    grid = bucketed.groupBy("i", "bucket").agg(
-        F.count(F.lit(1)).alias("c"))
-    cand = bucketed.select("token", "i", "bucket").distinct()
-    est = (
-        cand.join(F.broadcast(grid), ["i", "bucket"])
-        .groupBy("token")
-        .agg(F.min("c").alias("cm_count"))
-    )
+    toks = _cm_token_stream(spark, sf_dir)
+    grid = _cm_grid_of(toks)
+    # candidates: the VOCABULARY (distinct before the d-way explode —
+    # 4× less state into the distinct than distinct(token,i,bucket);
+    # bucket is a pure function of (token, i) so nothing is lost)
+    cand = _cm_bucketed(toks.distinct())
+    est = cm_estimate_against(cand, grid)
     total = toks.agg(F.count(F.lit(1)).alias("_total"))
     return (
         est.join(F.broadcast(total))
@@ -3234,16 +3342,15 @@ _F35_SQL = f"""
               FROM t)
     ), gp AS (
         SELECT doc_id, gh,
-               (POSITION(substr(h, 1, 1) IN '0123456789abcdef') - 1) * 4096
-             + (POSITION(substr(h, 2, 1) IN '0123456789abcdef') - 1) * 256
-             + (POSITION(substr(h, 3, 1) IN '0123456789abcdef') - 1) * 16
-             + (POSITION(substr(h, 4, 1) IN '0123456789abcdef') - 1)
+               (POSITION(substr(gh, j * 4 + 1, 1) IN '0123456789abcdef') - 1)
+                   * 4096
+             + (POSITION(substr(gh, j * 4 + 2, 1) IN '0123456789abcdef') - 1)
+                   * 256
+             + (POSITION(substr(gh, j * 4 + 3, 1) IN '0123456789abcdef') - 1)
+                   * 16
+             + (POSITION(substr(gh, j * 4 + 4, 1) IN '0123456789abcdef') - 1)
                    AS pos
-        FROM (
-            SELECT doc_id, gh,
-                   md5(CAST(j AS VARCHAR) || ':' || gh) AS h
-            FROM g, (SELECT unnest([0, 1, 2]) AS j)
-        )
+        FROM g, (SELECT unnest([0, 1, 2]) AS j)
     ), bits AS (
         SELECT DISTINCT pos FROM gp WHERE doc_id % 89 = 0
     ), khit AS (
@@ -3267,8 +3374,10 @@ def f35_bloom_decontaminate(spark, sf_dir):
     eval-gram set compressed into a PORTABLE BLOOM FILTER — the
     membership sketch, oracle-exact because every step is integer/string
     ops both engines compute identically: each distinct 5-gram md5 maps
-    to k=3 seeded positions (md5("j:gram"), 4 hex chars -> 2^16 bits,
-    the f34 position trick), the filter is the DISTINCT position set of
+    to k=3 seeded positions (its own disjoint 4-hex-char nibble ranges
+    -> 2^16 bits; the gram hash is already an md5 digest, so the
+    positions cost no additional hashing — r12), the filter is the
+    DISTINCT position set of
     the planted eval grams (doc_id % 89, f30's stand-in), a gram
     bloom-hits iff ALL k positions are set, and a doc is contaminated
     at >= 10% bloom-hit grams (f30's overlap rule, integer
@@ -3303,11 +3412,16 @@ def f35_bloom_decontaminate(spark, sf_dir):
             )
         ).alias("gh"),
     )
-    h = F.md5(F.concat_ws(":", F.col("j"), F.col("gh")))
+    # the gram hash gh IS ALREADY an md5 hex digest, so the k seeded
+    # positions are its disjoint 4-hex-char nibble ranges — ZERO
+    # additional hashing (r12, verdict ask 5: was md5("j:gh") × 3; md5
+    # bits are independent across disjoint ranges)
     gp = grams.select(
         "doc_id", "gh",
         F.explode(F.array(*[F.lit(j) for j in range(_BLOOM_K)])).alias("j"),
-    ).withColumn("pos", F.conv(F.substring(h, 1, 4), 16, 10).cast("int"))
+    ).withColumn(
+        "pos",
+        F.conv(F.expr("substring(gh, j * 4 + 1, 4)"), 16, 10).cast("int"))
     bits = (
         gp.filter(F.col("doc_id") % 89 == 0)
         .select("pos").distinct()

@@ -215,14 +215,35 @@ def get_session(app_name: str = "nyc_taxi_data_engineering_project_spark",
         # skip a flag-gated check exactly when it matters (r11 review).
         # When THIS call launched the JVM the conf equals derived_mem
         # and the check is a no-op.
-        running = spark.conf.get("spark.driver.memory", "8g")
-        if _mem_gb(running) < _mem_gb(derived_mem):
+        running_gb, running = _running_heap_gb(spark)
+        if running_gb < _mem_gb(derived_mem):
             print(f"[session] WARNING: running JVM heap {running} is "
                   f"below the derived floor {derived_mem} for "
                   f"{sf_dir}; large shuffles may OOM (restart via "
                   f"get_session(sf_dir=...) before first use, or set "
                   f"SPARK_GRAFT_DRIVER_MEM)", flush=True)
     return spark
+
+
+def _running_heap_gb(spark) -> tuple[float, str]:
+    """The running JVM's heap in GiB, plus a label for the warning.
+
+    Conf first; when the key is ABSENT (a JVM launched outside
+    get_session without it) do NOT assume the engine's 8 g floor —
+    Spark's actual default heap is 1 g, so an '8g' assumption would
+    suppress the undersized-heap warning exactly in the unmanaged-
+    session case it targets (r11 ADVICE). Read the REAL heap from
+    ``Runtime.maxMemory()``; only if even that is unreachable assume
+    Spark's true 1 g default."""
+    running = spark.conf.get("spark.driver.memory", None)
+    if running is not None:
+        return _mem_gb(running), running
+    try:
+        gb = (spark.sparkContext._jvm.java.lang.Runtime
+              .getRuntime().maxMemory() / float(1 << 30))
+        return gb, f"{gb:.1f}g (JVM maxMemory)"
+    except Exception:
+        return 1.0, "1g (Spark default, conf unset)"
 
 
 def _mem_gb(mem: str) -> float:

@@ -52,14 +52,27 @@ from pyspark.sql import SparkSession  # noqa: E402
 # posture; SPARK_GRAFT_ANSI=true lets the edge sweep assert the surface
 # is posture-agnostic by driving BOTH.
 ANSI = os.environ.get("SPARK_GRAFT_ANSI", "false")
-spark = (
-    SparkSession.builder.master("local[8]")
+# SPARK_GRAFT_MASTER (r12, verdict ask 4): everything to date ran ONE
+# JVM (local[N]) — _jvm_token memoization, localCheckpoint, broadcast,
+# and heap sizing all have multi-JVM semantics local mode never
+# exercises. `SPARK_GRAFT_MASTER='local-cluster[2,8,4096]'` drives the
+# identical contract through real separate executor JVMs (2 workers ×
+# 8 cores × 4 GiB); executor Python workers then import the package by
+# PYTHONPATH instead of inheriting the driver process, which is the
+# exact serialization boundary a 1000-executor cluster has.
+MASTER = os.environ.get("SPARK_GRAFT_MASTER", "local[8]")
+_builder = (
+    SparkSession.builder.master(MASTER)
     .appName("drive-contract")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.ansi.enabled", ANSI)
     .config("spark.ui.enabled", "false")
-    .getOrCreate()
 )
+if not MASTER.startswith("local["):
+    # executors are separate JVMs: their Python workers must find the
+    # package and __spark_entry__ on disk, not in the driver's memory
+    _builder = _builder.config("spark.executorEnv.PYTHONPATH", REPO)
+spark = _builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
 # SPARK_GRAFT_DRIVE_LAYOUT=1 (r9): build the full four-table workload

@@ -166,6 +166,55 @@ def main() -> None:
         print(f"n={n_rows} wide_layout({wide}): "
               f"{rec['modes']['wide_layout']}", flush=True)
 
+        # mode 4 (r12, verdict ask 6): lifecycle parity at scale — the
+        # append → compact → serve cycle on the WIDE layout. A ~5%
+        # delta lands as new part files, the maintenance call tags it
+        # at the MANIFEST's pinned width (incremental path), an
+        # explicit compaction merges the per-value runs back to ~one
+        # file, and the served probe must match the fresh-build serve
+        # (wall ≈ wide_layout, recall unchanged). Delta rows are
+        # isotropic like the base corpus, so truth is unaffected.
+        from nyc_taxi_data_engineering_project_spark.catalog import (
+            compact_workload_layout,
+        )
+
+        n_delta = max(n_rows // 20, 1000)
+        first_delta_id = n_rows + N_QUERIES * N_PLANTED
+        delta = spark.range(n_delta).select(
+            (F.lit(first_delta_id) + F.col("id")).alias("vec_id"),
+            F.lit("x").alias("label"),
+            F.array(*[
+                (F.xxhash64((F.col("id") + first_delta_id) * 64
+                            + F.lit(d)) % 1_000_001)
+                .cast("double") / 500_000.0
+                for d in range(64)
+            ]).alias("embedding"),
+        )
+        tmp_delta = os.path.join(WORK, f"delta_{n_rows}")
+        delta.repartition(4).write.mode("overwrite").parquet(tmp_delta)
+        src = os.path.join(sf_dir, "embeddings.parquet")
+        for p in os.listdir(tmp_delta):
+            if p.endswith(".parquet"):
+                shutil.copy(os.path.join(tmp_delta, p),
+                            os.path.join(src, f"delta-{p}"))
+        shutil.rmtree(tmp_delta, ignore_errors=True)
+
+        t0 = time.time()
+        build_workload_layout(spark, sf_dir, lay_dir,
+                              tables=("embeddings",))  # width unstated:
+        # the maintenance call must PIN the stored wide width
+        rec["append_s"] = round(time.time() - t0, 1)
+        assert layout_lsh_planes(spark, sf_dir) == wide
+        t0 = time.time()
+        compact_workload_layout(spark, sf_dir, lay_dir,
+                                tables=("embeddings",))
+        rec["compact_s"] = round(time.time() - t0, 1)
+        rec["modes"]["wide_layout_appended_compacted"] = run_mode(
+            spark, sf_dir, truth)
+        print(f"n={n_rows} wide_layout_appended_compacted({wide}): "
+              f"{rec['modes']['wide_layout_appended_compacted']}",
+              flush=True)
+
         os.environ.pop("SPARK_GRAFT_LSH_PLANES", None)
         drop_workload_layout(spark, sf_dir, tables=("embeddings",))
         out["corpora"].append(rec)

@@ -630,3 +630,53 @@ def test_f35_bloom_never_misses_what_f30_catches(spark):
         assert n_bloom >= n_hit, (d, n_bloom, n_hit)
         if contaminated:
             assert bloom_c, f"bloom missed contaminated doc {d}"
+
+
+def test_cm_grid_store_then_estimate_matches_f34(spark, tmp_path):
+    """r12 (r11 verdict ask 3): the productized deployment —
+    build_cm_grid persists the grid once, cm_estimate probes it later —
+    returns EXACTLY f34's in-query estimate for every corpus-vocabulary
+    token (same geometry, same one-md5 bucketing, same integer MIN),
+    estimates an unseen token at its true 0 via the complete-cell path,
+    and refuses a grid stored under a different geometry."""
+    import json
+    import os
+
+    from nyc_taxi_data_engineering_project_spark.queries.llm import (
+        _cm_bucketed,
+        _cm_grid_of,
+        _cm_token_stream,
+        build_cm_grid,
+        cm_estimate,
+        cm_estimate_against,
+    )
+
+    grid_dir = str(tmp_path / "cm")
+    manifest = build_cm_grid(spark, SF_DIR, grid_dir)
+    assert manifest["d"] == 4 and manifest["w"] == 4096
+
+    toks = _cm_token_stream(spark, SF_DIR)
+    assert manifest["total"] == toks.count()
+
+    # in-query estimate (f34's internal path, pre-threshold)
+    inq = {r.token: r.cm_count for r in cm_estimate_against(
+        _cm_bucketed(toks.distinct()), _cm_grid_of(toks)).collect()}
+    # stored-grid estimate for the same vocabulary
+    stored = {r.token: r.cm_count for r in cm_estimate(
+        spark, grid_dir, toks.distinct()).collect()}
+    assert stored == inq
+
+    # unseen tokens: list input, complete-cell semantics (true 0 unless
+    # it collides on ALL d rows — accept the documented one-sided case)
+    unseen = "graft-never-in-corpus-xyzzy"
+    got = {r.token: r.cm_count for r in cm_estimate(
+        spark, grid_dir, [unseen]).collect()}
+    assert set(got) == {unseen} and got[unseen] >= 0
+
+    # geometry drift refuses loudly
+    mpath = os.path.join(grid_dir, "manifest.json")
+    m = json.load(open(mpath))
+    m["w"] = 1024
+    json.dump(m, open(mpath, "w"))
+    with pytest.raises(ValueError, match="geometry"):
+        cm_estimate(spark, grid_dir, [unseen])

@@ -1152,7 +1152,14 @@ def test_incremental_append_pins_the_stored_wide_width(spark, tmp_path):
             bucket_expr,
         )
 
-        served = spark.table(tbl).select("vec_id", "graft_lsh_bucket")
+        # same isNotNull on BOTH sides (r11 ADVICE): the served layout
+        # materializes buckets over ALL rows (null embeddings land in
+        # HIVE_DEFAULT_PARTITION), so an unfiltered served side would
+        # only equal the filtered expect side while the corpus happens
+        # to contain no null embeddings — a real corpus condition
+        served = (spark.table(tbl)
+                  .filter(F.col("embedding").isNotNull())
+                  .select("vec_id", "graft_lsh_bucket"))
         expect = plain.filter(F.col("embedding").isNotNull()).select(
             "vec_id",
             bucket_expr("lsh", 6, "embedding", as_double=True)
