@@ -3330,6 +3330,102 @@ def f34_heavy_hitters(spark, sf_dir):
 # grams| DISTINCT 16-bit integers — ~8 KB as a bitmap — against a
 # corpus-sized gram stream.
 _BLOOM_K = 3
+_BLOOM_M = 1 << 16  # bit-space: 4 hex chars per position
+
+
+def _bloom_positions(grams):
+    """(…, gh) -> (…, gh, j, pos): the k seeded bit positions of each
+    gram hash. gh IS ALREADY an md5 hex digest, so the positions are
+    its disjoint 4-hex-char nibble ranges — ZERO additional hashing
+    (r12, verdict ask 5: was md5("j:gh") × k; md5 bits are independent
+    across disjoint ranges)."""
+    return grams.select(
+        "*",
+        F.explode(F.array(*[F.lit(j) for j in range(_BLOOM_K)])).alias("j"),
+    ).withColumn(
+        "pos",
+        F.conv(F.expr("substring(gh, j * 4 + 1, 4)"), 16, 10).cast("int"))
+
+
+def gram_hashes(docs, width: int = _DECON_W):
+    """(doc_id, text) -> (doc_id, gh): per-doc DISTINCT rolling
+    ``width``-gram md5s — f30/f35's gram construction as reusable
+    surface (dedup happens map-side inside the array before the
+    explode)."""
+    toked = docs.select("doc_id", _tokens().alias("toks"))
+    return toked.filter(F.size("toks") >= width).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (width - 1)),
+                    lambda i: F.md5(F.array_join(
+                        F.slice("toks", i, width), " ")),
+                )
+            )
+        ).alias("gh"),
+    )
+
+
+def build_bloom_filter(spark, grams, path: str) -> dict:
+    """Productized Bloom deployment, step 1 (r12, self-initiated — the
+    build_cm_grid playbook applied to the membership sketch f35
+    demonstrates): compress an eval-gram set into the persisted
+    DISTINCT-position set at ``path``. ``grams`` is any DataFrame with
+    a ``gh`` md5-hex column (:func:`gram_hashes` builds one from
+    (doc_id, text) docs). The stored filter is <= 2^16 positions
+    (~8 KB as a bitmap, a few hundred KB as parquet ints at worst) at
+    ANY eval-set size — the structure a 1000-executor decontamination
+    broadcasts to every task. Returns + persists the manifest
+    {k, m, n_positions}."""
+    import json as _json
+    import os as _os
+
+    bits = _bloom_positions(grams.select("gh")).select("pos").distinct()
+    _os.makedirs(path, exist_ok=True)
+    bits.coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(path, "bits.parquet"))
+    n = spark.read.parquet(_os.path.join(path, "bits.parquet")).count()
+    manifest = {"k": _BLOOM_K, "m": _BLOOM_M, "n_positions": int(n)}
+    tmp = _os.path.join(path, ".manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(manifest, fh)
+    _os.replace(tmp, _os.path.join(path, "manifest.json"))
+    return manifest
+
+
+def bloom_probe(spark, path: str, grams):
+    """Productized Bloom deployment, step 2: tag every row of
+    ``grams`` (any DataFrame with a ``gh`` md5-hex column) with
+    ``bloom_hit`` — true iff ALL k positions are set in the filter
+    stored by :func:`build_bloom_filter`. One-sided: a gram that WAS
+    in the eval set always hits (membership cannot be missed); a miss
+    is definitive. Refuses a filter stored under a different geometry,
+    the cm_estimate posture."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "manifest.json")) as fh:
+        manifest = _json.load(fh)
+    if manifest.get("k") != _BLOOM_K or manifest.get("m") != _BLOOM_M:
+        raise ValueError(
+            f"stored Bloom filter at {path} was built at geometry "
+            f"k={manifest.get('k')} m={manifest.get('m')}, but this "
+            f"engine probes at k={_BLOOM_K} m={_BLOOM_M}; rebuild it "
+            f"(build_bloom_filter) or use the matching engine version."
+        )
+    bits = (spark.read.parquet(_os.path.join(path, "bits.parquet"))
+            .withColumn("_set", F.lit(True)))
+    khit = (
+        _bloom_positions(grams)
+        .join(F.broadcast(bits), "pos", "left")
+        .groupBy(*grams.columns)
+        .agg(F.sum(F.when(F.col("_set"), 1).otherwise(0)).alias("_k_hit"))
+    )
+    return khit.select(
+        *grams.columns,
+        (F.col("_k_hit") == _BLOOM_K).alias("bloom_hit"))
+
 
 _F35_SQL = f"""
     WITH t AS (
@@ -3397,31 +3493,8 @@ def f35_bloom_decontaminate(spark, sf_dir):
     set (AQE broadcast-when-small — the planted set grows with the
     corpus, a REAL eval suite is fixed KBs), per-doc rollup is one
     map-side-combinable aggregate."""
-    toked = table(spark, sf_dir, "documents").select(
-        "doc_id", _tokens().alias("toks")
-    )
-    grams = toked.filter(F.size("toks") >= _DECON_W).select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - (_DECON_W - 1)),
-                    lambda i: F.md5(F.array_join(
-                        F.slice("toks", i, _DECON_W), " ")),
-                )
-            )
-        ).alias("gh"),
-    )
-    # the gram hash gh IS ALREADY an md5 hex digest, so the k seeded
-    # positions are its disjoint 4-hex-char nibble ranges — ZERO
-    # additional hashing (r12, verdict ask 5: was md5("j:gh") × 3; md5
-    # bits are independent across disjoint ranges)
-    gp = grams.select(
-        "doc_id", "gh",
-        F.explode(F.array(*[F.lit(j) for j in range(_BLOOM_K)])).alias("j"),
-    ).withColumn(
-        "pos",
-        F.conv(F.expr("substring(gh, j * 4 + 1, 4)"), 16, 10).cast("int"))
+    grams = gram_hashes(table(spark, sf_dir, "documents"))
+    gp = _bloom_positions(grams)
     bits = (
         gp.filter(F.col("doc_id") % 89 == 0)
         .select("pos").distinct()

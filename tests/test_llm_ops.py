@@ -680,3 +680,49 @@ def test_cm_grid_store_then_estimate_matches_f34(spark, tmp_path):
     json.dump(m, open(mpath, "w"))
     with pytest.raises(ValueError, match="geometry"):
         cm_estimate(spark, grid_dir, [unseen])
+
+
+def test_bloom_build_then_probe_matches_f35(spark, tmp_path):
+    """r12 (self-initiated, the build_cm_grid playbook on the
+    membership sketch): build_bloom_filter persists the eval-gram
+    position set once, bloom_probe tags grams in a later pass — and
+    the per-doc rollup of probed hits equals f35's in-query
+    n_bloom_hit/contaminated exactly (same geometry, same
+    nibble-range positions). A filter stored under a different
+    geometry refuses loudly."""
+    import json
+    import os
+
+    from nyc_taxi_data_engineering_project_spark.catalog import table
+    from nyc_taxi_data_engineering_project_spark.queries.llm import (
+        bloom_probe,
+        build_bloom_filter,
+        f35_bloom_decontaminate,
+        gram_hashes,
+    )
+
+    grams = gram_hashes(table(spark, SF_DIR, "documents"))
+    bdir = str(tmp_path / "bloom")
+    manifest = build_bloom_filter(
+        spark, grams.filter(F.col("doc_id") % 89 == 0), bdir)
+    assert manifest["k"] == 3 and manifest["m"] == 65536
+    assert 0 < manifest["n_positions"] <= 65536
+
+    probed = bloom_probe(spark, bdir, grams)
+    got = {
+        r.doc_id: (r.n_grams, r.n_bloom_hit)
+        for r in probed.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+            .alias("n_bloom_hit")).collect()
+    }
+    want = {r.doc_id: (r.n_grams, r.n_bloom_hit)
+            for r in f35_bloom_decontaminate(spark, SF_DIR).collect()}
+    assert got == want
+
+    mpath = os.path.join(bdir, "manifest.json")
+    m = json.load(open(mpath))
+    m["k"] = 5
+    json.dump(m, open(mpath, "w"))
+    with pytest.raises(ValueError, match="geometry"):
+        bloom_probe(spark, bdir, grams)
