@@ -3240,6 +3240,52 @@ def cm_estimate(spark, path: str, tokens):
         complete=True)
 
 
+def merge_cm_grids(spark, paths, out_path: str) -> dict:
+    """Productized count-min deployment, step 1b (r12): MERGE
+    shard-built grids into one. The grid is a linear sketch — each
+    cell is a plain count, so the grid of a union of streams is the
+    cell-wise SUM of the shards' grids, exactly (no approximation is
+    introduced by sharding; pinned cell-for-cell against the
+    whole-corpus build in test_llm_ops.py). This is how a 100 TB
+    deployment builds the structure: every ingest shard summarizes its
+    own slice with :func:`build_cm_grid`, the ≤ d×w-row grids merge
+    here (driver-light — the inputs are already sketch-sized), and
+    :func:`cm_estimate` probes the merged result. Refuses geometry
+    drift across shards, the cm_estimate posture."""
+    import json as _json
+    import os as _os
+    from functools import reduce
+
+    totals = 0
+    sources = []
+    for p in paths:
+        with open(_os.path.join(p, "manifest.json")) as fh:
+            m = _json.load(fh)
+        if m.get("d") != _CM_D or m.get("w") != _CM_W:
+            raise ValueError(
+                f"CM grid at {p} has geometry d={m.get('d')} "
+                f"w={m.get('w')} != engine d={_CM_D} w={_CM_W}; "
+                f"grids merge only at one geometry."
+            )
+        totals += int(m["total"])
+        sources.append(m.get("source"))
+    merged = reduce(
+        lambda a, b: a.unionByName(b),
+        [spark.read.parquet(_os.path.join(p, "grid.parquet"))
+         for p in paths],
+    ).groupBy("i", "bucket").agg(F.sum("c").alias("c"))
+    _os.makedirs(out_path, exist_ok=True)
+    merged.coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(out_path, "grid.parquet"))
+    manifest = {"d": _CM_D, "w": _CM_W, "total": totals,
+                "source": sources}
+    tmp = _os.path.join(out_path, ".manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(manifest, fh)
+    _os.replace(tmp, _os.path.join(out_path, "manifest.json"))
+    return manifest
+
+
 _F34_SQL = f"""
     WITH toks AS (
         SELECT t.token FROM (

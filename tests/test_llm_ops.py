@@ -726,3 +726,54 @@ def test_bloom_build_then_probe_matches_f35(spark, tmp_path):
     json.dump(m, open(mpath, "w"))
     with pytest.raises(ValueError, match="geometry"):
         bloom_probe(spark, bdir, grams)
+
+
+def test_cm_grids_merge_exactly(spark, tmp_path):
+    """r12: the grid is a LINEAR sketch — shard-built grids summed
+    cell-wise equal the whole-corpus grid exactly, so a sharded 100 TB
+    build introduces no approximation beyond the sketch itself. Also
+    pins: estimates off the merged grid == estimates off the
+    whole-corpus grid, and mixed-geometry merges refuse."""
+    import json
+    import os
+
+    from nyc_taxi_data_engineering_project_spark.queries.llm import (
+        build_cm_grid,
+        cm_estimate,
+        merge_cm_grids,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    dirs = []
+    for i, pred in enumerate([F.col("doc_id") % 2 == 0,
+                              F.col("doc_id") % 2 == 1]):
+        d = str(tmp_path / f"shard{i}")
+        os.makedirs(d)
+        docs.filter(pred).coalesce(1).write.parquet(
+            f"{d}/documents.parquet")
+        dirs.append(d)
+
+    g0, g1, gfull, gmerged = (str(tmp_path / n) for n in
+                              ("g0", "g1", "gfull", "gmerged"))
+    build_cm_grid(spark, dirs[0], g0)
+    build_cm_grid(spark, dirs[1], g1)
+    mfull = build_cm_grid(spark, SF_DIR, gfull)
+    mm = merge_cm_grids(spark, [g0, g1], gmerged)
+    assert mm["total"] == mfull["total"]
+
+    cells = lambda p: {  # noqa: E731
+        (r.i, r.bucket): r.c
+        for r in spark.read.parquet(f"{p}/grid.parquet").collect()}
+    assert cells(gmerged) == cells(gfull)
+
+    probe = ["the", "graft-never-in-corpus-xyzzy"]
+    est = lambda p: {r.token: r.cm_count  # noqa: E731
+                     for r in cm_estimate(spark, p, probe).collect()}
+    assert est(gmerged) == est(gfull)
+
+    mpath = os.path.join(g1, "manifest.json")
+    m = json.load(open(mpath))
+    m["d"] = 8
+    json.dump(m, open(mpath, "w"))
+    with pytest.raises(ValueError, match="geometry"):
+        merge_cm_grids(spark, [g0, g1], str(tmp_path / "bad"))
