@@ -52,6 +52,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from nyc_taxi_data_engineering_project_spark import registry  # noqa: E402
+from nyc_taxi_data_engineering_project_spark.evlog import (  # noqa: E402
+    group_task_metrics,
+)
 from nyc_taxi_data_engineering_project_spark.session import get_session  # noqa: E402
 from nyc_taxi_data_engineering_project_spark.envguard import scrub_contract_env
 
@@ -71,48 +74,6 @@ def _sf_of(path: str) -> float:
 def _materialize(df) -> None:
     # noop sink evaluates every row/column without driver collect or I/O
     df.write.format("noop").mode("overwrite").save()
-
-
-def _group_metrics(evlog: str) -> dict[str, dict[str, float]]:
-    """job-group -> {task_cpu_s, shuffle_bytes} from the event log —
-    the SparkListenerTaskEnd walk scripts/shuffle_audit.py proved out,
-    extended with Executor CPU Time (ns)."""
-    paths = []
-    for root, _dirs, files in os.walk(evlog):
-        paths += [os.path.join(root, f) for f in files
-                  if not f.startswith((".", "appstatus"))]
-    stage_group: dict[int, str] = {}
-    out: dict[str, dict[str, float]] = {}
-    for path in paths:
-        with open(path) as fh:
-            for line in fh:
-                if '"SparkListenerJobStart"' in line:
-                    try:
-                        ev = json.loads(line)
-                        grp = (ev.get("Properties") or {}).get(
-                            "spark.jobGroup.id")
-                        if grp:
-                            for sid in ev.get("Stage IDs", []):
-                                stage_group[int(sid)] = grp
-                    except (ValueError, json.JSONDecodeError):
-                        continue
-                elif '"SparkListenerTaskEnd"' in line:
-                    try:
-                        ev = json.loads(line)
-                        grp = stage_group.get(int(ev.get("Stage ID", -1)))
-                        if grp is None:
-                            continue
-                        tm = ev.get("Task Metrics") or {}
-                        sw = tm.get("Shuffle Write Metrics") or {}
-                        d = out.setdefault(
-                            grp, {"task_cpu_s": 0.0, "shuffle_bytes": 0})
-                        d["task_cpu_s"] += int(
-                            tm.get("Executor CPU Time", 0)) / 1e9
-                        d["shuffle_bytes"] += int(
-                            sw.get("Shuffle Bytes Written", 0))
-                    except (ValueError, json.JSONDecodeError):
-                        continue
-    return out
 
 
 def main() -> None:
@@ -199,7 +160,7 @@ def main() -> None:
     spark.stop()
     metrics: dict[str, dict[str, float]] = {}
     try:
-        by_group = _group_metrics(evlog)
+        by_group = group_task_metrics(evlog)
         for key, n in reps_run.items():
             per_rep = [by_group[f"{key}::rep{r}"] for r in range(n)
                        if f"{key}::rep{r}" in by_group]

@@ -2925,25 +2925,14 @@ def f30_ngram_decontaminate(spark, sf_dir):
     the corpus gram stream never shuffles for it; the per-doc overlap
     count is one map-side-combinable aggregate. Gram explosion is the
     inherent output size (rows × ~n_tokens) and fuses with the scan."""
-    toked = table(spark, sf_dir, "documents").select(
-        "doc_id", _tokens().alias("toks")
-    )
-    # per-doc gram dedup is MAP-SIDE: all of a doc's grams live in one
-    # row's array, so array_distinct before the explode replaces what
-    # would otherwise be a corpus-sized .distinct() shuffle of 16-byte
-    # keys with zero-coordination per-row work
-    grams = toked.filter(F.size("toks") >= _DECON_W).select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - (_DECON_W - 1)),
-                    lambda i: F.md5(F.array_join(
-                        F.slice("toks", i, _DECON_W), " ")),
-                )
-            )
-        ).alias("gh"),
-    )
+    # per-doc gram dedup is MAP-SIDE inside gram_hashes: all of a doc's
+    # grams live in one row's array, so array_distinct before the
+    # explode replaces what would otherwise be a corpus-sized
+    # .distinct() shuffle of 16-byte keys with zero-coordination
+    # per-row work. ONE gram constructor for f30/f35/build_bloom_filter
+    # (r12 review): the exact set and the Bloom sketch must stay
+    # bit-identical, so they share the expression.
+    grams = gram_hashes(table(spark, sf_dir, "documents"))
     eval_grams = (
         grams.filter(F.col("doc_id") % 89 == 0).select("gh").distinct()
         .withColumn("hit", F.lit(True))
@@ -3177,6 +3166,26 @@ def cm_estimate_against(cand_bucketed, grid, complete: bool = False):
             .agg(F.min(c).alias("cm_count")))
 
 
+def _write_sketch_parquet(df, target: str) -> None:
+    """Write a (sketch-sized) frame as single-file parquet at
+    ``target`` with tmp+rename-swap semantics (the _compact_one
+    posture): a concurrent reader or a crash never observes a
+    half-written directory — Spark's own overwrite deletes the old
+    tree BEFORE the new files land, which is exactly the window a
+    rebuild-while-serving deployment hits (r12 review)."""
+    import os as _os
+    import shutil as _shutil
+
+    tmp, old = target + ".tmp", target + ".old"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    _shutil.rmtree(old, ignore_errors=True)
+    if _os.path.exists(target):
+        _os.rename(target, old)
+    _os.rename(tmp, target)
+    _shutil.rmtree(old, ignore_errors=True)
+
+
 def build_cm_grid(spark, sf_dir: str, path: str) -> dict:
     """Productized count-min deployment, step 1 (r11 verdict ask 3):
     summarize the documents token stream into a PERSISTED grid at
@@ -3195,8 +3204,7 @@ def build_cm_grid(spark, sf_dir: str, path: str) -> dict:
     toks = _cm_token_stream(spark, sf_dir)
     grid = _cm_grid_of(toks)
     _os.makedirs(path, exist_ok=True)
-    grid.coalesce(1).write.mode("overwrite").parquet(
-        _os.path.join(path, "grid.parquet"))
+    _write_sketch_parquet(grid, _os.path.join(path, "grid.parquet"))
     stored = spark.read.parquet(_os.path.join(path, "grid.parquet"))
     total = (stored.filter(F.col("i") == 0)
              .agg(F.sum("c")).collect()[0][0]) or 0
@@ -3275,8 +3283,7 @@ def merge_cm_grids(spark, paths, out_path: str) -> dict:
          for p in paths],
     ).groupBy("i", "bucket").agg(F.sum("c").alias("c"))
     _os.makedirs(out_path, exist_ok=True)
-    merged.coalesce(1).write.mode("overwrite").parquet(
-        _os.path.join(out_path, "grid.parquet"))
+    _write_sketch_parquet(merged, _os.path.join(out_path, "grid.parquet"))
     manifest = {"d": _CM_D, "w": _CM_W, "total": totals,
                 "source": sources}
     tmp = _os.path.join(out_path, ".manifest.json.tmp")
@@ -3429,8 +3436,7 @@ def build_bloom_filter(spark, grams, path: str) -> dict:
 
     bits = _bloom_positions(grams.select("gh")).select("pos").distinct()
     _os.makedirs(path, exist_ok=True)
-    bits.coalesce(1).write.mode("overwrite").parquet(
-        _os.path.join(path, "bits.parquet"))
+    _write_sketch_parquet(bits, _os.path.join(path, "bits.parquet"))
     n = spark.read.parquet(_os.path.join(path, "bits.parquet")).count()
     manifest = {"k": _BLOOM_K, "m": _BLOOM_M, "n_positions": int(n)}
     tmp = _os.path.join(path, ".manifest.json.tmp")
@@ -3441,8 +3447,10 @@ def build_bloom_filter(spark, grams, path: str) -> dict:
 
 
 def bloom_probe(spark, path: str, grams):
-    """Productized Bloom deployment, step 2: tag every row of
-    ``grams`` (any DataFrame with a ``gh`` md5-hex column) with
+    """Productized Bloom deployment, step 2: tag every distinct row of
+    ``grams`` (any DataFrame with a ``gh`` md5-hex column; duplicate
+    rows collapse to one tagged row, and hits are counted over
+    DISTINCT positions so duplicates can never flip the verdict) with
     ``bloom_hit`` — true iff ALL k positions are set in the filter
     stored by :func:`build_bloom_filter`. One-sided: a gram that WAS
     in the eval set always hits (membership cannot be missed); a miss
@@ -3460,13 +3468,25 @@ def bloom_probe(spark, path: str, grams):
             f"engine probes at k={_BLOOM_K} m={_BLOOM_M}; rebuild it "
             f"(build_bloom_filter) or use the matching engine version."
         )
+    reserved = {"j", "pos", "_set", "_k_hit", "bloom_hit"}
+    clash = reserved & set(grams.columns)
+    if clash:
+        raise ValueError(
+            f"bloom_probe input carries reserved column(s) "
+            f"{sorted(clash)} — the probe adds these internally; "
+            f"rename them first.")
     bits = (spark.read.parquet(_os.path.join(path, "bits.parquet"))
             .withColumn("_set", F.lit(True)))
     khit = (
         _bloom_positions(grams)
         .join(F.broadcast(bits), "pos", "left")
         .groupBy(*grams.columns)
-        .agg(F.sum(F.when(F.col("_set"), 1).otherwise(0)).alias("_k_hit"))
+        # DISTINCT j, not row count: duplicate input rows (per-
+        # occurrence grams) multiply the group's rows, and a plain sum
+        # would report k×dups ≠ k — a false MISS on a gram genuinely
+        # in the filter, breaking the one-sided guarantee
+        .agg(F.count_distinct(F.when(F.col("_set"), F.col("j")))
+             .alias("_k_hit"))
     )
     return khit.select(
         *grams.columns,

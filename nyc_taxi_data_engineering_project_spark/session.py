@@ -216,7 +216,13 @@ def get_session(app_name: str = "nyc_taxi_data_engineering_project_spark",
         # When THIS call launched the JVM the conf equals derived_mem
         # and the check is a no-op.
         running_gb, running = _running_heap_gb(spark)
-        if running_gb < _mem_gb(derived_mem):
+        # maxMemory() excludes one survivor space (~5-10% of -Xmx), so
+        # when the estimate came from the JVM rather than the conf, an
+        # unmanaged heap sized EXACTLY at the floor must not cry wolf —
+        # compare against 0.9× the floor for that branch (r12 review)
+        floor_gb = _mem_gb(derived_mem) * (
+            0.9 if "maxMemory" in running else 1.0)
+        if running_gb < floor_gb:
             print(f"[session] WARNING: running JVM heap {running} is "
                   f"below the derived floor {derived_mem} for "
                   f"{sf_dir}; large shuffles may OOM (restart via "

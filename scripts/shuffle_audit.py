@@ -59,38 +59,14 @@ def _session(evlog: str):
 
 
 def group_shuffle_bytes(evlog: str) -> dict[str, int]:
-    """job-group -> summed task Shuffle Bytes Written, from the event log."""
-    paths = []
-    for root, _dirs, files in os.walk(evlog):
-        paths += [os.path.join(root, f) for f in files
-                  if not f.startswith((".", "appstatus"))]
-    stage_group: dict[int, str] = {}
-    out: dict[str, int] = {}
-    for path in paths:
-        with open(path) as fh:
-            for line in fh:
-                if '"SparkListenerJobStart"' in line:
-                    try:
-                        ev = json.loads(line)
-                        grp = (ev.get("Properties") or {}).get("spark.jobGroup.id")
-                        if grp:
-                            for sid in ev.get("Stage IDs", []):
-                                stage_group[int(sid)] = grp
-                    except (ValueError, json.JSONDecodeError):
-                        continue
-                elif '"SparkListenerTaskEnd"' in line:
-                    try:
-                        ev = json.loads(line)
-                        grp = stage_group.get(int(ev.get("Stage ID", -1)))
-                        if grp is None:
-                            continue
-                        sw = (ev.get("Task Metrics") or {}).get(
-                            "Shuffle Write Metrics") or {}
-                        out[grp] = out.get(grp, 0) + int(
-                            sw.get("Shuffle Bytes Written", 0))
-                    except (ValueError, json.JSONDecodeError):
-                        continue
-    return out
+    """job-group -> summed task Shuffle Bytes Written (the shared
+    evlog walk; bench.py reads the CPU side of the same parse)."""
+    from nyc_taxi_data_engineering_project_spark.evlog import (
+        group_task_metrics,
+    )
+
+    return {grp: int(m["shuffle_bytes"])
+            for grp, m in group_task_metrics(evlog).items()}
 
 
 def run_all(sf_dir: str) -> dict[str, int]:

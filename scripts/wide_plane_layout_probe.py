@@ -63,21 +63,30 @@ WORK = os.environ.get("SPARK_GRAFT_WIDE_PROBE_DIR",
                       "/tmp/spark_graft_wide_probe")
 
 
+def gen_vectors(spark, n: int, id_offset: int = 0):
+    """(vec_id, label, embedding) isotropic rows — THE base-vector
+    formula; mode 4's delta calls this with an offset so the delta's
+    distribution can never silently diverge from the corpus it appends
+    to (r12 review: the recall gate's 'delta rows are isotropic like
+    the base' argument depends on one formula, not two copies)."""
+    return spark.range(n).select(
+        (F.lit(id_offset) + F.col("id")).alias("vec_id"),
+        F.lit("x").alias("label"),
+        F.array(*[
+            (F.xxhash64((F.col("id") + id_offset) * 64 + F.lit(d))
+             % 1_000_001).cast("double") / 500_000.0
+            for d in range(64)
+        ]).alias("embedding"),
+    )
+
+
 def gen_corpus(spark, n_rows: int, sf_dir: str) -> None:
     """Deterministic corpus in sf_dir SHAPE (embeddings.parquet with
     vec_id/label/embedding) so the registry key reads it through
     catalog.table() like any testdata dir. Same construction as
     lsh_plane_probe.gen_corpus: isotropic base + 8 planted
     near-neighbors (symmetric ±0.02 perturbation) per query vector."""
-    base = spark.range(n_rows).select(
-        F.col("id").alias("vec_id"),
-        F.lit("x").alias("label"),
-        F.array(*[
-            (F.xxhash64(F.col("id") * 64 + F.lit(d)) % 1_000_001)
-            .cast("double") / 500_000.0
-            for d in range(64)
-        ]).alias("embedding"),
-    )
+    base = gen_vectors(spark, n_rows)
     planted = spark.range(N_QUERIES * N_PLANTED).select(
         (F.lit(n_rows) + F.col("id")).alias("vec_id"),
         F.lit("x").alias("label"),
@@ -180,16 +189,7 @@ def main() -> None:
 
         n_delta = max(n_rows // 20, 1000)
         first_delta_id = n_rows + N_QUERIES * N_PLANTED
-        delta = spark.range(n_delta).select(
-            (F.lit(first_delta_id) + F.col("id")).alias("vec_id"),
-            F.lit("x").alias("label"),
-            F.array(*[
-                (F.xxhash64((F.col("id") + first_delta_id) * 64
-                            + F.lit(d)) % 1_000_001)
-                .cast("double") / 500_000.0
-                for d in range(64)
-            ]).alias("embedding"),
-        )
+        delta = gen_vectors(spark, n_delta, id_offset=first_delta_id)
         tmp_delta = os.path.join(WORK, f"delta_{n_rows}")
         delta.repartition(4).write.mode("overwrite").parquet(tmp_delta)
         src = os.path.join(sf_dir, "embeddings.parquet")

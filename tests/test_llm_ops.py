@@ -777,3 +777,30 @@ def test_cm_grids_merge_exactly(spark, tmp_path):
     json.dump(m, open(mpath, "w"))
     with pytest.raises(ValueError, match="geometry"):
         merge_cm_grids(spark, [g0, g1], str(tmp_path / "bad"))
+
+
+def test_bloom_probe_duplicate_rows_and_reserved_columns(spark, tmp_path):
+    """r12 review: duplicate input rows must never flip a membership
+    verdict (hits count DISTINCT positions, so a gram IN the filter
+    hits even when its row appears twice — the one-sided guarantee),
+    and inputs carrying the probe's internal column names refuse."""
+    from nyc_taxi_data_engineering_project_spark.queries.llm import (
+        bloom_probe,
+        build_bloom_filter,
+    )
+
+    gh = spark.sql("SELECT md5('planted gram') AS gh")
+    bdir = str(tmp_path / "bloom")
+    build_bloom_filter(spark, gh, bdir)
+
+    dup = gh.unionByName(gh).unionByName(
+        spark.sql("SELECT md5('absent gram') AS gh"))
+    got = {r.gh: r.bloom_hit for r in bloom_probe(spark, bdir, dup).collect()}
+    planted = spark.sql("SELECT md5('planted gram') AS v").collect()[0].v
+    absent = spark.sql("SELECT md5('absent gram') AS v").collect()[0].v
+    assert got[planted] is True          # despite the duplicate rows
+    assert len(got) == 2                 # duplicates collapse to one row
+    assert got[absent] in (True, False)  # absent may false-positive only
+
+    with pytest.raises(ValueError, match="reserved"):
+        bloom_probe(spark, bdir, gh.withColumn("pos", F.lit(1)))
