@@ -3248,6 +3248,99 @@ def cm_estimate(spark, path: str, tokens):
         complete=True)
 
 
+def cm_update_writer(path: str):
+    """Per-batch maintainer for a STREAMING count-min grid (r12,
+    self-initiated — the sketch-product line meets D-group streaming):
+    each micro-batch of documents folds into the stored grid by
+    linearity (cell-wise sum, the merge_cm_grids property), so the grid
+    at ``path`` is always the exact grid of every document streamed so
+    far.
+
+    Exactly-once under replay: ``foreachBatch`` re-runs a batch when a
+    crash lands between sink write and checkpoint commit, and a grid
+    MERGE is not idempotent — so the authoritative manifest (geometry +
+    ``last_batch_id``) travels INSIDE the grid directory (parquet
+    readers ignore underscore-prefixed files) and swaps ATOMICALLY with
+    the cells in _write_sketch_parquet's single rename. A replayed
+    batch_id <= last_batch_id is a no-op; there is no window where the
+    cells and the replay guard disagree. ``path/manifest.json`` is
+    mirrored after the swap for :func:`cm_estimate` (geometry-only
+    reader); ``total`` is never accounted separately — it falls out of
+    the stored row-0 cells, so it cannot drift from the data.
+    Module-level factory so crash tests wrap the exact production
+    writer (the epoch_overwrite_writer posture, streaming.py)."""
+    import json as _json
+    import os as _os
+
+    grid_path = _os.path.join(path, "grid.parquet")
+    inner = _os.path.join(grid_path, "_manifest.json")
+
+    def _update(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        manifest = None
+        if _os.path.exists(inner):
+            with open(inner) as fh:
+                manifest = _json.load(fh)
+            if manifest.get("d") != _CM_D or manifest.get("w") != _CM_W:
+                raise ValueError(
+                    f"streaming CM grid at {path} has geometry "
+                    f"d={manifest.get('d')} w={manifest.get('w')} != "
+                    f"engine d={_CM_D} w={_CM_W}")
+            if int(batch_id) <= int(manifest.get("last_batch_id", -1)):
+                return  # replayed epoch: already folded into the cells
+        toks = (batch_df.filter(F.col("text").isNotNull())
+                .select(F.explode(_tokens()).alias("token"))
+                .filter(F.length("token") > 0))
+        merged = _cm_grid_of(toks)
+        if manifest is not None:
+            merged = (spark.read.parquet(grid_path)
+                      .unionByName(merged)
+                      .groupBy("i", "bucket").agg(F.sum("c").alias("c")))
+        # two-phase: stage parquet cells + the guard in one tmp dir,
+        # then _write_sketch_parquet's rename publishes both at once
+        import shutil as _shutil
+        tmp = grid_path + ".tmp"
+        _shutil.rmtree(tmp, ignore_errors=True)
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        with open(_os.path.join(tmp, "_manifest.json"), "w") as fh:
+            _json.dump({"d": _CM_D, "w": _CM_W,
+                        "last_batch_id": int(batch_id)}, fh)
+        old = grid_path + ".old"
+        _shutil.rmtree(old, ignore_errors=True)
+        if _os.path.exists(grid_path):
+            _os.rename(grid_path, old)
+        _os.rename(tmp, grid_path)
+        _shutil.rmtree(old, ignore_errors=True)
+        # best-effort mirror for cm_estimate; total from the cells
+        total = (spark.read.parquet(grid_path)
+                 .filter(F.col("i") == 0)
+                 .agg(F.sum("c")).collect()[0][0]) or 0
+        mirror_tmp = _os.path.join(path, ".manifest.json.tmp")
+        with open(mirror_tmp, "w") as fh:
+            _json.dump({"d": _CM_D, "w": _CM_W, "total": int(total),
+                        "source": "stream",
+                        "last_batch_id": int(batch_id)}, fh)
+        _os.replace(mirror_tmp, _os.path.join(path, "manifest.json"))
+
+    return _update
+
+
+def stream_cm_grid(docs_stream, path: str, checkpoint: str) -> None:
+    """Drain a streaming documents frame (``text`` column) into the
+    stored grid at ``path``: foreachBatch + checkpoint (source offset
+    tracking) + :func:`cm_update_writer` (replay-guarded atomic merge)
+    = exactly-once grid maintenance. availableNow trigger — call again
+    as new files land, or swap the trigger for a continuous cadence."""
+    import os as _os
+
+    _os.makedirs(path, exist_ok=True)
+    q = (docs_stream.writeStream.foreachBatch(cm_update_writer(path))
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
 def merge_cm_grids(spark, paths, out_path: str) -> dict:
     """Productized count-min deployment, step 1b (r12): MERGE
     shard-built grids into one. The grid is a linear sketch — each

@@ -804,3 +804,57 @@ def test_bloom_probe_duplicate_rows_and_reserved_columns(spark, tmp_path):
 
     with pytest.raises(ValueError, match="reserved"):
         bloom_probe(spark, bdir, gh.withColumn("pos", F.lit(1)))
+
+
+def test_stream_cm_grid_exactly_once(spark, tmp_path):
+    """r12: streaming grid maintenance — three file-chunks drained
+    one-per-trigger fold into the stored grid, which must equal the
+    batch-built grid of the full corpus CELL-FOR-CELL (linearity), and
+    a REPLAYED epoch (the foreachBatch crash-recovery case) must be a
+    no-op because the replay guard swaps atomically with the cells."""
+    import os
+
+    from nyc_taxi_data_engineering_project_spark.queries.llm import (
+        build_cm_grid,
+        cm_estimate,
+        cm_update_writer,
+        stream_cm_grid,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    chunks = str(tmp_path / "chunks")
+    for i in range(3):
+        (docs.filter(F.col("doc_id") % 3 == i).coalesce(1)
+         .write.mode("append").parquet(chunks))
+
+    gdir = str(tmp_path / "stream_grid")
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", "1").parquet(chunks))
+    stream_cm_grid(stream, gdir, str(tmp_path / "ckpt"))
+
+    gfull = str(tmp_path / "batch_grid")
+    mfull = build_cm_grid(spark, SF_DIR, gfull)
+
+    cells = lambda p: {  # noqa: E731
+        (r.i, r.bucket): r.c
+        for r in spark.read.parquet(f"{p}/grid.parquet").collect()}
+    assert cells(gdir) == cells(gfull)
+
+    # mirrored manifest serves cm_estimate; total fell out of the cells
+    import json
+    mirror = json.load(open(os.path.join(gdir, "manifest.json")))
+    assert mirror["total"] == mfull["total"]
+    probe = cm_estimate(spark, gdir, ["the"]).collect()
+    want = cm_estimate(spark, gfull, ["the"]).collect()
+    assert [tuple(r) for r in probe] == [tuple(r) for r in want]
+
+    # replay guard: re-running the LAST epoch (crash between sink write
+    # and checkpoint commit) changes nothing — batch_id <= last is a
+    # no-op, and the guard travels inside the grid dir atomically
+    before = cells(gdir)
+    last = mirror["last_batch_id"]
+    cm_update_writer(gdir)(docs.limit(50), last)
+    assert cells(gdir) == before
+    # a genuinely NEW epoch does fold in
+    cm_update_writer(gdir)(docs.limit(50), last + 1)
+    assert sum(cells(gdir).values()) > sum(before.values())
