@@ -32,13 +32,15 @@ the Spark event log (the same source scripts/shuffle_audit.py uses):
 - ``shuffle_bytes`` — summed shuffle bytes written. A plan regression
   (new Exchange, lost broadcast) shows here exactly, with zero noise.
 
-Jobs are attributed per key/rep through thread-local job groups, so
-the handful of jobs streaming keys launch from their microbatch
-threads fall outside their group — streaming task_cpu_s undercounts
-by that share (same known limit as SHUFFLE_AUDIT; the d-keys'
-authoritative cost model is the replay tests). Python-worker CPU
-(Pandas UDF keys) is likewise outside executor CPU time by
-definition. BENCH_DETAIL.json carries the full per-key triple under
+Jobs are attributed per key/rep through thread-local job groups PLUS —
+r13, verdict ask 1 — a per-rep submission-time window: keys run
+sequentially, so any job whose group is not a bench tag (streaming
+microbatch jobs carry their query runId as the group, set by the
+stream execution thread) is folded into the rep whose window contains
+its JobStart time. Every D key now reads real task_cpu_s, closing the
+r12 gap where d11 recorded 0.012 CPU s against 3.35 s wall.
+Python-worker CPU (Pandas UDF keys) remains outside executor CPU time
+by definition. BENCH_DETAIL.json carries the full per-key triple under
 ``metrics``; ``queries`` stays wall-only for older readers.
 """
 
@@ -125,14 +127,19 @@ def main() -> None:
     REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     reps_run: dict[str, int] = {}
+    windows: dict[str, tuple[float, float]] = {}
     for key in sorted(registry.QUERIES):
         fn = registry.QUERIES[key]
         best = -1.0
         reps_run[key] = 0
         for rep in range(REPS):
             # thread-local tag: every job this rep submits lands in one
-            # event-log group so _group_metrics can attribute it
+            # event-log group so _group_metrics can attribute it;
+            # the wall window catches jobs from OTHER threads too
+            # (streaming microbatches tag themselves with their runId —
+            # keys run sequentially, so window attribution is exact)
             spark.sparkContext.setJobGroup(f"{key}::rep{rep}", key)
+            w0 = time.time() * 1000.0
             t0 = time.perf_counter()
             try:
                 _materialize(fn(spark, SF_DIR))
@@ -143,6 +150,7 @@ def main() -> None:
                 print(f"# BENCH ERROR {key}: {exc}", file=sys.stderr)
                 break
             finally:
+                windows[f"{key}::rep{rep}"] = (w0, time.time() * 1000.0)
                 spark.sparkContext.setJobGroup("bench-untagged", "")
             # clear between reps as well as keys: rep 2 must re-run the
             # whole plan cold, not read rep 1's pinned frames
@@ -160,7 +168,7 @@ def main() -> None:
     spark.stop()
     metrics: dict[str, dict[str, float]] = {}
     try:
-        by_group = group_task_metrics(evlog)
+        by_group = group_task_metrics(evlog, windows=windows)
         for key, n in reps_run.items():
             per_rep = [by_group[f"{key}::rep{r}"] for r in range(n)
                        if f"{key}::rep{r}" in by_group]

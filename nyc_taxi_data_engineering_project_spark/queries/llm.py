@@ -3166,19 +3166,58 @@ def cm_estimate_against(cand_bucketed, grid, complete: bool = False):
             .agg(F.min(c).alias("cm_count")))
 
 
-def _write_sketch_parquet(df, target: str) -> None:
-    """Write a (sketch-sized) frame as single-file parquet at
-    ``target`` with tmp+rename-swap semantics (the _compact_one
-    posture): a concurrent reader or a crash never observes a
-    half-written directory — Spark's own overwrite deletes the old
-    tree BEFORE the new files land, which is exactly the window a
-    rebuild-while-serving deployment hits (r12 review)."""
+def _recover_sketch_swap(target: str) -> None:
+    """Heal a swap stranded by a crash between _write_sketch_parquet's
+    two renames (r12 ADVICE, medium): in that window ``target`` is
+    missing while either ``target.tmp`` (complete new cells — its
+    ``_manifest.json`` is written strictly AFTER the parquet files, so
+    its presence proves completeness) or ``target.old`` (the pre-swap
+    cells) still exists. Roll FORWARD to a complete tmp — for a
+    streaming grid the tmp carries the batch's ``last_batch_id``, so
+    the replayed epoch is then the designed no-op; otherwise roll BACK
+    to ``.old`` and let the replay re-merge. Either way the cells and
+    the replay guard move together, preserving exactly-once. Called by
+    every sketch writer and reader before touching ``target``."""
     import os as _os
     import shutil as _shutil
 
     tmp, old = target + ".tmp", target + ".old"
+    if _os.path.exists(target):
+        return
+    if _os.path.exists(_os.path.join(tmp, "_manifest.json")):
+        _os.rename(tmp, target)
+        _shutil.rmtree(old, ignore_errors=True)
+    elif _os.path.exists(old):
+        _os.rename(old, target)
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _write_sketch_parquet(df, target: str, inner_manifest=None) -> None:
+    """Write a (sketch-sized) frame as single-file parquet at
+    ``target`` with tmp+rename-swap semantics (the _compact_one
+    posture): no reader ever observes PARTIAL contents — Spark's own
+    overwrite deletes the old tree BEFORE the new files land, which is
+    exactly the window a rebuild-while-serving deployment hits (r12
+    review). Honesty note (r12 ADVICE): the two renames are not one —
+    a concurrent reader can see ``target`` briefly MISSING between
+    them and should retry; a crash inside that window strands the swap
+    and is healed by :func:`_recover_sketch_swap` on the next
+    write/read of the same path. ``inner_manifest`` (a dict) is staged
+    as ``_manifest.json`` INSIDE the directory (parquet readers skip
+    underscore files) after the cells and before the swap, so manifest
+    and cells publish in the same rename — the streaming replay
+    guard's atomicity contract."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    _recover_sketch_swap(target)
+    tmp, old = target + ".tmp", target + ".old"
     _shutil.rmtree(tmp, ignore_errors=True)
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if inner_manifest is not None:
+        with open(_os.path.join(tmp, "_manifest.json"), "w") as fh:
+            _json.dump(inner_manifest, fh)
     _shutil.rmtree(old, ignore_errors=True)
     if _os.path.exists(target):
         _os.rename(target, old)
@@ -3204,7 +3243,13 @@ def build_cm_grid(spark, sf_dir: str, path: str) -> dict:
     toks = _cm_token_stream(spark, sf_dir)
     grid = _cm_grid_of(toks)
     _os.makedirs(path, exist_ok=True)
-    _write_sketch_parquet(grid, _os.path.join(path, "grid.parquet"))
+    # inner manifest ships WITH the cells (r12 ADVICE): a later
+    # stream_cm_grid onto this path sees geometry + last_batch_id=-1
+    # and FOLDS the stored counts in instead of silently replacing them
+    _write_sketch_parquet(
+        grid, _os.path.join(path, "grid.parquet"),
+        inner_manifest={"d": _CM_D, "w": _CM_W, "last_batch_id": -1,
+                        "stream_id": None})
     stored = spark.read.parquet(_os.path.join(path, "grid.parquet"))
     total = (stored.filter(F.col("i") == 0)
              .agg(F.sum("c")).collect()[0][0]) or 0
@@ -3242,13 +3287,72 @@ def cm_estimate(spark, path: str, tokens):
     if not hasattr(tokens, "columns"):
         tokens = spark.createDataFrame(
             [(t,) for t in tokens], "token string")
+    _recover_sketch_swap(_os.path.join(path, "grid.parquet"))
     grid = spark.read.parquet(_os.path.join(path, "grid.parquet"))
     return cm_estimate_against(
         _cm_bucketed(tokens.select("token").distinct()), grid,
         complete=True)
 
 
-def cm_update_writer(path: str):
+def _load_inner_manifest(target: str, kind: str, geometry: dict):
+    """Shared replay-guard preamble for the streaming sketch writers:
+    heal a stranded swap, then load + validate the inner manifest that
+    travels with the cells. Returns the manifest dict, or None when no
+    sketch exists yet. Raises on geometry drift and — r12 ADVICE — on
+    a stored sketch that predates the inner manifest (streaming onto
+    it would silently discard the stored state)."""
+    import json as _json
+    import os as _os
+
+    _recover_sketch_swap(target)
+    inner = _os.path.join(target, "_manifest.json")
+    if _os.path.exists(inner):
+        with open(inner) as fh:
+            manifest = _json.load(fh)
+        drift = {k: (manifest.get(k), v) for k, v in geometry.items()
+                 if manifest.get(k) != v}
+        if drift:
+            raise ValueError(
+                f"streaming {kind} at {target} has geometry "
+                + ", ".join(f"{k}={got} != engine {k}={want}"
+                            for k, (got, want) in drift.items()))
+        return manifest
+    if _os.path.exists(target):
+        raise ValueError(
+            f"{kind} at {target} exists without an inner _manifest.json "
+            f"(pre-r13 build, or foreign data): streaming onto it would "
+            f"silently replace the stored state with the first batch. "
+            f"Rebuild it with this engine (the builders now write the "
+            f"inner manifest) or move it aside.")
+    return None
+
+
+def _check_stream_identity(manifest, stream_id, batch_id: int,
+                           target: str) -> bool:
+    """Replay-guard decision shared by the streaming sketch writers
+    (r12 ADVICE: batch_id alone is ambiguous ACROSS checkpoints —
+    a fresh/deleted checkpoint restarts foreachBatch ids at 0, and
+    treating those as replays silently drops genuinely new data).
+    Returns True when the batch is a replay (caller no-ops); raises
+    when a DIFFERENT stream identity presents a non-monotonic
+    batch_id; returns False when the batch should fold in."""
+    last = int(manifest.get("last_batch_id", -1))
+    if last < 0:
+        return False  # batch-built sketch: any stream may adopt it
+    owner = manifest.get("stream_id")
+    if owner != stream_id and int(batch_id) <= last:
+        raise ValueError(
+            f"sketch at {target} was last maintained by stream "
+            f"{owner!r} up to batch {last}, but stream {stream_id!r} "
+            f"presented batch {batch_id}: a fresh/relocated checkpoint "
+            f"restarts batch ids at 0, and treating this as a replay "
+            f"would silently drop new data. Resume the ORIGINAL "
+            f"checkpoint, or build the new stream into its own path "
+            f"and merge the sketches (they are linear).")
+    return int(batch_id) <= last
+
+
+def cm_update_writer(path: str, stream_id=None):
     """Per-batch maintainer for a STREAMING count-min grid (r12,
     self-initiated — the sketch-product line meets D-group streaming):
     each micro-batch of documents folds into the stored grid by
@@ -3259,35 +3363,35 @@ def cm_update_writer(path: str):
     Exactly-once under replay: ``foreachBatch`` re-runs a batch when a
     crash lands between sink write and checkpoint commit, and a grid
     MERGE is not idempotent — so the authoritative manifest (geometry +
-    ``last_batch_id``) travels INSIDE the grid directory (parquet
-    readers ignore underscore-prefixed files) and swaps ATOMICALLY with
-    the cells in _write_sketch_parquet's single rename. A replayed
-    batch_id <= last_batch_id is a no-op; there is no window where the
-    cells and the replay guard disagree. ``path/manifest.json`` is
-    mirrored after the swap for :func:`cm_estimate` (geometry-only
-    reader); ``total`` is never accounted separately — it falls out of
-    the stored row-0 cells, so it cannot drift from the data.
-    Module-level factory so crash tests wrap the exact production
-    writer (the epoch_overwrite_writer posture, streaming.py)."""
+    ``last_batch_id`` + ``stream_id``) travels INSIDE the grid
+    directory (parquet readers ignore underscore-prefixed files) and
+    publishes in the SAME rename as the cells in _write_sketch_parquet.
+    A replayed batch_id <= last_batch_id from the SAME ``stream_id`` is
+    a no-op; a crash stranded between the swap's two renames is healed
+    by _recover_sketch_swap on the next call (roll-forward keeps the
+    guard and cells together, r12 ADVICE); a DIFFERENT stream_id
+    presenting a non-monotonic batch_id REFUSES instead of silently
+    dropping data (fresh-checkpoint hazard, r12 ADVICE); and a grid
+    batch-built by :func:`build_cm_grid` is adopted by FOLDING its
+    cells in, never replaced (its inner manifest carries
+    last_batch_id=-1). ``path/manifest.json`` is mirrored after the
+    swap for :func:`cm_estimate` (geometry-only reader); ``total`` is
+    never accounted separately — it falls out of the stored row-0
+    cells, so it cannot drift from the data. Module-level factory so
+    crash tests wrap the exact production writer (the
+    epoch_overwrite_writer posture, streaming.py)."""
     import json as _json
     import os as _os
 
     grid_path = _os.path.join(path, "grid.parquet")
-    inner = _os.path.join(grid_path, "_manifest.json")
 
     def _update(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        manifest = None
-        if _os.path.exists(inner):
-            with open(inner) as fh:
-                manifest = _json.load(fh)
-            if manifest.get("d") != _CM_D or manifest.get("w") != _CM_W:
-                raise ValueError(
-                    f"streaming CM grid at {path} has geometry "
-                    f"d={manifest.get('d')} w={manifest.get('w')} != "
-                    f"engine d={_CM_D} w={_CM_W}")
-            if int(batch_id) <= int(manifest.get("last_batch_id", -1)):
-                return  # replayed epoch: already folded into the cells
+        manifest = _load_inner_manifest(
+            grid_path, "CM grid", {"d": _CM_D, "w": _CM_W})
+        if manifest is not None and _check_stream_identity(
+                manifest, stream_id, batch_id, grid_path):
+            return  # replayed epoch: already folded into the cells
         toks = (batch_df.filter(F.col("text").isNotNull())
                 .select(F.explode(_tokens()).alias("token"))
                 .filter(F.length("token") > 0))
@@ -3296,21 +3400,11 @@ def cm_update_writer(path: str):
             merged = (spark.read.parquet(grid_path)
                       .unionByName(merged)
                       .groupBy("i", "bucket").agg(F.sum("c").alias("c")))
-        # two-phase: stage parquet cells + the guard in one tmp dir,
-        # then _write_sketch_parquet's rename publishes both at once
-        import shutil as _shutil
-        tmp = grid_path + ".tmp"
-        _shutil.rmtree(tmp, ignore_errors=True)
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        with open(_os.path.join(tmp, "_manifest.json"), "w") as fh:
-            _json.dump({"d": _CM_D, "w": _CM_W,
-                        "last_batch_id": int(batch_id)}, fh)
-        old = grid_path + ".old"
-        _shutil.rmtree(old, ignore_errors=True)
-        if _os.path.exists(grid_path):
-            _os.rename(grid_path, old)
-        _os.rename(tmp, grid_path)
-        _shutil.rmtree(old, ignore_errors=True)
+        _write_sketch_parquet(
+            merged, grid_path,
+            inner_manifest={"d": _CM_D, "w": _CM_W,
+                            "last_batch_id": int(batch_id),
+                            "stream_id": stream_id})
         # best-effort mirror for cm_estimate; total from the cells
         total = (spark.read.parquet(grid_path)
                  .filter(F.col("i") == 0)
@@ -3330,11 +3424,17 @@ def stream_cm_grid(docs_stream, path: str, checkpoint: str) -> None:
     stored grid at ``path``: foreachBatch + checkpoint (source offset
     tracking) + :func:`cm_update_writer` (replay-guarded atomic merge)
     = exactly-once grid maintenance. availableNow trigger — call again
-    as new files land, or swap the trigger for a continuous cadence."""
+    as new files land, or swap the trigger for a continuous cadence.
+    The checkpoint's absolute path doubles as the grid's stream
+    identity (r12 ADVICE): batch ids are only monotonic WITHIN one
+    checkpoint, so the replay guard is keyed on both — a run against a
+    fresh/relocated checkpoint refuses loudly instead of silently
+    dropping batches 0..last as replays."""
     import os as _os
 
     _os.makedirs(path, exist_ok=True)
-    q = (docs_stream.writeStream.foreachBatch(cm_update_writer(path))
+    writer = cm_update_writer(path, stream_id=_os.path.abspath(checkpoint))
+    q = (docs_stream.writeStream.foreachBatch(writer)
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True)
          .start())
@@ -3370,13 +3470,18 @@ def merge_cm_grids(spark, paths, out_path: str) -> dict:
             )
         totals += int(m["total"])
         sources.append(m.get("source"))
+    for p in paths:
+        _recover_sketch_swap(_os.path.join(p, "grid.parquet"))
     merged = reduce(
         lambda a, b: a.unionByName(b),
         [spark.read.parquet(_os.path.join(p, "grid.parquet"))
          for p in paths],
     ).groupBy("i", "bucket").agg(F.sum("c").alias("c"))
     _os.makedirs(out_path, exist_ok=True)
-    _write_sketch_parquet(merged, _os.path.join(out_path, "grid.parquet"))
+    _write_sketch_parquet(
+        merged, _os.path.join(out_path, "grid.parquet"),
+        inner_manifest={"d": _CM_D, "w": _CM_W, "last_batch_id": -1,
+                        "stream_id": None})
     manifest = {"d": _CM_D, "w": _CM_W, "total": totals,
                 "source": sources}
     tmp = _os.path.join(out_path, ".manifest.json.tmp")
@@ -3529,7 +3634,13 @@ def build_bloom_filter(spark, grams, path: str) -> dict:
 
     bits = _bloom_positions(grams.select("gh")).select("pos").distinct()
     _os.makedirs(path, exist_ok=True)
-    _write_sketch_parquet(bits, _os.path.join(path, "bits.parquet"))
+    # inner manifest ships with the bits (the build_cm_grid posture):
+    # a later stream_bloom_filter onto this path ORs into the stored
+    # positions instead of silently replacing them
+    _write_sketch_parquet(
+        bits, _os.path.join(path, "bits.parquet"),
+        inner_manifest={"k": _BLOOM_K, "m": _BLOOM_M,
+                        "last_batch_id": -1, "stream_id": None})
     n = spark.read.parquet(_os.path.join(path, "bits.parquet")).count()
     manifest = {"k": _BLOOM_K, "m": _BLOOM_M, "n_positions": int(n)}
     tmp = _os.path.join(path, ".manifest.json.tmp")
@@ -3568,6 +3679,7 @@ def bloom_probe(spark, path: str, grams):
             f"bloom_probe input carries reserved column(s) "
             f"{sorted(clash)} — the probe adds these internally; "
             f"rename them first.")
+    _recover_sketch_swap(_os.path.join(path, "bits.parquet"))
     bits = (spark.read.parquet(_os.path.join(path, "bits.parquet"))
             .withColumn("_set", F.lit(True)))
     khit = (
@@ -3584,6 +3696,119 @@ def bloom_probe(spark, path: str, grams):
     return khit.select(
         *grams.columns,
         (F.col("_k_hit") == _BLOOM_K).alias("bloom_hit"))
+
+
+def merge_bloom_filters(spark, paths, out_path: str) -> dict:
+    """Productized Bloom deployment, step 1b (r13, verdict ask 4 —
+    lifecycle symmetry with the CM grid): MERGE shard-built filters
+    into one. A Bloom filter is OR-linear — the filter of a union of
+    gram sets is the bitwise OR of the shards' bitmaps, i.e. the
+    DISTINCT UNION of their position sets, exactly (no approximation
+    is introduced by sharding; pinned position-for-position against
+    the whole-corpus build in test_llm_ops.py). This is the 100 TB
+    build: every ingest shard compresses its slice with
+    :func:`build_bloom_filter`, the ≤ 2^16-row position sets merge
+    here (driver-light — inputs are already sketch-sized), and
+    :func:`bloom_probe` serves the merged result. Refuses geometry
+    drift across shards, the merge_cm_grids posture."""
+    import json as _json
+    import os as _os
+    from functools import reduce
+
+    for p in paths:
+        with open(_os.path.join(p, "manifest.json")) as fh:
+            m = _json.load(fh)
+        if m.get("k") != _BLOOM_K or m.get("m") != _BLOOM_M:
+            raise ValueError(
+                f"Bloom filter at {p} has geometry k={m.get('k')} "
+                f"m={m.get('m')} != engine k={_BLOOM_K} m={_BLOOM_M}; "
+                f"filters merge only at one geometry."
+            )
+        _recover_sketch_swap(_os.path.join(p, "bits.parquet"))
+    merged = reduce(
+        lambda a, b: a.unionByName(b),
+        [spark.read.parquet(_os.path.join(p, "bits.parquet"))
+         for p in paths],
+    ).distinct()
+    _os.makedirs(out_path, exist_ok=True)
+    _write_sketch_parquet(
+        merged, _os.path.join(out_path, "bits.parquet"),
+        inner_manifest={"k": _BLOOM_K, "m": _BLOOM_M,
+                        "last_batch_id": -1, "stream_id": None})
+    n = spark.read.parquet(_os.path.join(out_path, "bits.parquet")).count()
+    manifest = {"k": _BLOOM_K, "m": _BLOOM_M, "n_positions": int(n)}
+    tmp = _os.path.join(out_path, ".manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(manifest, fh)
+    _os.replace(tmp, _os.path.join(out_path, "manifest.json"))
+    return manifest
+
+
+def bloom_update_writer(path: str, stream_id=None):
+    """Per-batch maintainer for a STREAMING Bloom filter (r13, verdict
+    ask 4): each micro-batch of documents (``doc_id``, ``text``) grams
+    via :func:`gram_hashes` and ORs into the stored position set — the
+    merge_bloom_filters property per batch — so the filter at ``path``
+    always covers every document streamed so far. The exactly-once
+    machinery is cm_update_writer's, shared verbatim: the inner
+    manifest (geometry + last_batch_id + stream_id) publishes in the
+    same rename as the bits; a same-stream replayed epoch no-ops; a
+    different stream presenting a non-monotonic batch_id refuses; a
+    batch-built filter is adopted by folding, never replaced; a
+    stranded swap heals on entry. (Unlike the CM merge, an OR-merge IS
+    idempotent — but the guard still matters: without it a replayed
+    batch would pay the gram/shuffle cost again, and the stream_id
+    check still protects against the fresh-checkpoint drop.)"""
+    import json as _json
+    import os as _os
+
+    bits_path = _os.path.join(path, "bits.parquet")
+
+    def _update(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        manifest = _load_inner_manifest(
+            bits_path, "Bloom filter", {"k": _BLOOM_K, "m": _BLOOM_M})
+        if manifest is not None and _check_stream_identity(
+                manifest, stream_id, batch_id, bits_path):
+            return  # replayed epoch: already ORed into the bits
+        merged = (_bloom_positions(gram_hashes(batch_df).select("gh"))
+                  .select("pos").distinct())
+        if manifest is not None:
+            merged = (spark.read.parquet(bits_path)
+                      .unionByName(merged).distinct())
+        _write_sketch_parquet(
+            merged, bits_path,
+            inner_manifest={"k": _BLOOM_K, "m": _BLOOM_M,
+                            "last_batch_id": int(batch_id),
+                            "stream_id": stream_id})
+        n = spark.read.parquet(bits_path).count()
+        mirror_tmp = _os.path.join(path, ".manifest.json.tmp")
+        with open(mirror_tmp, "w") as fh:
+            _json.dump({"k": _BLOOM_K, "m": _BLOOM_M,
+                        "n_positions": int(n), "source": "stream",
+                        "last_batch_id": int(batch_id)}, fh)
+        _os.replace(mirror_tmp, _os.path.join(path, "manifest.json"))
+
+    return _update
+
+
+def stream_bloom_filter(docs_stream, path: str, checkpoint: str) -> None:
+    """Drain a streaming documents frame (``doc_id``, ``text``) into
+    the stored Bloom filter at ``path``: foreachBatch + checkpoint +
+    :func:`bloom_update_writer` = exactly-once filter maintenance,
+    stream_cm_grid's shape on the membership sketch. The checkpoint's
+    absolute path is the stream identity (batch ids are only monotonic
+    within one checkpoint)."""
+    import os as _os
+
+    _os.makedirs(path, exist_ok=True)
+    writer = bloom_update_writer(
+        path, stream_id=_os.path.abspath(checkpoint))
+    q = (docs_stream.writeStream.foreachBatch(writer)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
 
 
 _F35_SQL = f"""

@@ -60,3 +60,91 @@ def test_missing_metrics_blocks_are_zero(tmp_path):
     ]
     got = group_task_metrics(_write_log(tmp_path, log))
     assert got == {"g": {"task_cpu_s": 0.0, "shuffle_bytes": 0}}
+
+
+def test_windows_fold_foreign_groups_by_submission_time(tmp_path):
+    """r13 (verdict ask 1): streaming microbatch jobs carry their query
+    runId as the job group (set by the stream execution thread), which
+    is not a bench tag — with ``windows``, such jobs fold into the tag
+    whose submission-time window contains them, so D keys read real
+    task_cpu_s. Jobs outside every window (warm-up) are dropped; jobs
+    already tagged with a window tag pass through untouched."""
+    log = [
+        # warm-up job: outside every window -> dropped
+        {"Event": "SparkListenerJobStart", "Stage IDs": [1],
+         "Submission Time": 500,
+         "Properties": {"spark.jobGroup.id":
+                        "11111111-aaaa-bbbb-cccc-000000000000"}},
+        {"Event": "SparkListenerTaskEnd", "Stage ID": 1,
+         "Task Metrics": {"Executor CPU Time": 9_000_000_000}},
+        # bench's own tagged job: group IS a window tag -> direct
+        {"Event": "SparkListenerJobStart", "Stage IDs": [2],
+         "Submission Time": 1100,
+         "Properties": {"spark.jobGroup.id": "d2::rep0"}},
+        {"Event": "SparkListenerTaskEnd", "Stage ID": 2,
+         "Task Metrics": {"Executor CPU Time": 1_000_000_000}},
+        # microbatch job: runId group, submitted inside d2::rep0's
+        # window -> folded into d2::rep0
+        {"Event": "SparkListenerJobStart", "Stage IDs": [3],
+         "Submission Time": 1500,
+         "Properties": {"spark.jobGroup.id":
+                        "22222222-aaaa-bbbb-cccc-000000000000"}},
+        {"Event": "SparkListenerTaskEnd", "Stage ID": 3,
+         "Task Metrics": {"Executor CPU Time": 2_500_000_000,
+                          "Shuffle Write Metrics":
+                              {"Shuffle Bytes Written": 64}}},
+        # UNGROUPED job inside rep1's window -> folded as well
+        {"Event": "SparkListenerJobStart", "Stage IDs": [4],
+         "Submission Time": 2200},
+        {"Event": "SparkListenerTaskEnd", "Stage ID": 4,
+         "Task Metrics": {"Executor CPU Time": 750_000_000}},
+        # job with no Submission Time and a foreign group -> dropped
+        {"Event": "SparkListenerJobStart", "Stage IDs": [5],
+         "Properties": {"spark.jobGroup.id": "mystery"}},
+        {"Event": "SparkListenerTaskEnd", "Stage ID": 5,
+         "Task Metrics": {"Executor CPU Time": 1_000_000_000}},
+    ]
+    evdir = _write_log(tmp_path, log)
+    windows = {"d2::rep0": (1000, 2000), "d2::rep1": (2000, 3000)}
+    got = group_task_metrics(evdir, windows=windows)
+    assert got == {
+        "d2::rep0": {"task_cpu_s": 3.5, "shuffle_bytes": 64},
+        "d2::rep1": {"task_cpu_s": 0.75, "shuffle_bytes": 0},
+    }
+
+
+def test_stage_map_scoped_per_application_file(tmp_path):
+    """r12 ADVICE: stage IDs restart per application, so a directory
+    holding two app logs must not bleed one file's stage->group map
+    into the other — file 2's stage 1 belongs to ITS job, and a
+    TaskEnd-before-JobStart walk order cannot misattribute."""
+    import json as _json
+    import os as _os
+
+    d = tmp_path / "ev"
+    _os.makedirs(d)
+    app1 = [
+        {"Event": "SparkListenerJobStart", "Stage IDs": [1],
+         "Properties": {"spark.jobGroup.id": "a1"}},
+        {"Event": "SparkListenerTaskEnd", "Stage ID": 1,
+         "Task Metrics": {"Executor CPU Time": 1_000_000_000}},
+    ]
+    app2 = [
+        # same stage id, DIFFERENT app: TaskEnd arrives before any
+        # JobStart in this file -> must be ignored, not billed to a1
+        {"Event": "SparkListenerTaskEnd", "Stage ID": 1,
+         "Task Metrics": {"Executor CPU Time": 5_000_000_000}},
+        {"Event": "SparkListenerJobStart", "Stage IDs": [2],
+         "Properties": {"spark.jobGroup.id": "a2"}},
+        {"Event": "SparkListenerTaskEnd", "Stage ID": 2,
+         "Task Metrics": {"Executor CPU Time": 2_000_000_000}},
+    ]
+    for name, lines in [("app-1", app1), ("app-2", app2)]:
+        with open(d / name, "w") as fh:
+            for ln in lines:
+                fh.write(_json.dumps(ln) + "\n")
+    got = group_task_metrics(str(d))
+    assert got == {
+        "a1": {"task_cpu_s": 1.0, "shuffle_bytes": 0},
+        "a2": {"task_cpu_s": 2.0, "shuffle_bytes": 0},
+    }

@@ -849,12 +849,218 @@ def test_stream_cm_grid_exactly_once(spark, tmp_path):
     assert [tuple(r) for r in probe] == [tuple(r) for r in want]
 
     # replay guard: re-running the LAST epoch (crash between sink write
-    # and checkpoint commit) changes nothing — batch_id <= last is a
-    # no-op, and the guard travels inside the grid dir atomically
+    # and checkpoint commit) changes nothing — batch_id <= last FROM THE
+    # SAME STREAM is a no-op, and the guard travels inside the grid dir
+    # atomically (r13: the guard is keyed on (stream_id, batch_id) — the
+    # production stream_id is the checkpoint's abspath)
     before = cells(gdir)
     last = mirror["last_batch_id"]
-    cm_update_writer(gdir)(docs.limit(50), last)
+    ckpt_id = os.path.abspath(str(tmp_path / "ckpt"))
+    cm_update_writer(gdir, stream_id=ckpt_id)(docs.limit(50), last)
     assert cells(gdir) == before
-    # a genuinely NEW epoch does fold in
-    cm_update_writer(gdir)(docs.limit(50), last + 1)
+    # a DIFFERENT stream identity presenting a non-monotonic batch_id
+    # refuses (fresh-checkpoint restart would silently drop new data)
+    with pytest.raises(ValueError, match="checkpoint"):
+        cm_update_writer(gdir)(docs.limit(50), last)
+    assert cells(gdir) == before
+    # a genuinely NEW epoch from the same stream does fold in
+    cm_update_writer(gdir, stream_id=ckpt_id)(docs.limit(50), last + 1)
     assert sum(cells(gdir).values()) > sum(before.values())
+
+
+def test_sketch_swap_crash_recovery(spark, tmp_path):
+    """r13 (r12 ADVICE, medium): _write_sketch_parquet's swap is two
+    renames — a crash between them leaves NO grid at grid_path. The
+    writer and every reader must heal the stranded swap instead of
+    treating the grid as absent, which would silently discard the
+    accumulated stream history (restart would write a batch-only
+    grid). Roll-back (old present, tmp incomplete) and roll-forward
+    (tmp complete with its _manifest.json) are both pinned."""
+    import os
+    import shutil
+
+    from nyc_taxi_data_engineering_project_spark.queries.llm import (
+        build_cm_grid,
+        cm_estimate,
+        cm_update_writer,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    gdir = str(tmp_path / "g")
+    build_cm_grid(spark, SF_DIR, gdir)
+    grid = os.path.join(gdir, "grid.parquet")
+    cells = lambda: {  # noqa: E731
+        (r.i, r.bucket): r.c
+        for r in spark.read.parquet(grid).collect()}
+    base = cells()
+
+    # ROLL-BACK: crash after rename(grid -> old) with an INCOMPLETE tmp
+    # (no _manifest.json — the parquet write itself died). A reader must
+    # restore the pre-swap cells, not fail on the missing path.
+    os.rename(grid, grid + ".old")
+    os.makedirs(grid + ".tmp")
+    got = {r.token: r.cm_count
+           for r in cm_estimate(spark, gdir, ["the"]).collect()}
+    assert got["the"] >= 1
+    assert cells() == base
+    assert not os.path.exists(grid + ".old")
+    assert not os.path.exists(grid + ".tmp")
+
+    # ROLL-FORWARD: batch 1's tmp completed (cells + inner manifest with
+    # last_batch_id=1) but the crash hit before rename(tmp -> grid),
+    # with batch 0's cells stranded at .old. The writer must adopt the
+    # COMPLETE tmp — its guard already records batch 1 — so the replayed
+    # epoch is the designed no-op, not a re-merge or a batch-only grid.
+    w = cm_update_writer(gdir, stream_id="ck")
+    w(docs.limit(50), 0)
+    s0 = str(tmp_path / "s0")
+    shutil.copytree(grid, s0)
+    w(docs.limit(30), 1)
+    after1 = cells()
+    os.rename(grid, grid + ".tmp")
+    shutil.copytree(s0, grid + ".old")
+    w(docs.limit(30), 1)  # the replay that follows the crash
+    assert cells() == after1
+    assert not os.path.exists(grid + ".old")
+    assert not os.path.exists(grid + ".tmp")
+
+
+def test_stream_onto_batch_built_grid_folds(spark, tmp_path):
+    """r13 (r12 ADVICE): streaming onto a path populated by
+    build_cm_grid must FOLD the stored counts in — the builder's inner
+    manifest (last_batch_id=-1) marks them adoptable — never silently
+    replace them; and a stored grid WITHOUT the inner manifest (pre-r13
+    build / foreign data) refuses loudly instead of discarding."""
+    import os
+
+    from nyc_taxi_data_engineering_project_spark.queries.llm import (
+        build_cm_grid,
+        cm_update_writer,
+        stream_cm_grid,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    even_dir = str(tmp_path / "even")
+    os.makedirs(even_dir)
+    (docs.filter(F.col("doc_id") % 2 == 0).coalesce(1)
+     .write.parquet(f"{even_dir}/documents.parquet"))
+
+    gdir = str(tmp_path / "grid")
+    build_cm_grid(spark, even_dir, gdir)
+
+    chunks = str(tmp_path / "chunks")
+    (docs.filter(F.col("doc_id") % 2 == 1).coalesce(1)
+     .write.parquet(chunks))
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", "1").parquet(chunks))
+    stream_cm_grid(stream, gdir, str(tmp_path / "ckpt"))
+
+    gfull = str(tmp_path / "gfull")
+    build_cm_grid(spark, SF_DIR, gfull)
+    cells = lambda p: {  # noqa: E731
+        (r.i, r.bucket): r.c
+        for r in spark.read.parquet(f"{p}/grid.parquet").collect()}
+    assert cells(gdir) == cells(gfull)
+
+    # manifestless stored grid: refuse, don't replace
+    os.remove(os.path.join(gdir, "grid.parquet", "_manifest.json"))
+    with pytest.raises(ValueError, match="_manifest"):
+        cm_update_writer(gdir, stream_id="x")(docs.limit(5), 99)
+
+
+def test_bloom_filters_merge_exactly(spark, tmp_path):
+    """r13 (verdict ask 4, lifecycle symmetry): Bloom filters are
+    OR-linear — shard-built filters merged as the distinct union of
+    their position sets equal the whole-set build EXACTLY (position
+    for position, manifest count included), and mixed-geometry merges
+    refuse. Probes off the merged filter match probes off the full
+    build for every gram."""
+    import json
+    import os
+
+    from nyc_taxi_data_engineering_project_spark.catalog import table
+    from nyc_taxi_data_engineering_project_spark.queries.llm import (
+        bloom_probe,
+        build_bloom_filter,
+        gram_hashes,
+        merge_bloom_filters,
+    )
+
+    grams = gram_hashes(table(spark, SF_DIR, "documents"))
+    eval_grams = grams.filter(F.col("doc_id") % 89 == 0)
+
+    b0, b1, bfull, bm = (str(tmp_path / n) for n in
+                         ("b0", "b1", "bfull", "bm"))
+    build_bloom_filter(
+        spark, eval_grams.filter(F.col("doc_id") % 2 == 0), b0)
+    build_bloom_filter(
+        spark, eval_grams.filter(F.col("doc_id") % 2 == 1), b1)
+    mfull = build_bloom_filter(spark, eval_grams, bfull)
+    mm = merge_bloom_filters(spark, [b0, b1], bm)
+    assert mm["n_positions"] == mfull["n_positions"]
+
+    bits = lambda p: {  # noqa: E731
+        r.pos for r in spark.read.parquet(f"{p}/bits.parquet").collect()}
+    assert bits(bm) == bits(bfull)
+
+    probe = lambda p: {  # noqa: E731
+        r.gh: r.bloom_hit
+        for r in bloom_probe(spark, p, grams.select("gh")).collect()}
+    assert probe(bm) == probe(bfull)
+
+    mpath = os.path.join(b1, "manifest.json")
+    m = json.load(open(mpath))
+    m["m"] = 1024
+    json.dump(m, open(mpath, "w"))
+    with pytest.raises(ValueError, match="geometry"):
+        merge_bloom_filters(spark, [b0, b1], str(tmp_path / "bad"))
+
+
+def test_stream_bloom_filter_exactly_once(spark, tmp_path):
+    """r13 (verdict ask 4): streaming Bloom maintenance — file-chunks
+    drained one-per-trigger OR into the stored position set, which
+    must equal the batch-built filter of the full corpus POSITION FOR
+    POSITION; a same-stream replayed epoch no-ops; a foreign stream
+    presenting a non-monotonic batch_id refuses (the fresh-checkpoint
+    drop hazard); a batch-built filter is adopted by folding."""
+    import json
+    import os
+
+    from nyc_taxi_data_engineering_project_spark.catalog import table
+    from nyc_taxi_data_engineering_project_spark.queries.llm import (
+        bloom_update_writer,
+        build_bloom_filter,
+        gram_hashes,
+        stream_bloom_filter,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    chunks = str(tmp_path / "chunks")
+    for i in range(3):
+        (docs.filter(F.col("doc_id") % 3 == i).coalesce(1)
+         .write.mode("append").parquet(chunks))
+
+    bdir = str(tmp_path / "stream_bloom")
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", "1").parquet(chunks))
+    stream_bloom_filter(stream, bdir, str(tmp_path / "ckpt"))
+
+    bfull = str(tmp_path / "batch_bloom")
+    mfull = build_bloom_filter(
+        spark, gram_hashes(table(spark, SF_DIR, "documents")), bfull)
+
+    bits = lambda p: {  # noqa: E731
+        r.pos for r in spark.read.parquet(f"{p}/bits.parquet").collect()}
+    assert bits(bdir) == bits(bfull)
+
+    mirror = json.load(open(os.path.join(bdir, "manifest.json")))
+    assert mirror["n_positions"] == mfull["n_positions"]
+    last = mirror["last_batch_id"]
+    ckpt_id = os.path.abspath(str(tmp_path / "ckpt"))
+
+    before = bits(bdir)
+    bloom_update_writer(bdir, stream_id=ckpt_id)(docs.limit(50), last)
+    assert bits(bdir) == before  # same-stream replay: no-op
+    with pytest.raises(ValueError, match="checkpoint"):
+        bloom_update_writer(bdir, stream_id="other")(docs.limit(50), last)
+    assert bits(bdir) == before
