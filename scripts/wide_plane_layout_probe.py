@@ -175,40 +175,49 @@ def main() -> None:
         print(f"n={n_rows} wide_layout({wide}): "
               f"{rec['modes']['wide_layout']}", flush=True)
 
-        # mode 4 (r12, verdict ask 6): lifecycle parity at scale — the
-        # append → compact → serve cycle on the WIDE layout. A ~5%
-        # delta lands as new part files, the maintenance call tags it
-        # at the MANIFEST's pinned width (incremental path), an
-        # explicit compaction merges the per-value runs back to ~one
-        # file, and the served probe must match the fresh-build serve
-        # (wall ≈ wide_layout, recall unchanged). Delta rows are
-        # isotropic like the base corpus, so truth is unaffected.
+        # mode 4 (r12, verdict ask 6; r13, verdict ask 3): lifecycle
+        # parity at scale — the append → compact → serve cycle on the
+        # WIDE layout. TWO ~5% deltas land as new part files, each
+        # maintenance call tags its delta at the MANIFEST's pinned
+        # width (incremental path), then the SELECTIVE minor
+        # compaction (full=False) merges only the accumulated runs —
+        # base bucket files are hardlinked, so the cost scales with
+        # the appended ~10%, not the corpus — and the served probe
+        # must match the fresh-build serve (wall ≈ wide_layout, recall
+        # unchanged). Delta rows are isotropic like the base corpus,
+        # so truth is unaffected.
         from nyc_taxi_data_engineering_project_spark.catalog import (
             compact_workload_layout,
         )
 
         n_delta = max(n_rows // 20, 1000)
-        first_delta_id = n_rows + N_QUERIES * N_PLANTED
-        delta = gen_vectors(spark, n_delta, id_offset=first_delta_id)
-        tmp_delta = os.path.join(WORK, f"delta_{n_rows}")
-        delta.repartition(4).write.mode("overwrite").parquet(tmp_delta)
-        src = os.path.join(sf_dir, "embeddings.parquet")
-        for p in os.listdir(tmp_delta):
-            if p.endswith(".parquet"):
-                shutil.copy(os.path.join(tmp_delta, p),
-                            os.path.join(src, f"delta-{p}"))
-        shutil.rmtree(tmp_delta, ignore_errors=True)
-
-        t0 = time.time()
-        build_workload_layout(spark, sf_dir, lay_dir,
-                              tables=("embeddings",))  # width unstated:
-        # the maintenance call must PIN the stored wide width
-        rec["append_s"] = round(time.time() - t0, 1)
+        append_walls = []
+        for d_i in range(2):
+            first_delta_id = (n_rows + N_QUERIES * N_PLANTED
+                              + d_i * n_delta)
+            delta = gen_vectors(spark, n_delta, id_offset=first_delta_id)
+            tmp_delta = os.path.join(WORK, f"delta_{n_rows}_{d_i}")
+            delta.repartition(4).write.mode("overwrite").parquet(tmp_delta)
+            src = os.path.join(sf_dir, "embeddings.parquet")
+            for p in os.listdir(tmp_delta):
+                if p.endswith(".parquet"):
+                    shutil.copy(os.path.join(tmp_delta, p),
+                                os.path.join(src, f"delta{d_i}-{p}"))
+            shutil.rmtree(tmp_delta, ignore_errors=True)
+            t0 = time.time()
+            build_workload_layout(spark, sf_dir, lay_dir,
+                                  tables=("embeddings",))  # width
+            # unstated: the maintenance call must PIN the stored width
+            append_walls.append(round(time.time() - t0, 1))
+        rec["append_s"] = append_walls[0]
+        rec["append_walls"] = append_walls
         assert layout_lsh_planes(spark, sf_dir) == wide
         t0 = time.time()
-        compact_workload_layout(spark, sf_dir, lay_dir,
-                                tables=("embeddings",))
+        res = compact_workload_layout(spark, sf_dir, lay_dir,
+                                      tables=("embeddings",), full=False)
         rec["compact_s"] = round(time.time() - t0, 1)
+        rec["compact_files"] = list(res["embeddings"])
+        rec["compact_mode"] = "minor_selective"
         rec["modes"]["wide_layout_appended_compacted"] = run_mode(
             spark, sf_dir, truth)
         print(f"n={n_rows} wide_layout_appended_compacted({wide}): "

@@ -837,7 +837,8 @@ def test_auto_compaction_fires_from_maintenance_loop(spark, tmp_path):
         for i in range(1, n_slices):
             _append(i)
             m = _read_manifest(lay, tbl)
-            compactions_seen.append(int(m.get("compactions", 0)))
+            # r13: the auto hook runs the MINOR (selective) step
+            compactions_seen.append(int(m.get("minor_compactions", 0)))
             # invariant the policy enforces: runs/bucket never exceeds
             # the threshold after a maintenance call returns
             assert _runs_per_bucket(lay, tbl, m) \
@@ -847,7 +848,7 @@ def test_auto_compaction_fires_from_maintenance_loop(spark, tmp_path):
                 sum(slices[j].count() for j in range(i + 1))
         assert max(compactions_seen) >= 1, (
             f"auto-compaction never fired across {n_slices - 1} appends "
-            f"(compactions per step: {compactions_seen})")
+            f"(minor compactions per step: {compactions_seen})")
         # full multiset equality at the end
         served = table(spark, src_dir, "orders")
         src_rows = spark.read.parquet(f"{src_dir}/orders.parquet")
@@ -1166,5 +1167,130 @@ def test_incremental_append_pins_the_stored_wide_width(spark, tmp_path):
             .alias("graft_lsh_bucket"))
         assert sorted(map(tuple, served.collect())) == \
             sorted(map(tuple, expect.collect()))
+    finally:
+        drop_workload_layout(spark, src_dir)
+
+
+def test_minor_compaction_merges_only_runs_bucketed(spark, tmp_path):
+    """r13 (verdict ask 3): SELECTIVE compaction — after two appends
+    each bucket holds base + 2 runs; the minor step must merge ONLY
+    the runs (one job over run bytes), HARDLINK the base files
+    untouched (same inode), leave ~2 files per bucket, preserve every
+    row and the zero-exchange bucketed property, and no-op when
+    re-run (nothing above the threshold)."""
+    import os
+    import shutil
+
+    from nyc_taxi_data_engineering_project_spark.catalog import (
+        _read_manifest,
+        compact_workload_layout,
+    )
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    shutil.copy(f"{SF_DIR}/lineitem.parquet",
+                f"{src_dir}/lineitem.parquet")
+    plain = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    slices = [plain.filter(F.col("o_orderkey") % 3 == i)
+              for i in range(3)]
+    slices[0].coalesce(1).write.parquet(f"{src_dir}/orders.parquet")
+
+    lay = str(tmp_path / "lay")
+    built = build_workload_layout(spark, src_dir, lay, buckets=4,
+                                  tables=("orders",))
+    tbl = built["orders"]
+    try:
+        for i in (1, 2):
+            tmp_out = str(tmp_path / f"s{i}")
+            slices[i].coalesce(1).write.parquet(tmp_out)
+            part = next(p for p in os.listdir(tmp_out)
+                        if p.endswith(".parquet"))
+            shutil.copy(f"{tmp_out}/{part}",
+                        f"{src_dir}/orders.parquet/s{i}-{part}")
+            build_workload_layout(spark, src_dir, lay, buckets=4,
+                                  tables=("orders",))
+
+        files = sorted(_layout_data_files(spark, tbl))
+        # largest file per bucket = the base that must survive by inode
+        by_bucket: dict[str, list[str]] = {}
+        for f in files:
+            bid = re.search(r"_(\d+)\.c\d+", os.path.basename(f)).group(1)
+            by_bucket.setdefault(bid, []).append(f)
+        bases = {max(fs, key=os.path.getsize) for fs in by_bucket.values()}
+        base_inodes = {f: os.stat(f).st_ino for f in bases}
+
+        res = compact_workload_layout(spark, src_dir, lay,
+                                      tables=("orders",), full=False)
+        fb, fa = res["orders"]
+        assert fb == len(files) and fa <= 2 * len(by_bucket), (fb, fa)
+        assert fa < fb
+        for f, ino in base_inodes.items():
+            assert os.path.exists(f) and os.stat(f).st_ino == ino, (
+                f"base file {f} was rewritten, not hardlinked")
+
+        served = table(spark, src_dir, "orders")
+        assert served.count() == plain.count()
+        src_rows = spark.read.parquet(f"{src_dir}/orders.parquet")
+        assert (served.exceptAll(src_rows).count() == 0
+                and src_rows.exceptAll(served).count() == 0)
+        assert _n_exchanges(
+            served.groupBy("o_orderkey").count()) == 0
+        m = _read_manifest(lay, tbl)
+        assert m["minor_compactions"] == 1
+        assert m.get("compactions", 0) == 0
+
+        # nothing above the threshold now -> exact no-op
+        res2 = compact_workload_layout(spark, src_dir, lay,
+                                       tables=("orders",), full=False)
+        assert res2["orders"] == (fa, fa)
+    finally:
+        drop_workload_layout(spark, src_dir)
+
+
+def test_minor_compaction_partitioned_embeddings(spark, tmp_path):
+    """r13: the minor step on the VALUE-PARTITIONED mode (the wide-ANN
+    layout's mode): per-partition runs merge to one file, base files
+    hardlinked, rows and stored bucket assignments preserved."""
+    import os
+    import shutil
+
+    from nyc_taxi_data_engineering_project_spark.catalog import (
+        compact_workload_layout,
+    )
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    plain = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    thirds = [plain.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    thirds[0].coalesce(1).write.parquet(f"{src_dir}/embeddings.parquet")
+    lay = str(tmp_path / "lay")
+    build_workload_layout(spark, src_dir, lay, tables=("embeddings",))
+    try:
+        for i in (1, 2):
+            tmp_out = str(tmp_path / f"h{i}")
+            thirds[i].coalesce(1).write.parquet(tmp_out)
+            part = next(p for p in os.listdir(tmp_out)
+                        if p.endswith(".parquet"))
+            shutil.copy(f"{tmp_out}/{part}",
+                        f"{src_dir}/embeddings.parquet/h{i}-{part}")
+            build_workload_layout(spark, src_dir, lay,
+                                  tables=("embeddings",))
+
+        res = compact_workload_layout(spark, src_dir, lay,
+                                      tables=("embeddings",), full=False)
+        fb, fa = res["embeddings"]
+        assert fa < fb
+        served = table(spark, src_dir, "embeddings", with_derived=True)
+        assert served.count() == plain.count()
+        spark.conf.set(LAYOUT_SERVE_CONF, "false")
+        try:
+            computed = table(spark, src_dir, "embeddings",
+                             with_derived=True)
+            assert sorted(map(tuple, served.select(
+                "vec_id", "graft_lsh_bucket").collect())) == \
+                sorted(map(tuple, computed.select(
+                    "vec_id", "graft_lsh_bucket").collect()))
+        finally:
+            spark.conf.unset(LAYOUT_SERVE_CONF)
     finally:
         drop_workload_layout(spark, src_dir)
