@@ -265,7 +265,18 @@ def main() -> None:
         print(f"driver memory defaulted to {mem} "
               f"(engine rule driver_memory_for; set "
               f"SPARK_GRAFT_DRIVER_MEM to override)", flush=True)
-    spark = get_session()
+    # r13 (verdict ask 7): the battery records the noise-immune metric
+    # triple {wall, task_cpu_s, shuffle_bytes} per key via the shared
+    # event-log parser, exactly like bench.py — the relational core's
+    # scale baseline stops being wall-only
+    import tempfile
+
+    evlog = tempfile.mkdtemp(prefix="stress_tpch_ev_")
+    spark = get_session(extra_conf={
+        "spark.eventLog.enabled": "true",
+        "spark.eventLog.dir": f"file://{evlog}",
+        "spark.eventLog.compress": "false",
+    })
     spark.sparkContext.setLogLevel("ERROR")
     registry.load_all()
     if not os.path.exists(f"{WORK}/lineitem.parquet"):
@@ -318,11 +329,24 @@ def main() -> None:
         bench = b.get("queries", b)
 
     results: dict[str, dict] = {}
+    windows: dict[str, tuple[float, float]] = {}
+    reps_run: dict[str, int] = {}
+
+    def _tag(key: str, rep: int):
+        spark.sparkContext.setJobGroup(f"{key}::rep{rep}", key)
+        return time.time() * 1000.0
+
+    def _untag(key: str, rep: int, w0: float) -> None:
+        windows[f"{key}::rep{rep}"] = (w0, time.time() * 1000.0)
+        reps_run[key] = max(reps_run.get(key, 0), rep + 1)
+        spark.sparkContext.setJobGroup("stress-untagged", "")
+
     for key in KEYS:
         if ((key in HASHED_KEYS
              or key in os.environ.get("SPARK_GRAFT_TPCH_HASH_KEYS",
                                       "").split(","))
                 and K >= HASH_MIN_K):
+            w0 = _tag(key, 0)
             try:
                 r = hashed_compare(
                     spark, con, key,
@@ -331,6 +355,8 @@ def main() -> None:
                 results[key] = {"secs": -1.0, "err": str(exc)[:200]}
                 print(f"  {key}: SPARK ERROR {exc}", flush=True)
                 continue
+            finally:
+                _untag(key, 0, w0)
             if key in bench and bench[key] > 0:
                 r["per_row_vs_sf01"] = round(r["secs"] / (K * bench[key]), 3)
             results[key] = r
@@ -341,10 +367,15 @@ def main() -> None:
         secs = []
         sdf = None
         try:
-            for _ in range(int(os.environ.get("SPARK_GRAFT_TPCH_REPS", "2"))):
-                t0 = time.time()
-                sdf = registry.QUERIES[key](spark, WORK).toPandas()
-                secs.append(round(time.time() - t0, 2))
+            for rep in range(
+                    int(os.environ.get("SPARK_GRAFT_TPCH_REPS", "2"))):
+                w0 = _tag(key, rep)
+                try:
+                    t0 = time.time()
+                    sdf = registry.QUERIES[key](spark, WORK).toPandas()
+                    secs.append(round(time.time() - t0, 2))
+                finally:
+                    _untag(key, rep, w0)
         except Exception as exc:  # noqa: BLE001
             results[key] = {"secs": -1.0, "err": str(exc)[:200]}
             print(f"  {key}: SPARK ERROR {exc}", flush=True)
@@ -364,12 +395,43 @@ def main() -> None:
               f"{secs}, duck {osecs}s"
               + (f" [{note}]" if note else ""), flush=True)
 
+    # flush + parse the event log into the per-key noise-immune triple
+    # (bench.py's exact recipe: min-CPU rep, windows fold streaming /
+    # untagged jobs — none here, but the parser contract is shared)
+    spark.stop()
+    try:
+        from nyc_taxi_data_engineering_project_spark.evlog import (
+            group_task_metrics,
+        )
+
+        by_group = group_task_metrics(evlog, windows=windows)
+        for key, n in reps_run.items():
+            per_rep = [by_group[f"{key}::rep{r}"] for r in range(n)
+                       if f"{key}::rep{r}" in by_group]
+            if not per_rep or key not in results:
+                continue
+            pick = min(per_rep, key=lambda d: d["task_cpu_s"])
+            results[key]["task_cpu_s"] = round(pick["task_cpu_s"], 3)
+            results[key]["shuffle_bytes"] = int(pick["shuffle_bytes"])
+    except Exception as exc:  # noqa: BLE001
+        print(f"# METRICS PARSE ERROR: {exc}", file=sys.stderr)
+    finally:
+        shutil.rmtree(evlog, ignore_errors=True)
+
     n_exact = sum(1 for r in results.values() if r.get("match") == "exact")
     n_quant = sum(1 for r in results.values() if r.get("match") == "quantum")
     n_bad = len(results) - n_exact - n_quant
     summary = {"K": K, "src": SRC, "n_keys": len(results),
                "exact": n_exact, "quantum": n_quant, "bad": n_bad,
                "results": results}
+    art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "stress100_results", f"stress_tpch_K{K}.json")
+    try:
+        with open(art, "w") as fh:
+            json.dump(summary, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"# ARTIFACT WRITE ERROR: {exc}", file=sys.stderr)
     print(json.dumps(summary), flush=True)
     if n_bad:
         sys.exit(1)
