@@ -1261,6 +1261,155 @@ def compact_workload_layout(spark: SparkSession, sf_dir: str,
             pass
 
 
+def _stream_marker_path(src_path: str) -> str:
+    # underscore-prefixed: Spark's file listing and _source_parts'
+    # *.parquet glob both ignore it, so the marker travels WITH the
+    # source directory without perturbing fingerprints or scans
+    return os.path.join(src_path, "_graft_stream.json")
+
+
+def layout_ingest_writer(sf_dir: str, path: str, name: str,
+                         stream_id: str | None = None,
+                         buckets: int | None = None,
+                         lsh_planes: int | None = None):
+    """Per-batch maintainer for a STREAMING layout source (r13 — the
+    lifecycle symmetry the sketch products completed in r12/r13: every
+    stored product now has build / incremental-append / streaming
+    maintenance / serve). Each micro-batch publishes into the SOURCE
+    directory as deterministically named part files, then the standard
+    incremental maintenance path (:func:`build_workload_layout`)
+    bucketizes ONLY that delta into the layout — the reference's
+    monthly-append ingest (``python/ingest_data.py:160-166``) running
+    continuously against its indexes (``sql/init.sql:44-47``), with
+    per-batch cost O(batch), never O(corpus).
+
+    Exactly-once under replay, without making the data write atomic
+    with the layout append (they are different storage systems):
+
+    1. the batch lands under deterministic names
+       ``part-graft-<sid>-<batch:09d>-<i>.parquet`` via a write to an
+       underscore-prefixed temp dir + per-file rename — a crashed
+       attempt's partial publication is deleted and rewritten on
+       replay (safe: see 2);
+    2. the stream marker ``_graft_stream.json`` (stream identity +
+       ``last_batch_id``) commits atomically AFTER the files and
+       BEFORE the layout consumes them, so a replayed ``batch_id <=
+       last_batch_id`` never touches published files the layout may
+       already have appended (rewriting them would read as
+       modified-source drift and force a full rebuild);
+    3. the maintenance step runs on EVERY call — including replays —
+       because its manifest diff is idempotent: a crash after the
+       marker but before the append leaves pending source parts that
+       the replay (or the next batch, or any manual build) folds in.
+
+    Identity semantics mirror the sketch writers'
+    (``queries/llm._check_stream_identity``): batch ids are only
+    monotonic WITHIN one checkpoint, so a DIFFERENT stream identity
+    presenting a non-monotonic batch id refuses loudly instead of
+    silently skipping genuinely new data as replays; a different
+    stream with a monotonically HIGHER batch id may adopt the source
+    (its file names are sid-scoped, so no collision is possible).
+
+    Single-maintainer posture: while a stream owns a source directory,
+    concurrent layout builds from OTHER sessions are excluded by the
+    build lock, and manual builds between batches are safe (the diff
+    is append-only either way). ``buckets``/``lsh_planes`` pass
+    through to the underlying build — the first batch against a fresh
+    layout is the full build that fixes them."""
+
+    src_path = os.path.join(sf_dir, f"{name}.parquet")
+
+    def _ingest(batch_df, batch_id: int) -> None:
+        import glob as _glob
+        import hashlib as _hashlib
+        import json as _json
+        import shutil as _shutil
+
+        spark = batch_df.sparkSession
+        os.makedirs(src_path, exist_ok=True)
+        marker = _stream_marker_path(src_path)
+        state = None
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                state = _json.load(fh)
+        replay = False
+        if state is not None:
+            last = int(state.get("last_batch_id", -1))
+            owner = state.get("stream_id")
+            if owner != stream_id and int(batch_id) <= last:
+                raise ValueError(
+                    f"layout source at {src_path} was last maintained "
+                    f"by stream {owner!r} up to batch {last}, but "
+                    f"stream {stream_id!r} presented batch {batch_id}: "
+                    f"a fresh/relocated checkpoint restarts batch ids "
+                    f"at 0, and treating this as a replay would "
+                    f"silently skip new data. Resume the ORIGINAL "
+                    f"checkpoint, or feed the new stream into its own "
+                    f"source directory.")
+            replay = int(batch_id) <= last
+        if not replay:
+            sid = _hashlib.sha1(str(stream_id).encode()).hexdigest()[:8]
+            stem = f"part-graft-{sid}-{int(batch_id):09d}-"
+            tmp = os.path.join(src_path, "_graft_ingest_tmp")
+            _shutil.rmtree(tmp, ignore_errors=True)
+            batch_df.write.mode("overwrite").parquet(tmp)
+            # a crashed prior attempt may have published a PARTIAL set
+            # of files (the marker proves the layout never consumed
+            # them — consumption only happens after the marker commit)
+            for f in _glob.glob(os.path.join(src_path,
+                                             stem + "*.parquet")):
+                os.remove(f)
+            parts = sorted(f for f in os.listdir(tmp)
+                           if f.endswith(".parquet"))
+            for i, f in enumerate(parts):
+                os.replace(os.path.join(tmp, f),
+                           os.path.join(src_path,
+                                        f"{stem}{i:05d}.parquet"))
+            _shutil.rmtree(tmp, ignore_errors=True)
+            mtmp = marker + ".tmp"
+            with open(mtmp, "w") as fh:
+                _json.dump({"stream_id": stream_id,
+                            "last_batch_id": int(batch_id)}, fh)
+            os.replace(mtmp, marker)
+        # maintenance on every call: idempotent manifest diff; heals a
+        # crash that landed between the marker commit and the append
+        build_workload_layout(spark, sf_dir, path, buckets=buckets,
+                              tables=(name,), lsh_planes=lsh_planes)
+
+    return _ingest
+
+
+def stream_append_layout(stream_df, sf_dir: str, path: str, name: str,
+                         checkpoint: str,
+                         buckets: int | None = None,
+                         lsh_planes: int | None = None) -> None:
+    """Drain a streaming DataFrame into a workload-layout SOURCE and
+    keep the layout incrementally maintained (r13): foreachBatch +
+    checkpoint (source offset tracking) + :func:`layout_ingest_writer`
+    (replay-guarded deterministic publication + manifest-diff append)
+    = exactly-once layout maintenance. availableNow trigger — call
+    again as new data lands, or swap the trigger for a continuous
+    cadence. The checkpoint's absolute path is the stream identity
+    (the sketch writers' posture): batch ids are only monotonic within
+    one checkpoint, so the replay guard is keyed on both."""
+    writer = layout_ingest_writer(
+        sf_dir, path, name, stream_id=os.path.abspath(checkpoint),
+        buckets=buckets, lsh_planes=lsh_planes)
+    q = (stream_df.writeStream.foreachBatch(writer)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    # foreachBatch executes against a CLONED SparkSession whose SQLConf
+    # dies with the stream — the catalog TABLE is shared (it lives in
+    # the shared state) but the serve registration is per-session, so
+    # re-register the now-fresh layout in the caller's session. The
+    # manifest proves freshness: this is registration only, no rebuild.
+    build_workload_layout(stream_df.sparkSession, sf_dir, path,
+                          buckets=buckets, tables=(name,),
+                          lsh_planes=lsh_planes)
+
+
 def drop_workload_layout(spark: SparkSession, sf_dir: str,
                          tables: tuple[str, ...] | None = None) -> None:
     """Unregister and drop the layout for ``sf_dir`` (``DROP INDEX``).

@@ -518,3 +518,52 @@ def d13_python_stream_source(spark, sf_dir):
         .load()
     )
     return run_available_now(sdf, "d13_pysrc_stream", output_mode="append")
+
+
+@query(
+    "d14_stream_layout_maintenance",
+    # exactly-once streaming maintenance + bounded replay means the
+    # layout holds each streamed order exactly once, so the aggregate
+    # served THROUGH the layout equals the batch aggregate over the
+    # original table
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE) * 100.0 + 0.5) / 100.0 AS total_price
+    FROM orders GROUP BY 1
+    """,
+)
+def d14_stream_layout_maintenance(spark, sf_dir):
+    """D14: streaming maintenance of the bucketed workload layout
+    (r13 — D-group streaming meets A15's index lifecycle): the orders
+    table replayed as a 3-micro-batch file stream, each batch published
+    into a fresh source directory under deterministic names and
+    incrementally appended into the bucketed layout by
+    ``catalog.stream_append_layout`` (foreachBatch + checkpoint +
+    replay-guarded marker = exactly-once, per-batch cost O(batch)).
+    The reference's monthly ingest-then-index cadence
+    (``python/ingest_data.py:160-166`` + ``sql/init.sql:44-47``) as a
+    continuous stream. Returns an aggregate over the SERVED layout;
+    the crash/replay/foreign-checkpoint halves are pinned in
+    tests/test_stream_layout.py."""
+    from ..catalog import stream_append_layout
+
+    tmp = tempfile.mkdtemp(prefix="d14_")
+    feed = os.path.join(tmp, "feed")
+    src2 = os.path.join(tmp, "src")
+    lay = os.path.join(tmp, "layout")
+    ckpt = os.path.join(tmp, "ckpt")
+    orders = table(spark, sf_dir, "orders")
+    # 3 part files -> 3 micro-batches under maxFilesPerTrigger=1
+    orders.repartition(3).write.parquet(feed)
+    stream = (spark.readStream.schema(orders.schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed))
+    os.makedirs(src2)
+    stream_append_layout(stream, src2, lay, "orders", ckpt, buckets=4)
+    served = table(spark, src2, "orders")
+    return served.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        fx.fround(F.sum(fx.dec("o_totalprice", scale=2))
+                  .cast("double"), 2).alias("total_price"),
+    )

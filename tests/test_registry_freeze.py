@@ -43,5 +43,7 @@ def test_registry_matches_frozen_surface():
     # (portable Bloom membership) — completing the oracle-grade
     # sketch taxonomy: cardinality/quantile/frequency/membership.
     # The 6 rows-only keys are genuine sketches/library-RNG
-    # (c10/c11 approx, c29_sample, c38, f19/f20)
-    assert len(got) == 145 and sum(v == "oracle" for v in got.values()) == 139
+    # (c10/c11 approx, c29_sample, c38, f19/f20); r13 adds
+    # d14_stream_layout_maintenance (exactly-once streaming layout
+    # maintenance, aggregate served through the layout under oracle)
+    assert len(got) == 146 and sum(v == "oracle" for v in got.values()) == 140

@@ -1,0 +1,291 @@
+"""Streaming maintenance of the workload layout (r13 — lifecycle
+symmetry: catalog.stream_append_layout / layout_ingest_writer).
+
+The reference's monthly ingest-then-index cadence
+(``python/ingest_data.py:160-166`` + ``sql/init.sql:44-47``) as a
+continuous stream: each micro-batch publishes deterministically named
+part files into the layout's SOURCE directory, and the standard
+manifest-diff maintenance appends only that delta into the bucketed
+layout. These tests pin the exactly-once contract the same way the
+sketch writers' tests do (test_llm_ops.py): streamed == batch-built,
+replay no-op, both crash windows heal, and a foreign checkpoint
+presenting non-monotonic batch ids refuses loudly.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+from nyc_taxi_data_engineering_project_spark.catalog import (
+    _read_manifest,
+    _stream_marker_path,
+    drop_workload_layout,
+    layout_ingest_writer,
+    stream_append_layout,
+    table,
+)
+
+
+def _orders_batches(spark, n=3):
+    """The sf orders table split into n deterministic slices."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    return orders, [
+        orders.filter(F.pmod(F.col("o_orderkey"), F.lit(n)) == i)
+        for i in range(n)
+    ]
+
+
+def _served_rows(spark, src):
+    return table(spark, src, "orders")
+
+
+def _published(src):
+    return sorted(glob.glob(
+        os.path.join(src, "orders.parquet", "part-graft-*.parquet")))
+
+
+def test_streamed_layout_equals_batch_and_appends_only_delta(
+        spark, tmp_path):
+    """Three manual batches through the production writer: the served
+    layout equals the full source, each batch's maintenance is
+    incremental (files from earlier batches byte-untouched), and the
+    marker tracks the last batch."""
+    src = str(tmp_path / "src")
+    lay = str(tmp_path / "lay")
+    os.makedirs(src)
+    orders, batches = _orders_batches(spark)
+    writer = layout_ingest_writer(src, lay, "orders",
+                                  stream_id="ckpt-a", buckets=4)
+    try:
+        writer(batches[0], 0)
+        served0 = _served_rows(spark, src)
+        n0 = served0.count()
+        assert n0 == batches[0].count()
+        # record the layout files after batch 0
+        manifest = _read_manifest(lay, _layout_tbl(spark, src))
+        assert manifest is not None
+        files0 = _layout_files(lay, _layout_tbl(spark, src))
+
+        writer(batches[1], 1)
+        writer(batches[2], 2)
+        served = _served_rows(spark, src)
+        assert served.count() == orders.count()
+        src_rows = spark.read.parquet(f"{src}/orders.parquet")
+        assert served.exceptAll(src_rows).count() == 0
+        assert src_rows.exceptAll(served).count() == 0
+        # incremental: batch-0 layout files byte-untouched
+        files2 = _layout_files(lay, _layout_tbl(spark, src))
+        for f, mt in files0.items():
+            assert files2[f] == mt, f"maintenance rewrote {f}"
+        with open(_stream_marker_path(f"{src}/orders.parquet")) as fh:
+            marker = json.load(fh)
+        assert marker == {"stream_id": "ckpt-a", "last_batch_id": 2}
+    finally:
+        drop_workload_layout(spark, src)
+
+
+def _layout_tbl(spark, src):
+    from nyc_taxi_data_engineering_project_spark.catalog import (
+        _layout_conf_key,
+    )
+
+    return spark.conf.get(_layout_conf_key(src, "orders"))
+
+
+def _layout_files(lay, tbl):
+    d = os.path.join(lay, tbl)
+    return {
+        os.path.join(root, f): os.stat(os.path.join(root, f)).st_mtime_ns
+        for root, _dirs, files in os.walk(d)
+        for f in files if f.endswith(".parquet")
+    }
+
+
+def test_replayed_batch_is_a_no_op(spark, tmp_path):
+    """A batch_id <= last from the SAME stream touches neither the
+    published source files nor the layout (foreachBatch's replay
+    contract: crash between sink write and checkpoint commit)."""
+    src = str(tmp_path / "src")
+    lay = str(tmp_path / "lay")
+    os.makedirs(src)
+    orders, batches = _orders_batches(spark, n=2)
+    writer = layout_ingest_writer(src, lay, "orders",
+                                  stream_id="ckpt-a", buckets=4)
+    try:
+        writer(batches[0], 0)
+        writer(batches[1], 1)
+        pub = {p: os.stat(p).st_mtime_ns for p in _published(src)}
+        n = _served_rows(spark, src).count()
+        # replay both epochs — rows WOULD double if the guard failed
+        writer(batches[0], 0)
+        writer(batches[1], 1)
+        assert {p: os.stat(p).st_mtime_ns
+                for p in _published(src)} == pub
+        assert _served_rows(spark, src).count() == n == orders.count()
+    finally:
+        drop_workload_layout(spark, src)
+
+
+def test_crash_before_marker_republishes_without_duplicates(
+        spark, tmp_path, monkeypatch):
+    """Crash window 1: files published, marker NOT committed. The
+    replay must delete the partial publication and republish — the
+    marker ordering proves the layout never consumed those files."""
+    import nyc_taxi_data_engineering_project_spark.catalog as cat
+
+    src = str(tmp_path / "src")
+    lay = str(tmp_path / "lay")
+    os.makedirs(src)
+    orders, batches = _orders_batches(spark, n=2)
+    writer = layout_ingest_writer(src, lay, "orders",
+                                  stream_id="ckpt-a", buckets=4)
+    try:
+        writer(batches[0], 0)
+
+        # batch 1 crashes after the renames, before the marker commit:
+        # simulate by failing os.replace for the marker only
+        real_replace = os.replace
+
+        def _boom(a, b):
+            if b.endswith("_graft_stream.json"):
+                raise OSError("synthetic crash before marker commit")
+            return real_replace(a, b)
+
+        monkeypatch.setattr(cat.os, "replace", _boom)
+        with pytest.raises(OSError, match="synthetic crash"):
+            writer(batches[1], 1)
+        monkeypatch.setattr(cat.os, "replace", real_replace)
+
+        # partial publication exists; marker still at batch 0
+        assert len(_published(src)) > 0
+        with open(_stream_marker_path(f"{src}/orders.parquet")) as fh:
+            assert json.load(fh)["last_batch_id"] == 0
+
+        # the replay republishes batch 1 exactly once
+        writer(batches[1], 1)
+        served = _served_rows(spark, src)
+        assert served.count() == orders.count()
+        src_rows = spark.read.parquet(f"{src}/orders.parquet")
+        assert served.exceptAll(src_rows).count() == 0
+    finally:
+        drop_workload_layout(spark, src)
+
+
+def test_crash_after_marker_heals_on_replay(spark, tmp_path,
+                                            monkeypatch):
+    """Crash window 2: files + marker committed, layout append never
+    ran. The replayed epoch is a data no-op but its maintenance call
+    folds the pending source parts in."""
+    import nyc_taxi_data_engineering_project_spark.catalog as cat
+
+    src = str(tmp_path / "src")
+    lay = str(tmp_path / "lay")
+    os.makedirs(src)
+    orders, batches = _orders_batches(spark, n=2)
+    writer = layout_ingest_writer(src, lay, "orders",
+                                  stream_id="ckpt-a", buckets=4)
+    try:
+        writer(batches[0], 0)
+
+        real_build = cat.build_workload_layout
+        calls = {"n": 0}
+
+        def _boom(*a, **kw):
+            calls["n"] += 1
+            raise RuntimeError("synthetic crash before layout append")
+
+        monkeypatch.setattr(cat, "build_workload_layout", _boom)
+        with pytest.raises(RuntimeError, match="synthetic crash"):
+            writer(batches[1], 1)
+        monkeypatch.setattr(cat, "build_workload_layout", real_build)
+        assert calls["n"] == 1
+        # marker committed, layout stale (missing batch 1)
+        with open(_stream_marker_path(f"{src}/orders.parquet")) as fh:
+            assert json.load(fh)["last_batch_id"] == 1
+        # STALE gate protects readers until maintenance runs
+        with pytest.raises(ValueError, match="STALE"):
+            _served_rows(spark, src).count()
+
+        pub = {p: os.stat(p).st_mtime_ns for p in _published(src)}
+        writer(batches[1], 1)  # replay: no republication, append heals
+        assert {p: os.stat(p).st_mtime_ns
+                for p in _published(src)} == pub
+        assert _served_rows(spark, src).count() == orders.count()
+    finally:
+        drop_workload_layout(spark, src)
+
+
+def test_foreign_checkpoint_with_nonmonotonic_batch_refuses(
+        spark, tmp_path):
+    """The sketch writers' identity posture (r12 ADVICE): a fresh or
+    relocated checkpoint restarts batch ids at 0 — treating those as
+    replays would silently skip new data, so a different stream_id
+    presenting batch_id <= last refuses loudly. A monotonically HIGHER
+    batch id from a new stream may adopt the source."""
+    src = str(tmp_path / "src")
+    lay = str(tmp_path / "lay")
+    os.makedirs(src)
+    orders, batches = _orders_batches(spark, n=3)
+    a = layout_ingest_writer(src, lay, "orders",
+                             stream_id="ckpt-a", buckets=4)
+    b = layout_ingest_writer(src, lay, "orders",
+                             stream_id="ckpt-b", buckets=4)
+    try:
+        a(batches[0], 0)
+        a(batches[1], 1)
+        with pytest.raises(ValueError, match="fresh/relocated"):
+            b(batches[2], 0)
+        # adoption at a higher batch id is allowed; sid-scoped names
+        # make collisions impossible
+        b(batches[2], 2)
+        assert _served_rows(spark, src).count() == orders.count()
+        with open(_stream_marker_path(f"{src}/orders.parquet")) as fh:
+            marker = json.load(fh)
+        assert marker == {"stream_id": "ckpt-b", "last_batch_id": 2}
+    finally:
+        drop_workload_layout(spark, src)
+
+
+def test_real_stream_end_to_end_and_restart(spark, tmp_path):
+    """The production entry point: a real file-source stream drained
+    by stream_append_layout, then RE-RUN against the same checkpoint —
+    the second drain sees no new offsets and the layout is unchanged
+    (exactly-once across restarts, the d14 registry key's contract)."""
+    feed = str(tmp_path / "feed")
+    src = str(tmp_path / "src")
+    lay = str(tmp_path / "lay")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    orders.repartition(3).write.parquet(feed)
+
+    def _drain():
+        stream = (spark.readStream.schema(orders.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(feed))
+        stream_append_layout(stream, src, lay, "orders", ckpt,
+                             buckets=4)
+
+    try:
+        _drain()
+        served = _served_rows(spark, src)
+        assert served.count() == orders.count()
+        # >= 2 batches really ran (deterministic sid-named files)
+        batch_ids = {os.path.basename(p).split("-")[3]
+                     for p in _published(src)}
+        assert len(batch_ids) >= 2
+        pub = {p: os.stat(p).st_mtime_ns for p in _published(src)}
+        files = _layout_files(lay, _layout_tbl(spark, src))
+
+        _drain()  # restart on the same checkpoint: nothing new
+        assert {p: os.stat(p).st_mtime_ns
+                for p in _published(src)} == pub
+        assert _layout_files(lay, _layout_tbl(spark, src)) == files
+        assert _served_rows(spark, src).count() == orders.count()
+    finally:
+        drop_workload_layout(spark, src)
