@@ -21,9 +21,12 @@ Reading the result (SHUFFLE_AUDIT.json / SCALE.md §12):
   numbers could hide at test scale but 100 TB would not forgive.
 
 Streaming (d*) keys execute their replay during *construction* on
-Spark's own streaming threads, where the job group does not propagate;
-their attributed bytes cover only the batch read-back and are reported
-as lower bounds (``streaming: true``).
+Spark's own streaming threads, where the job group does not propagate.
+Since r13 the audit records a per-key submission-time window and the
+shared parser folds those foreign-group jobs into the key executing at
+that moment (bench.py's attribution fix) — d-key bytes are EXACT;
+``streaming: true`` now just marks that a key's volume includes replay
+jobs attributed via the window fold.
 
 Usage: python scripts/shuffle_audit.py [sf_dir_small] [sf_dir_big]
 Writes SHUFFLE_AUDIT.json at the repo root.
@@ -58,15 +61,22 @@ def _session(evlog: str):
     )
 
 
-def group_shuffle_bytes(evlog: str) -> dict[str, int]:
+def group_shuffle_bytes(evlog: str,
+                        windows: dict[str, tuple[float, float]],
+                        ) -> dict[str, int]:
     """job-group -> summed task Shuffle Bytes Written (the shared
-    evlog walk; bench.py reads the CPU side of the same parse)."""
+    evlog walk; bench.py reads the CPU side of the same parse). The
+    submission-time windows fold streaming micro-batch jobs — which
+    run under the query runId, not the key's job group — into the key
+    executing at that moment (r13, the bench.py attribution fix), so
+    d-key bytes are now EXACT, not read-back lower bounds."""
     from nyc_taxi_data_engineering_project_spark.evlog import (
         group_task_metrics,
     )
 
     return {grp: int(m["shuffle_bytes"])
-            for grp, m in group_task_metrics(evlog).items()}
+            for grp, m in group_task_metrics(evlog,
+                                             windows=windows).items()}
 
 
 def run_all(sf_dir: str) -> dict[str, int]:
@@ -78,9 +88,11 @@ def run_all(sf_dir: str) -> dict[str, int]:
     evlog = tempfile.mkdtemp(prefix="shuffle_audit_ev_")
     spark = _session(evlog)
     sc = spark.sparkContext
+    windows: dict[str, tuple[float, float]] = {}
     try:
         for key in sorted(registry.QUERIES):
             sc.setJobGroup(key, key)
+            w0 = time.time() * 1000.0
             try:
                 df = registry.QUERIES[key](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
@@ -88,12 +100,13 @@ def run_all(sf_dir: str) -> dict[str, int]:
                 print(f"{key}: ERROR {type(exc).__name__}: {exc}",
                       file=sys.stderr)
             finally:
-                sc.setJobGroup("", "")
+                windows[key] = (w0, time.time() * 1000.0)
+                sc.setJobGroup("audit-untagged", "")
     finally:
         spark.stop()
         time.sleep(1)  # let the event log flush on stop
     try:
-        return group_shuffle_bytes(evlog)
+        return group_shuffle_bytes(evlog, windows)
     finally:
         shutil.rmtree(evlog, ignore_errors=True)
 
