@@ -50,6 +50,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from nyc_taxi_data_engineering_project_spark.queries.streaming_q import (  # noqa: E402
     d2_windowed,
+    d11_joined,
     d12_deduped,
 )
 from nyc_taxi_data_engineering_project_spark.session import get_session  # noqa: E402
@@ -197,6 +198,62 @@ def main() -> None:
             "emitted": n_emitted,
         }
         print(f"  K={k} d12: {tier['d12_deduped']}", flush=True)
+
+        # --- d11: stream-stream interval join ---------------------------
+        # two independent file-source streams over the same feed, both
+        # advancing one file per trigger — the production d11_joined
+        # plan. INNER interval joins emit each match exactly once and
+        # eagerly (the watermark only EVICTS state, and the 1 h delay
+        # covers the 30 min range, so no still-matchable row is ever
+        # evicted) — the multi-batch emitted set must equal the batch
+        # join EXACTLY, unlike d2 (horizon-gated emission) and d12
+        # (horizon-scoped semantics).
+        schema = spark.read.parquet(feed).schema
+
+        def _src():
+            return (spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 1).parquet(feed)
+                    .withColumn("ts", F.col("ts").cast("timestamp")))
+
+        sdf = d11_joined(_src(), _src())
+        t0 = time.time()
+        q = (sdf.writeStream.format("memory").queryName(f"scale_d11_k{k}")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        wall = time.time() - t0
+        progs = [p if isinstance(p, dict) else json.loads(p.json)
+                 for p in q.recentProgress]
+        res = spark.table(f"scale_d11_k{k}")
+        n_emitted = res.count()
+        chk = res.agg(F.sum("secs_to_purchase")).collect()[0][0] or 0
+        clicks = batch.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        purch = batch.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        twin = clicks.join(
+            purch,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts")
+               + F.expr("INTERVAL 30 MINUTES")))
+        t_n = twin.count()
+        t_chk = twin.agg(F.sum(
+            F.to_unix_timestamp("p_ts") - F.to_unix_timestamp("c_ts")
+        )).collect()[0][0] or 0
+        assert (n_emitted, int(chk)) == (t_n, int(t_chk)), (
+            f"d11 emitted ({n_emitted},{chk}) != batch twin "
+            f"({t_n},{t_chk}) at K={k}")
+        tier["d11_joined"] = {
+            "wall_s": round(wall, 2),
+            "rows_per_s": int(rows / wall),
+            "batches": len([p for p in progs if p.get("numInputRows")]),
+            "state_max_rows": state_max(progs),
+            "state_frac_of_input": round(state_max(progs) / rows, 4),
+            "emitted": n_emitted,
+        }
+        print(f"  K={k} d11: {tier['d11_joined']}", flush=True)
         out[f"K{k}"] = tier
 
     art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
