@@ -289,3 +289,50 @@ def test_real_stream_end_to_end_and_restart(spark, tmp_path):
         assert _served_rows(spark, src).count() == orders.count()
     finally:
         drop_workload_layout(spark, src)
+
+
+def test_streamed_embeddings_layout_value_partitioned_width_pinned(
+        spark, tmp_path):
+    """The streaming path must hold for the PARTITIONED layout mode
+    too (the persisted ANN index): streamed vectors land in the same
+    value partitions the batch build assigns, the stored LSH width is
+    PINNED across streamed appends (an explicit lsh_planes rides every
+    maintenance call), and the stored buckets equal the on-the-fly
+    rule over the full streamed corpus."""
+    src = str(tmp_path / "src")
+    lay = str(tmp_path / "lay")
+    os.makedirs(src)
+    plain = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    batches = [plain.filter(F.col("vec_id") % 2 == i) for i in range(2)]
+    writer = layout_ingest_writer(src, lay, "embeddings",
+                                  stream_id="ckpt-e", lsh_planes=6)
+    try:
+        writer(batches[0], 0)
+        from nyc_taxi_data_engineering_project_spark.catalog import (
+            _layout_conf_key,
+        )
+
+        tbl = spark.conf.get(_layout_conf_key(src, "embeddings"))
+        m0 = _read_manifest(lay, tbl)
+        assert m0["mode"] == "partitioned" and m0["lsh_planes"] == 6
+
+        writer(batches[1], 1)
+        m1 = _read_manifest(lay, tbl)
+        assert m1["lsh_planes"] == 6  # width pinned across the stream
+        served = table(spark, src, "embeddings", with_derived=True) \
+            .select("vec_id", "graft_lsh_bucket")
+        assert served.count() == plain.count()
+        # stored buckets == the 6-plane rule applied on the fly (the
+        # serve-off derived column would use the DEFAULT width, so
+        # compare against the exact factory the build pinned)
+        from nyc_taxi_data_engineering_project_spark.catalog import (
+            _derived_factories,
+        )
+
+        fac = _derived_factories("embeddings", 6)["graft_lsh_bucket"]
+        computed = plain.withColumn("graft_lsh_bucket", fac(plain)) \
+            .select("vec_id", "graft_lsh_bucket")
+        assert sorted(map(tuple, served.collect())) == \
+            sorted(map(tuple, computed.collect()))
+    finally:
+        drop_workload_layout(spark, src)
