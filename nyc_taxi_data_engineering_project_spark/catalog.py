@@ -1350,7 +1350,9 @@ def layout_ingest_writer(sf_dir: str, path: str, name: str,
         if not replay:
             sid = _hashlib.sha1(str(stream_id).encode()).hexdigest()[:8]
             stem = f"part-graft-{sid}-{int(batch_id):09d}-"
-            tmp = os.path.join(src_path, "_graft_ingest_tmp")
+            # sid-scoped so two streams feeding DIFFERENT sources that
+            # happen to share a directory prefix can never collide
+            tmp = os.path.join(src_path, f"_graft_ingest_tmp_{sid}")
             _shutil.rmtree(tmp, ignore_errors=True)
             batch_df.write.mode("overwrite").parquet(tmp)
             # a crashed prior attempt may have published a PARTIAL set
@@ -1405,9 +1407,12 @@ def stream_append_layout(stream_df, sf_dir: str, path: str, name: str,
     # the shared state) but the serve registration is per-session, so
     # re-register the now-fresh layout in the caller's session. The
     # manifest proves freshness: this is registration only, no rebuild.
-    build_workload_layout(stream_df.sparkSession, sf_dir, path,
-                          buckets=buckets, tables=(name,),
-                          lsh_planes=lsh_planes)
+    # (Skip when the stream never delivered a batch into a fresh
+    # source — there is nothing to register yet.)
+    if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+        build_workload_layout(stream_df.sparkSession, sf_dir, path,
+                              buckets=buckets, tables=(name,),
+                              lsh_planes=lsh_planes)
 
 
 def drop_workload_layout(spark: SparkSession, sf_dir: str,
