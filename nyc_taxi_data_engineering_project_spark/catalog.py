@@ -882,6 +882,8 @@ def _build_layout_tables(
                     "mode": manifest.get("mode", "bucketed"),
                     "derived": sorted(LAYOUT_DERIVED.get(name, {})),
                     "compactions": int(manifest.get("compactions", 0)),
+                    "minor_compactions":
+                        int(manifest.get("minor_compactions", 0)),
                     **({"lsh_planes": int(eff_planes)}
                        if name == "embeddings" else {}),
                 }
@@ -1261,6 +1263,32 @@ def compact_workload_layout(spark: SparkSession, sf_dir: str,
             pass
 
 
+def check_stream_identity(owner, last: int, stream_id, batch_id: int,
+                          what: str, advice: str) -> bool:
+    """Shared exactly-once replay decision for every streaming
+    maintainer — the sketch writers (queries/llm.py) and the layout
+    ingest below delegate here so the rule can never drift between
+    stores (r13 review; the rule itself is the r12 ADVICE fix):
+    batch ids are only monotonic WITHIN one checkpoint, so the guard
+    is keyed on (stream identity, batch id). Returns True when the
+    batch is a replay (caller no-ops); raises when a DIFFERENT
+    identity presents a non-monotonic batch id (a fresh/relocated
+    checkpoint restarting at 0 — treating those as replays would
+    silently drop new data); returns False when the batch should fold
+    in. ``last < 0`` marks batch-built state any stream may adopt."""
+    if last < 0:
+        return False
+    if owner != stream_id and int(batch_id) <= last:
+        raise ValueError(
+            f"{what} was last maintained by stream {owner!r} up to "
+            f"batch {last}, but stream {stream_id!r} presented batch "
+            f"{batch_id}: a fresh/relocated checkpoint restarts batch "
+            f"ids at 0, and treating this as a replay would silently "
+            f"drop new data. Resume the ORIGINAL checkpoint, or "
+            f"{advice}")
+    return int(batch_id) <= last
+
+
 def _stream_marker_path(src_path: str) -> str:
     # underscore-prefixed: Spark's file listing and _source_parts'
     # *.parquet glob both ignore it, so the marker travels WITH the
@@ -1334,19 +1362,12 @@ def layout_ingest_writer(sf_dir: str, path: str, name: str,
                 state = _json.load(fh)
         replay = False
         if state is not None:
-            last = int(state.get("last_batch_id", -1))
-            owner = state.get("stream_id")
-            if owner != stream_id and int(batch_id) <= last:
-                raise ValueError(
-                    f"layout source at {src_path} was last maintained "
-                    f"by stream {owner!r} up to batch {last}, but "
-                    f"stream {stream_id!r} presented batch {batch_id}: "
-                    f"a fresh/relocated checkpoint restarts batch ids "
-                    f"at 0, and treating this as a replay would "
-                    f"silently skip new data. Resume the ORIGINAL "
-                    f"checkpoint, or feed the new stream into its own "
-                    f"source directory.")
-            replay = int(batch_id) <= last
+            replay = check_stream_identity(
+                state.get("stream_id"),
+                int(state.get("last_batch_id", -1)),
+                stream_id, batch_id,
+                f"layout source at {src_path}",
+                "feed the new stream into its own source directory.")
         if not replay:
             sid = _hashlib.sha1(str(stream_id).encode()).hexdigest()[:8]
             stem = f"part-graft-{sid}-{int(batch_id):09d}-"

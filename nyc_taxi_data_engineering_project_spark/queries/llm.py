@@ -3176,8 +3176,13 @@ def _recover_sketch_swap(target: str) -> None:
     streaming grid the tmp carries the batch's ``last_batch_id``, so
     the replayed epoch is then the designed no-op; otherwise roll BACK
     to ``.old`` and let the replay re-merge. Either way the cells and
-    the replay guard move together, preserving exactly-once. Called by
-    every sketch writer and reader before touching ``target``."""
+    the replay guard move together, preserving exactly-once. Called
+    ONLY by writer entry points (_write_sketch_parquet /
+    _load_inner_manifest) — each sketch path has a single maintainer,
+    and a READER that renamed directories here would race a LIVE
+    writer mid-swap (r13 review); readers go through
+    :func:`_read_sketch_parquet`, which retries the brief window and
+    raises on a genuinely stranded swap instead of mutating."""
     import os as _os
     import shutil as _shutil
 
@@ -3192,6 +3197,34 @@ def _recover_sketch_swap(target: str) -> None:
         _shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _read_sketch_parquet(spark, target: str):
+    """Reader-side counterpart of :func:`_write_sketch_parquet` (r13
+    review): readers NEVER mutate the store — healing a stranded swap
+    is the single maintainer's job, and a reader that renamed
+    directories would race a live writer between its two renames (the
+    reader's rename(tmp→target) makes the writer's own rename throw
+    and can tear a healthy streaming query down). A reader that lands
+    in the brief missing-path window retries; a genuinely stranded
+    swap (crashed writer: .tmp/.old present, target still missing)
+    raises with the recovery named."""
+    import os as _os
+    import time as _time
+
+    for _ in range(3):
+        if _os.path.exists(target):
+            return spark.read.parquet(target)
+        _time.sleep(0.1)
+    tmp, old = target + ".tmp", target + ".old"
+    if (_os.path.exists(_os.path.join(tmp, "_manifest.json"))
+            or _os.path.exists(old)):
+        raise ValueError(
+            f"sketch at {target} has a stranded swap (crashed writer: "
+            f".tmp/.old present, target missing). Re-run its "
+            f"maintainer (build_*/stream_* heal the swap on entry); "
+            f"readers never mutate the store.")
+    return spark.read.parquet(target)  # normal missing-path error
+
+
 def _write_sketch_parquet(df, target: str, inner_manifest=None) -> None:
     """Write a (sketch-sized) frame as single-file parquet at
     ``target`` with tmp+rename-swap semantics (the _compact_one
@@ -3200,9 +3233,11 @@ def _write_sketch_parquet(df, target: str, inner_manifest=None) -> None:
     exactly the window a rebuild-while-serving deployment hits (r12
     review). Honesty note (r12 ADVICE): the two renames are not one —
     a concurrent reader can see ``target`` briefly MISSING between
-    them and should retry; a crash inside that window strands the swap
-    and is healed by :func:`_recover_sketch_swap` on the next
-    write/read of the same path. ``inner_manifest`` (a dict) is staged
+    them (:func:`_read_sketch_parquet` retries that window); a crash
+    inside it strands the swap, which the next WRITER call heals via
+    :func:`_recover_sketch_swap` — readers raise rather than heal, so
+    they can never race a live writer's rename (r13 review).
+    ``inner_manifest`` (a dict) is staged
     as ``_manifest.json`` INSIDE the directory (parquet readers skip
     underscore files) after the cells and before the swap, so manifest
     and cells publish in the same rename — the streaming replay
@@ -3287,8 +3322,8 @@ def cm_estimate(spark, path: str, tokens):
     if not hasattr(tokens, "columns"):
         tokens = spark.createDataFrame(
             [(t,) for t in tokens], "token string")
-    _recover_sketch_swap(_os.path.join(path, "grid.parquet"))
-    grid = spark.read.parquet(_os.path.join(path, "grid.parquet"))
+    grid = _read_sketch_parquet(spark, _os.path.join(path,
+                                                     "grid.parquet"))
     return cm_estimate_against(
         _cm_bucketed(tokens.select("token").distinct()), grid,
         complete=True)
@@ -3330,26 +3365,22 @@ def _load_inner_manifest(target: str, kind: str, geometry: dict):
 def _check_stream_identity(manifest, stream_id, batch_id: int,
                            target: str) -> bool:
     """Replay-guard decision shared by the streaming sketch writers
-    (r12 ADVICE: batch_id alone is ambiguous ACROSS checkpoints —
-    a fresh/deleted checkpoint restarts foreachBatch ids at 0, and
+    (r12 ADVICE: batch_id alone is ambiguous ACROSS checkpoints — a
+    fresh/deleted checkpoint restarts foreachBatch ids at 0, and
     treating those as replays silently drops genuinely new data).
-    Returns True when the batch is a replay (caller no-ops); raises
-    when a DIFFERENT stream identity presents a non-monotonic
-    batch_id; returns False when the batch should fold in."""
-    last = int(manifest.get("last_batch_id", -1))
-    if last < 0:
-        return False  # batch-built sketch: any stream may adopt it
-    owner = manifest.get("stream_id")
-    if owner != stream_id and int(batch_id) <= last:
-        raise ValueError(
-            f"sketch at {target} was last maintained by stream "
-            f"{owner!r} up to batch {last}, but stream {stream_id!r} "
-            f"presented batch {batch_id}: a fresh/relocated checkpoint "
-            f"restarts batch ids at 0, and treating this as a replay "
-            f"would silently drop new data. Resume the ORIGINAL "
-            f"checkpoint, or build the new stream into its own path "
-            f"and merge the sketches (they are linear).")
-    return int(batch_id) <= last
+    Since r13 the DECISION itself lives in one place —
+    ``catalog.check_stream_identity`` — shared with the layout's
+    streaming ingest, so the exactly-once rule cannot drift between
+    stores; this wrapper supplies the sketch wording (last_batch_id=-1
+    marks a batch-built sketch any stream may adopt)."""
+    from ..catalog import check_stream_identity
+
+    return check_stream_identity(
+        manifest.get("stream_id"),
+        int(manifest.get("last_batch_id", -1)),
+        stream_id, batch_id, f"sketch at {target}",
+        "build the new stream into its own path and merge the "
+        "sketches (they are linear).")
 
 
 def cm_update_writer(path: str, stream_id=None):
@@ -3470,11 +3501,9 @@ def merge_cm_grids(spark, paths, out_path: str) -> dict:
             )
         totals += int(m["total"])
         sources.append(m.get("source"))
-    for p in paths:
-        _recover_sketch_swap(_os.path.join(p, "grid.parquet"))
     merged = reduce(
         lambda a, b: a.unionByName(b),
-        [spark.read.parquet(_os.path.join(p, "grid.parquet"))
+        [_read_sketch_parquet(spark, _os.path.join(p, "grid.parquet"))
          for p in paths],
     ).groupBy("i", "bucket").agg(F.sum("c").alias("c"))
     _os.makedirs(out_path, exist_ok=True)
@@ -3679,8 +3708,8 @@ def bloom_probe(spark, path: str, grams):
             f"bloom_probe input carries reserved column(s) "
             f"{sorted(clash)} — the probe adds these internally; "
             f"rename them first.")
-    _recover_sketch_swap(_os.path.join(path, "bits.parquet"))
-    bits = (spark.read.parquet(_os.path.join(path, "bits.parquet"))
+    bits = (_read_sketch_parquet(spark,
+                                 _os.path.join(path, "bits.parquet"))
             .withColumn("_set", F.lit(True)))
     khit = (
         _bloom_positions(grams)
@@ -3724,10 +3753,9 @@ def merge_bloom_filters(spark, paths, out_path: str) -> dict:
                 f"m={m.get('m')} != engine k={_BLOOM_K} m={_BLOOM_M}; "
                 f"filters merge only at one geometry."
             )
-        _recover_sketch_swap(_os.path.join(p, "bits.parquet"))
     merged = reduce(
         lambda a, b: a.unionByName(b),
-        [spark.read.parquet(_os.path.join(p, "bits.parquet"))
+        [_read_sketch_parquet(spark, _os.path.join(p, "bits.parquet"))
          for p in paths],
     ).distinct()
     _os.makedirs(out_path, exist_ok=True)

@@ -56,9 +56,10 @@ def main() -> None:
     flags = []
     for k in common:
         b, n = base[k]["task_cpu_s"], new[k]["task_cpu_s"]
-        if b <= 0:
-            continue
-        if n / b > 1.5 and n - b > 0.5:
+        # a 0-CPU baseline (pre-r13 attribution gap, or a genuinely
+        # JVM-free key) regressing to real CPU is an infinite ratio —
+        # flag it on the absolute-delta bar alone, don't skip it
+        if (n / b > 1.5 if b > 0 else True) and n - b > 0.5:
             corro = any(k == d[0] for d in drift)
             flags.append((k, b, n, corro))
     print(f"\nper-key CPU flags (ratio>1.5x AND delta>0.5s): {len(flags)}")

@@ -71,15 +71,21 @@ def main() -> None:
     for k in keys:
         cpus = [m[k]["task_cpu_s"] for m in runs]
         lo, hi = min(cpus), max(cpus)
+        # lo == 0 with real CPU elsewhere is an INFINITE spread — the
+        # attribution-gap class this soak exists to surface (a run
+        # where a key's window fold missed) — not a key to drop from
+        # the ranking (r13 review). A key at 0 in EVERY run is genuine
+        # (work lives outside executor CPU, e.g. d13's Python worker).
         spread[k] = {
             "cpu_runs": cpus,
-            "ratio": round(hi / lo, 3) if lo > 0 else None,
+            "ratio": (round(hi / lo, 3) if lo > 0
+                      else ("inf" if hi > 0 else None)),
             "python_worker": k in PYTHON_WORKER_KEYS,
         }
     ranked = sorted(
         (k for k in keys if spread[k]["ratio"] is not None),
-        key=lambda k: -spread[k]["ratio"])
-    over15 = [k for k in ranked if spread[k]["ratio"] > 1.15]
+        key=lambda k: -float(spread[k]["ratio"]))
+    over15 = [k for k in ranked if float(spread[k]["ratio"]) > 1.15]
     summary = {
         "n_runs": N,
         "per_run_totals": [

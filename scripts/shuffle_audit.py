@@ -62,7 +62,8 @@ def _session(evlog: str):
 
 
 def group_shuffle_bytes(evlog: str,
-                        windows: dict[str, tuple[float, float]],
+                        windows: dict[str, tuple[float, float]]
+                        | None = None,
                         ) -> dict[str, int]:
     """job-group -> summed task Shuffle Bytes Written (the shared
     evlog walk; bench.py reads the CPU side of the same parse). The

@@ -871,11 +871,13 @@ def test_stream_cm_grid_exactly_once(spark, tmp_path):
 def test_sketch_swap_crash_recovery(spark, tmp_path):
     """r13 (r12 ADVICE, medium): _write_sketch_parquet's swap is two
     renames — a crash between them leaves NO grid at grid_path. The
-    writer and every reader must heal the stranded swap instead of
-    treating the grid as absent, which would silently discard the
-    accumulated stream history (restart would write a batch-only
-    grid). Roll-back (old present, tmp incomplete) and roll-forward
-    (tmp complete with its _manifest.json) are both pinned."""
+    WRITER must heal the stranded swap instead of treating the grid
+    as absent, which would silently discard the accumulated stream
+    history (restart would write a batch-only grid); a READER must
+    refuse loudly rather than heal — a reader that renamed
+    directories would race a LIVE writer mid-swap (r13 review).
+    Roll-back (old present, tmp incomplete) and roll-forward (tmp
+    complete with its _manifest.json) are both pinned."""
     import os
     import shutil
 
@@ -895,16 +897,23 @@ def test_sketch_swap_crash_recovery(spark, tmp_path):
     base = cells()
 
     # ROLL-BACK: crash after rename(grid -> old) with an INCOMPLETE tmp
-    # (no _manifest.json — the parquet write itself died). A reader must
-    # restore the pre-swap cells, not fail on the missing path.
+    # (no _manifest.json — the parquet write itself died). A READER
+    # refuses with the recovery named (it must never mutate the store);
+    # the next WRITER call restores the pre-swap cells and folds its
+    # batch in.
     os.rename(grid, grid + ".old")
     os.makedirs(grid + ".tmp")
+    with pytest.raises(ValueError, match="stranded swap"):
+        cm_estimate(spark, gdir, ["the"])
+    assert os.path.exists(grid + ".old")  # reader mutated nothing
+    cm_update_writer(gdir, stream_id="ck")(docs.limit(10), 0)
+    healed = cells()
+    assert sum(healed.values()) > sum(base.values())  # base + batch
+    assert not os.path.exists(grid + ".old")
+    assert not os.path.exists(grid + ".tmp")
     got = {r.token: r.cm_count
            for r in cm_estimate(spark, gdir, ["the"]).collect()}
     assert got["the"] >= 1
-    assert cells() == base
-    assert not os.path.exists(grid + ".old")
-    assert not os.path.exists(grid + ".tmp")
 
     # ROLL-FORWARD: batch 1's tmp completed (cells + inner manifest with
     # last_batch_id=1) but the crash hit before rename(tmp -> grid),
@@ -912,14 +921,14 @@ def test_sketch_swap_crash_recovery(spark, tmp_path):
     # COMPLETE tmp — its guard already records batch 1 — so the replayed
     # epoch is the designed no-op, not a re-merge or a batch-only grid.
     w = cm_update_writer(gdir, stream_id="ck")
-    w(docs.limit(50), 0)
+    w(docs.limit(50), 1)
     s0 = str(tmp_path / "s0")
     shutil.copytree(grid, s0)
-    w(docs.limit(30), 1)
+    w(docs.limit(30), 2)
     after1 = cells()
     os.rename(grid, grid + ".tmp")
     shutil.copytree(s0, grid + ".old")
-    w(docs.limit(30), 1)  # the replay that follows the crash
+    w(docs.limit(30), 2)  # the replay that follows the crash
     assert cells() == after1
     assert not os.path.exists(grid + ".old")
     assert not os.path.exists(grid + ".tmp")
