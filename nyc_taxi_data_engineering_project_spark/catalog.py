@@ -1340,8 +1340,13 @@ def layout_ingest_writer(sf_dir: str, path: str, name: str,
 
     Single-maintainer posture: while a stream owns a source directory,
     concurrent layout builds from OTHER sessions are excluded by the
-    build lock, and manual builds between batches are safe (the diff
-    is append-only either way). ``buckets``/``lsh_planes`` pass
+    build lock, and manual builds between CLEAN batches are safe (the
+    diff is append-only). r13 ADVICE caveat: a manual build that lands
+    inside the crash-before-marker window consumes a crashed batch's
+    PARTIAL publication; the subsequent replay deletes and rewrites
+    those files, which the differ correctly reads as non-append drift
+    and degrades to a FULL rebuild — the right outcome, but O(corpus)
+    cost, not the append-only path. ``buckets``/``lsh_planes`` pass
     through to the underlying build — the first batch against a fresh
     layout is the full build that fixes them."""
 

@@ -3206,22 +3206,41 @@ def _read_sketch_parquet(spark, target: str):
     and can tear a healthy streaming query down). A reader that lands
     in the brief missing-path window retries; a genuinely stranded
     swap (crashed writer: .tmp/.old present, target still missing)
-    raises with the recovery named."""
+    raises with the recovery named.
+
+    r13 ADVICE: the retry covers the READ itself, not just the
+    exists() probe — a writer swapping between our probe and
+    ``spark.read.parquet`` surfaces a missing-path AnalysisException,
+    which is the exact window this helper absorbs, so that exception
+    is retryable too. The budget backs off to ~1 s total (0.1/0.2/
+    0.3/0.4 s) so a slow filesystem mid-swap isn't misdiagnosed as a
+    stranded writer, and after composing the stranded-swap error we
+    re-check ``target`` one final time (the writer may have completed
+    while we were deciding)."""
     import os as _os
     import time as _time
 
-    for _ in range(3):
+    last_exc = None
+    for attempt in range(4):
         if _os.path.exists(target):
-            return spark.read.parquet(target)
-        _time.sleep(0.1)
+            try:
+                return spark.read.parquet(target)
+            except Exception as exc:  # missing-path race mid-swap
+                if "PATH_NOT_FOUND" not in str(exc) and \
+                        "Path does not exist" not in str(exc):
+                    raise
+                last_exc = exc
+        _time.sleep(0.1 * (attempt + 1))
     tmp, old = target + ".tmp", target + ".old"
     if (_os.path.exists(_os.path.join(tmp, "_manifest.json"))
             or _os.path.exists(old)):
+        if _os.path.exists(target):  # writer finished while we decided
+            return spark.read.parquet(target)
         raise ValueError(
             f"sketch at {target} has a stranded swap (crashed writer: "
             f".tmp/.old present, target missing). Re-run its "
             f"maintainer (build_*/stream_* heal the swap on entry); "
-            f"readers never mutate the store.")
+            f"readers never mutate the store.") from last_exc
     return spark.read.parquet(target)  # normal missing-path error
 
 

@@ -546,24 +546,41 @@ def d14_stream_layout_maintenance(spark, sf_dir):
     (``python/ingest_data.py:160-166`` + ``sql/init.sql:44-47``) as a
     continuous stream. Returns an aggregate over the SERVED layout;
     the crash/replay/foreign-checkpoint halves are pinned in
-    tests/test_stream_layout.py."""
-    from ..catalog import stream_append_layout
+    tests/test_stream_layout.py.
+
+    r13 ADVICE: the served aggregate is materialized INSIDE the key
+    (5 priority rows) and the mkdtemp feed/source/layout/checkpoint
+    trees plus the registered ``spark_graft_layout_*`` table are
+    dropped before returning, so repeated bench/drive invocations no
+    longer accumulate temp trees or catalog entries — mirroring the
+    tests' finally blocks."""
+    import shutil
+
+    from ..catalog import drop_workload_layout, stream_append_layout
 
     tmp = tempfile.mkdtemp(prefix="d14_")
     feed = os.path.join(tmp, "feed")
     src2 = os.path.join(tmp, "src")
     lay = os.path.join(tmp, "layout")
     ckpt = os.path.join(tmp, "ckpt")
-    orders = table(spark, sf_dir, "orders")
-    # 3 part files -> 3 micro-batches under maxFilesPerTrigger=1
-    orders.repartition(3).write.parquet(feed)
-    stream = (spark.readStream.schema(orders.schema)
-              .option("maxFilesPerTrigger", 1).parquet(feed))
-    os.makedirs(src2)
-    stream_append_layout(stream, src2, lay, "orders", ckpt, buckets=4)
-    served = table(spark, src2, "orders")
-    return served.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        fx.fround(F.sum(fx.dec("o_totalprice", scale=2))
-                  .cast("double"), 2).alias("total_price"),
-    )
+    try:
+        orders = table(spark, sf_dir, "orders")
+        # 3 part files -> 3 micro-batches under maxFilesPerTrigger=1
+        orders.repartition(3).write.parquet(feed)
+        stream = (spark.readStream.schema(orders.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(feed))
+        os.makedirs(src2)
+        stream_append_layout(stream, src2, lay, "orders", ckpt, buckets=4)
+        served = table(spark, src2, "orders")
+        agg = served.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            fx.fround(F.sum(fx.dec("o_totalprice", scale=2))
+                      .cast("double"), 2).alias("total_price"),
+        )
+        # materialize the (priority-cardinality) result so the temp
+        # trees can be reclaimed before the driver's collect
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        drop_workload_layout(spark, src2, tables=("orders",))
+        shutil.rmtree(tmp, ignore_errors=True)

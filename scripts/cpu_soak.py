@@ -29,7 +29,6 @@ import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 5
 
 # keys whose hot path runs INSIDE Python workers (Arrow/Pandas/row
 # Python): executor task CPU misses that work by definition, so their
@@ -42,7 +41,21 @@ PYTHON_WORKER_KEYS = {
 }
 
 
+def spread_entry(cpus: list[float], python_worker: bool) -> dict:
+    """One key's cross-run CPU spread row (r13 ADVICE: "ratio" is
+    homogeneously float|null — the infinite-spread class is flagged by
+    "infinite": true, never the string "inf")."""
+    lo, hi = min(cpus), max(cpus)
+    return {
+        "cpu_runs": cpus,
+        "ratio": round(hi / lo, 3) if lo > 0 else None,
+        "infinite": lo == 0 and hi > 0,
+        "python_worker": python_worker,
+    }
+
+
 def main() -> None:
+    N = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     runs = []
     for i in range(N):
         t0 = time.time()
@@ -70,22 +83,23 @@ def main() -> None:
     spread = {}
     for k in keys:
         cpus = [m[k]["task_cpu_s"] for m in runs]
-        lo, hi = min(cpus), max(cpus)
-        # lo == 0 with real CPU elsewhere is an INFINITE spread — the
+        # min == 0 with real CPU elsewhere is an INFINITE spread — the
         # attribution-gap class this soak exists to surface (a run
         # where a key's window fold missed) — not a key to drop from
         # the ranking (r13 review). A key at 0 in EVERY run is genuine
         # (work lives outside executor CPU, e.g. d13's Python worker).
-        spread[k] = {
-            "cpu_runs": cpus,
-            "ratio": (round(hi / lo, 3) if lo > 0
-                      else ("inf" if hi > 0 else None)),
-            "python_worker": k in PYTHON_WORKER_KEYS,
-        }
+        spread[k] = spread_entry(cpus, k in PYTHON_WORKER_KEYS)
+
+    def _rank_val(k):
+        if spread[k]["infinite"]:
+            return float("inf")
+        return spread[k]["ratio"]
+
     ranked = sorted(
-        (k for k in keys if spread[k]["ratio"] is not None),
-        key=lambda k: -float(spread[k]["ratio"]))
-    over15 = [k for k in ranked if float(spread[k]["ratio"]) > 1.15]
+        (k for k in keys
+         if spread[k]["ratio"] is not None or spread[k]["infinite"]),
+        key=lambda k: -_rank_val(k))
+    over15 = [k for k in ranked if _rank_val(k) > 1.15]
     summary = {
         "n_runs": N,
         "per_run_totals": [
@@ -97,6 +111,8 @@ def main() -> None:
         ],
         "n_keys_compared": len(keys),
         "worst_cpu_ratio": (spread[ranked[0]]["ratio"] if ranked else None),
+        "worst_cpu_infinite": (spread[ranked[0]]["infinite"]
+                               if ranked else False),
         "keys_over_15pct": {
             k: spread[k] for k in over15
         },
