@@ -40,7 +40,11 @@ stream execution thread) is folded into the rep whose window contains
 its JobStart time. Every D key now reads real task_cpu_s, closing the
 r12 gap where d11 recorded 0.012 CPU s against 3.35 s wall.
 Python-worker CPU (Pandas UDF keys) remains outside executor CPU time
-by definition. BENCH_DETAIL.json carries the full per-key triple under
+by definition — so r14 (verdict ask 6) adds a FOURTH column,
+``python_worker_s``: the per-task "time to run Python workers"
+SQL-metric accumulable summed per key, closing the blind spot where
+e1–e6/f12/f19/f20/f28/d13 read near-zero task-CPU against real work.
+BENCH_DETAIL.json carries the full per-key quadruple under
 ``metrics``; ``queries`` stays wall-only for older readers.
 """
 
@@ -174,11 +178,21 @@ def main() -> None:
                        if f"{key}::rep{r}" in by_group]
             if not per_rep:
                 continue
-            pick = min(per_rep, key=lambda d: d["task_cpu_s"])
+            # pick by total compute signal (JVM CPU + Python worker
+            # time, r14 ask 6) — for JVM keys python_worker_s is 0 and
+            # this is the r13 min-CPU rule unchanged; for Python keys
+            # the JVM residue alone would pick a rep at random
+            pick = min(per_rep, key=lambda d: (d["task_cpu_s"]
+                                               + d["python_worker_s"]))
             metrics[key] = {
                 "wall_s": timings[key],
                 "task_cpu_s": round(pick["task_cpu_s"], 3),
                 "shuffle_bytes": int(pick["shuffle_bytes"]),
+                "python_worker_s": round(pick["python_worker_s"], 3),
+                # the Python DATA SOURCE scan (d13) publishes byte
+                # counters but no timing accumulable — bytes are its
+                # structural worker-activity evidence
+                "python_worker_bytes": int(pick["python_worker_bytes"]),
             }
     except Exception as exc:
         print(f"# BENCH METRICS PARSE ERROR: {exc}", file=sys.stderr)

@@ -29,11 +29,33 @@ def group_task_metrics(
     evlog_dir: str,
     windows: dict[str, tuple[float, float]] | None = None,
 ) -> dict[str, dict[str, float]]:
-    """job-group -> {"task_cpu_s": float, "shuffle_bytes": int},
-    summed over every task of every stage of the group's jobs. With
-    ``windows``, jobs whose group is not itself a window tag (streaming
-    runId groups, untagged jobs) are folded into the tag whose
-    [start_ms, end_ms) window contains their submission time."""
+    """job-group -> {"task_cpu_s": float, "shuffle_bytes": int,
+    "python_worker_s": float}, summed over every task of every stage of
+    the group's jobs. With ``windows``, jobs whose group is not itself
+    a window tag (streaming runId groups, untagged jobs) are folded
+    into the tag whose [start_ms, end_ms) window contains their
+    submission time.
+
+    ``python_worker_s`` (r14, verdict ask 6) closes the Python-worker
+    blind spot: "Executor CPU Time" is JVM CPU only, so Arrow/Pandas/
+    row-Python keys (e1–e6, f12, f19/f20, f28, d13) read near-zero
+    task-CPU while their real work runs in Python workers. The
+    BatchEvalPython/ArrowEvalPython/MapInPandas operators publish a
+    per-task "time to run Python workers" SQL-metric accumulable
+    (milliseconds) in the TaskEnd's Task Info; summing its per-task
+    Update deltas per group gives wall-clock Python-worker time
+    attributable to the key. Start/initialize-worker accumulables are
+    deliberately excluded — they are one-off pool-warming waits, not
+    per-key work.
+
+    ``python_worker_bytes`` (same ask): the Python DATA SOURCE scan
+    path (d13's PythonScan node) publishes no timing accumulable at
+    all in Spark 4.1 — only "data sent to/returned from Python
+    workers" byte counters — so a Python-source key would still read
+    0 under the time column. The byte column (sent + returned, summed)
+    is the structural evidence of Python-worker activity for that
+    path, and a useful Arrow-transfer-volume signal for the Pandas
+    keys besides."""
     paths = []
     for root, _dirs, files in os.walk(evlog_dir):
         paths += [os.path.join(root, f) for f in files
@@ -69,11 +91,28 @@ def group_task_metrics(
                         tm = ev.get("Task Metrics") or {}
                         sw = tm.get("Shuffle Write Metrics") or {}
                         d = out.setdefault(
-                            grp, {"task_cpu_s": 0.0, "shuffle_bytes": 0})
+                            grp, {"task_cpu_s": 0.0, "shuffle_bytes": 0,
+                                  "python_worker_s": 0.0,
+                                  "python_worker_bytes": 0})
                         d["task_cpu_s"] += int(
                             tm.get("Executor CPU Time", 0)) / 1e9
                         d["shuffle_bytes"] += int(
                             sw.get("Shuffle Bytes Written", 0))
+                        for acc in (ev.get("Task Info") or {}).get(
+                                "Accumulables", []):
+                            nm = acc.get("Name")
+                            try:
+                                if nm == "time to run Python workers":
+                                    d["python_worker_s"] += \
+                                        int(acc.get("Update", 0)) / 1e3
+                                elif nm in (
+                                        "data sent to Python workers",
+                                        "data returned from Python "
+                                        "workers"):
+                                    d["python_worker_bytes"] += \
+                                        int(acc.get("Update", 0))
+                            except (TypeError, ValueError):
+                                pass
                     except (ValueError, json.JSONDecodeError):
                         continue
     return out

@@ -3265,6 +3265,8 @@ def _write_sketch_parquet(df, target: str, inner_manifest=None) -> None:
     import os as _os
     import shutil as _shutil
 
+    from ..crashpoints import crash_point
+
     _recover_sketch_swap(target)
     tmp, old = target + ".tmp", target + ".old"
     _shutil.rmtree(tmp, ignore_errors=True)
@@ -3275,6 +3277,7 @@ def _write_sketch_parquet(df, target: str, inner_manifest=None) -> None:
     _shutil.rmtree(old, ignore_errors=True)
     if _os.path.exists(target):
         _os.rename(target, old)
+    crash_point("sketch_swap_between_renames")  # r14 ask 2: kill -9 seam
     _os.rename(tmp, target)
     _shutil.rmtree(old, ignore_errors=True)
 

@@ -56,10 +56,10 @@ HOT_FRACTION = 0.5
 N_DIM = 2_000_000  # too big to broadcast at default threshold
 
 
-def planted_fact(spark):
-    """~N rows, HOT_FRACTION of them on key 7, rest uniform over N_DIM
-    keys — the celebrity/sentinel-key shape."""
-    hot = int(N * HOT_FRACTION)
+def planted_fact(spark, hot_fraction: float = HOT_FRACTION):
+    """~N rows, ``hot_fraction`` of them on key 7, rest uniform over
+    N_DIM keys — the celebrity/sentinel-key shape."""
+    hot = int(N * hot_fraction)
     return spark.range(N).select(
         F.when(F.col("id") < hot, 7)
         .otherwise(F.col("id") % N_DIM).alias("k"),
@@ -172,6 +172,111 @@ def materialized_main() -> None:
     shutil.rmtree(data_dir, ignore_errors=True)
 
 
+def crossover_main() -> None:
+    """r14 (verdict ask 5): the CROSSOVER measurement — when does
+    c33-style explicit salting beat AQE's skew split at tier? Two arms
+    over a hot-fraction sweep at the K=100-equivalent row count (60 M
+    fact, 2 M dim, no broadcast):
+
+    - **exchange-present** (plain shuffle SMJ): AQE with the session's
+      derived byte gates vs salted_join(16). Expectation from §17: AQE
+      wins at every fraction once it fires (salting pays the n_salt×
+      dim replication AQE doesn't) — this arm PINS that there is no
+      fraction where salting wins when an Exchange exists.
+    - **exchange-free** (both sides bucketed on the key — the layout
+      path, where AQE structurally cannot split because there is no
+      Exchange to re-plan): plain bucketed join (straggler-bound) vs
+      salted_join (re-introduces an exchange, kills the straggler).
+      The crossover hot-fraction where salting starts winning IS the
+      decision rule for layout-served joins.
+
+    Artifact: stress100_results/aqe_salting_crossover.json; the
+    one-line rule lands in skew.py's docstring + SCALE.md §24b."""
+    import shutil
+    import tempfile
+
+    from nyc_taxi_data_engineering_project_spark import io as _io
+    from nyc_taxi_data_engineering_project_spark.session import (
+        aqe_skew_conf_for,
+    )
+
+    fractions = [0.05, 0.1, 0.25, 0.5]
+    reps = int(os.environ.get("REPS", "2"))
+    spark = get_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    # the session-derived gates, computed from the planted volume
+    # (~16 B/row in shuffle): what get_session(sf_dir=...) would set
+    for k, v in aqe_skew_conf_for(N * 16).items():
+        spark.conf.set(k, v)
+
+    def best(mk):
+        times = [timed(mk()) for _ in range(reps)]
+        return min(times), times
+
+    dim = planted_dim(spark)
+    out: dict = {"n_rows": N, "n_dim": N_DIM, "fractions": {}}
+    work = tempfile.mkdtemp(prefix="aqe_crossover_")
+    try:
+        for frac in fractions:
+            fact = planted_fact(spark, frac)
+            rec: dict = {}
+            # ---- exchange-present arm
+            rec["aqe_tuned"], rec["aqe_tuned_reps"] = best(
+                lambda: fact.join(dim.hint("merge"), "k")
+                .select("payload", "attr"))
+            rec["aqe_split_fired"] = skew_split_fired(
+                fact.join(dim.hint("merge"), "k")
+                .select("payload", "attr"))
+            rec["salted_16"], rec["salted_reps"] = best(
+                lambda: salted_join(fact, dim, on=["k"], n_salt=16)
+                .select("payload", "attr"))
+            # ---- exchange-free arm: both sides bucketed on k
+            ftbl, dtbl = f"xover_fact_{int(frac * 100)}", "xover_dim"
+            _io.write_bucketed(
+                fact, ftbl, "k", buckets=32,
+                path=os.path.join(work, ftbl))
+            if not spark.catalog.tableExists(dtbl):
+                _io.write_bucketed(
+                    dim, dtbl, "k", buckets=32,
+                    path=os.path.join(work, dtbl))
+            bf, bd = spark.table(ftbl), spark.table(dtbl)
+            plan = (bf.join(bd, "k").select("payload", "attr")
+                    ._jdf.queryExecution().executedPlan().toString())
+            rec["bucketed_exchange_free"] = "Exchange" not in plan
+            rec["bucketed_plain"], rec["bucketed_plain_reps"] = best(
+                lambda: bf.join(bd, "k").select("payload", "attr"))
+            # the salted alternative ABANDONS the bucket alignment on
+            # purpose (a bucketed scan's HashPartitioning(k) already
+            # satisfies ClusteredDistribution(k, salt), so salting the
+            # catalog tables would silently skip the exchange and fix
+            # nothing): read the same files WITHOUT bucket metadata and
+            # pay the full salted shuffle to kill the straggler
+            rf = spark.read.parquet(os.path.join(work, ftbl))
+            rd = spark.read.parquet(os.path.join(work, dtbl))
+            rec["bucketed_salted"], rec["bucketed_salted_reps"] = best(
+                lambda: salted_join(rf, rd, on=["k"], n_salt=16)
+                .select("payload", "attr"))
+            rec["salting_wins_bucketed"] = (
+                rec["bucketed_salted"] < rec["bucketed_plain"])
+            rec["salting_wins_shuffle"] = (
+                rec["salted_16"] < rec["aqe_tuned"])
+            out["fractions"][str(frac)] = rec
+            print(f"frac={frac}: {json.dumps(rec)}", flush=True)
+            spark.sql(f"DROP TABLE IF EXISTS {ftbl}")
+        spark.sql("DROP TABLE IF EXISTS xover_dim")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "stress100_results", "aqe_salting_crossover.json")
+    with open(art, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
 def main() -> None:
     spark = get_session()
     spark.sparkContext.setLogLevel("ERROR")
@@ -255,5 +360,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--materialized" in sys.argv:
         materialized_main()
+    elif "--crossover" in sys.argv:
+        crossover_main()
     else:
         main()

@@ -1,0 +1,539 @@
+"""The LLM-pipeline END-TO-END battery at the K tier (r14, verdict
+ask 1): the north-star workload's analog of the TPC-H K=1000
+certification (§23e). Through r13 the F family had only COMPONENT
+probes (f2 alone at K=1000, f10 at K=316, the ANN lifecycle); this
+harness chains the production pipeline as ONE battery over a
+K-replicated documents corpus, each stage consuming the previous
+stage's output corpus:
+
+    materialize(K)                      planted exact + near families
+      -> s1 exact keep-best (f32/f1)    verbatim copies collapse
+      -> s2 near dedup      (f2->f14)   LSH -> CC -> keep reps
+      -> s3 boilerplate     (f25)       cross-doc template blocks out
+      -> s4 passage dedup   (f26)       repeated passages keep 1st
+      -> s5 decontaminate   (f30+f35)   n-gram overlap vs eval set,
+                                        Bloom twin must be a superset
+      -> s6 training order  (f31)       deterministic global shuffle
+
+Every stage records the noise-immune metric triple {wall, task_cpu_s,
+shuffle_bytes} (+ python_worker_s, r14 ask 6) via the shared event-log
+parser, plus rows_in/rows_out — and the battery VALUE-CHECKS at tier:
+
+- s1: survivor count == DuckDB's count(DISTINCT md5(lower(trim(text))))
+  over the same corpus parquet, and zero keep-best rule violations
+  (packed arg-min vs DuckDB's min) — the f32 oracle at tier.
+- s2: planted-family recovery (every replica family of K-1 distinct
+  near-duplicates + its source must land in one cluster; recall >= 0.9,
+  the banding-recall gate from tests/test_llm_ops.py), cluster-cover
+  invariants (one row per doc, exactly one keep per cluster, rep is
+  its own cluster), exact-width accounting of survivors.
+- s4: global passage uniqueness — kept blocks == count(DISTINCT block)
+  over the stage input (the f26 contract, re-derived independently).
+- s5: decontamination recall 1.0 by construction (every eval-source
+  doc with >= 1 gram must be flagged) and the Bloom filter's one-sided
+  error (bloom hits >= exact hits per doc, zero violations).
+- s6: the final order is a permutation (count == distinct == max,
+  min == 1) and matches DuckDB's row_number-over-md5 twin exactly.
+
+Corpus construction (one map-only explode pass, the stress_tpch
+shape; SHIFT = 1e6 keeps max doc_id < 1e10, inside f32's packed-BIGINT
+domain at any K here):
+- every replica i > 0 gets a distinct "r{i} " prefix;
+- sources with doc_id % 50 == 1: replicas are VERBATIM copies (no
+  prefix) — K-wide exact-dup families for s1;
+- sources with doc_id % 50 == 2 and >= 16 tokens: replicas get the
+  prefix AND drop the last two tokens — K-1 DISTINCT near-duplicates
+  of the source (pairwise Jaccard >= (T-4)/(T-1) >= 0.8 at T >= 16),
+  the planted families s2 must recover. Wide families are exactly the
+  hot-bucket shape f2's star-pair cap exists for (SCALE.md §11).
+
+One JVM runs the whole chain (a pipeline is one logical job, unlike
+stress_tpch's 23 independent queries — the r14 fresh-JVM battery
+posture applies to independent-query regression reads); heap comes
+from the engine rule over the EXPANDED working set: text parquet
+decompresses ~3x and f2 pins shingle arrays (~8 B/gram) twice, so the
+rule's input-bytes argument is inflated by PIPELINE_EXPANSION (10x,
+validated at K=316: see SCALE.md §24).
+
+Run:  python scripts/stress_llm_pipeline.py [K] [workdir]
+Artifact: scripts/stress100_results/llm_pipeline_K{K}.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+sys.path.insert(0, HERE)
+
+import duckdb  # noqa: E402
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _argv_int(i: int, default: int) -> int:
+    try:
+        return int(sys.argv[i])
+    except (IndexError, ValueError):
+        return default
+
+
+K = _argv_int(1, 100)
+_CLI = len(sys.argv) > 1 and sys.argv[1].isdigit()
+WORK = sys.argv[2] if _CLI and len(sys.argv) > 2 else "/tmp/stress_llm_pipe"
+SHIFT = 1_000_000
+
+# measured working-set expansion of the pipeline over raw corpus
+# parquet: ~3x parquet->text decompression x ~2 pinned shingle frames
+# (8 B/gram ~= text bytes) + CC round pins. K=316 validation: peak
+# storage-memory stayed inside the rule's number (SCALE.md §24).
+PIPELINE_EXPANSION = 10
+
+
+def materialize(spark) -> dict:
+    t0 = time.time()
+    docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+    toks_ok = F.size(F.split(F.col("text"), " ")) >= 16
+    src_mod = F.pmod(F.col("doc_id"), F.lit(50))
+    copies = docs.withColumn(
+        "_i", F.explode(F.sequence(F.lit(0), F.lit(K - 1))))
+    is_copy = F.col("_i") > 0
+    is_exact = (src_mod == 1) & is_copy
+    is_near = (src_mod == 2) & is_copy & toks_ok
+    toks = F.split(F.col("text"), " ")
+    marker = F.concat(F.lit("r"), F.col("_i").cast("string"))
+    near_text = F.concat(
+        marker, F.lit(" "),
+        F.array_join(F.slice(toks, 1, F.size(toks) - 2), " "))
+    # ordinary replicas interleave the replica marker every 6 tokens:
+    # a bare prefix would leave the replica a NEAR-DUPLICATE of its
+    # source (one token changed keeps Jaccard >= 0.6 for T >= 11), and
+    # s2 would collapse the whole corpus K-fold — downstream stages
+    # would then run at 1x, not at tier. Marker-every-6 destroys ~1/3
+    # of shingles and inflates the union: J ~= 0.45 < the 0.6 verify
+    # threshold, so replicas are genuinely distinct documents.
+    interleaved = F.array_join(
+        F.flatten(F.transform(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size(toks) / F.lit(6)).cast("int") - 1),
+            lambda j: F.concat(
+                F.slice(toks, j * 6 + 1, 6), F.array(marker)))),
+        " ")
+    text_out = (
+        F.when(is_exact, F.col("text"))
+        .when(is_near, near_text)
+        .when(is_copy & (F.size(toks) > 0), interleaved)
+        .when(is_copy, marker)
+        .otherwise(F.col("text"))
+    )
+    out = (
+        copies.select(
+            (F.col("doc_id") + F.col("_i").cast("long") * SHIFT)
+            .alias("doc_id"),
+            text_out.alias("text"),
+            "lang", "source",
+            F.length(text_out).cast(docs.schema["n_chars"].dataType)
+            .alias("n_chars"),
+        )
+    )
+    dest = os.path.join(WORK, "s0", "documents.parquet")
+    out.write.mode("overwrite").parquet(dest)
+    # planted bookkeeping for the value checks (driver-side scalars)
+    n_near_src = docs.filter((src_mod == 2) & toks_ok).count()
+    n_exact_src = docs.filter(src_mod == 1).count()
+    n_rows = docs.count() * K
+    print(f"materialized {K}x in {time.time()-t0:.0f}s -> {dest} "
+          f"({n_rows} docs; {n_exact_src} exact families x{K}, "
+          f"{n_near_src} near families x{K - 1}+1)", flush=True)
+    return {"n_rows": n_rows, "n_exact_src": n_exact_src,
+            "n_near_src": n_near_src}
+
+
+def _stage_dir(n: int) -> str:
+    return os.path.join(WORK, f"s{n}")
+
+
+def _write_docs(df, stage: int) -> None:
+    df.write.mode("overwrite").parquet(
+        os.path.join(_stage_dir(stage), "documents.parquet"))
+
+
+def _duck(stage: int):
+    con = duckdb.connect()
+    p = os.path.join(_stage_dir(stage), "documents.parquet")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{p}/*.parquet')")
+    return con
+
+
+def main() -> None:
+    from nyc_taxi_data_engineering_project_spark.session import (
+        driver_memory_for,
+        get_session,
+        shuffle_partitions_for,
+    )
+
+    est = K * 584 << 10  # sf0.1 documents parquet bytes per K unit
+    if "SPARK_GRAFT_DRIVER_MEM" not in os.environ:
+        mem = driver_memory_for(est * PIPELINE_EXPANSION)
+        os.environ["SPARK_GRAFT_DRIVER_MEM"] = mem
+        print(f"driver memory {mem} (engine rule over "
+              f"{PIPELINE_EXPANSION}x expanded working set)", flush=True)
+    evlog = tempfile.mkdtemp(prefix="llm_pipe_ev_")
+    spark = get_session(extra_conf={
+        "spark.eventLog.enabled": "true",
+        "spark.eventLog.dir": f"file://{evlog}",
+        "spark.eventLog.compress": "false",
+    })
+    spark.sparkContext.setLogLevel("ERROR")
+    n_shuffle = int(os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+        str(shuffle_partitions_for(est * 3))))  # decompressed text
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
+    print(f"shuffle partitions: {n_shuffle}", flush=True)
+
+    from nyc_taxi_data_engineering_project_spark.queries import llm
+
+    meta = None
+    if not os.path.exists(os.path.join(WORK, "s0", "documents.parquet")):
+        meta = materialize(spark)
+    else:
+        print(f"reusing {WORK}/s0", flush=True)
+    if meta is None:
+        docs0 = spark.read.parquet(
+            os.path.join(WORK, "s0", "documents.parquet"))
+        src_docs = spark.read.parquet(
+            os.path.join(SRC, "documents.parquet"))
+        toks_ok = F.size(F.split(F.col("text"), " ")) >= 16
+        meta = {
+            "n_rows": docs0.count(),
+            "n_exact_src": src_docs.filter(
+                F.pmod("doc_id", F.lit(50)) == 1).count(),
+            "n_near_src": src_docs.filter(
+                (F.pmod("doc_id", F.lit(50)) == 2) & toks_ok).count(),
+        }
+
+    stages: dict[str, dict] = {}
+    windows: dict[str, tuple[float, float]] = {}
+    checks: dict[str, dict] = {}
+    t_batt = time.time()
+
+    def stage(name: str, fn):
+        spark.sparkContext.setJobGroup(name, name)
+        w0 = time.time() * 1000.0
+        t0 = time.time()
+        out = fn()
+        secs = round(time.time() - t0, 1)
+        windows[name] = (w0, time.time() * 1000.0)
+        spark.sparkContext.setJobGroup("untagged", "")
+        stages[name] = {"secs": secs, **out}
+        print(f"  {name}: {secs}s {out}", flush=True)
+
+    # ---------------- s1: exact keep-best (f32 semantics) -----------
+    def s1():
+        best = llm.f32_keep_best_dedup(spark, _stage_dir(0))
+        keep_ids = best.select(
+            F.col("keep_doc_id").alias("doc_id"))
+        cur = spark.read.parquet(
+            os.path.join(_stage_dir(0), "documents.parquet"))
+        survivors = cur.join(keep_ids, "doc_id")
+        _write_docs(survivors, 1)
+        n_in, n_out = meta["n_rows"], spark.read.parquet(
+            os.path.join(_stage_dir(1), "documents.parquet")).count()
+        return {"rows_in": n_in, "rows_out": n_out}
+
+    stage("s1_exact_keep_best", s1)
+
+    # tier value check: DuckDB twin over the SAME corpus parquet
+    con = _duck(0)
+    want_groups = con.sql(
+        "SELECT count(DISTINCT md5(lower(trim(text)))) FROM documents"
+    ).fetchone()[0]
+    bad_keep = con.sql("""
+        WITH keyed AS (
+            SELECT doc_id, md5(lower(trim(text))) AS fp,
+                   (100000 - LEAST(n_chars, 100000)) * 10000000000
+                       + doc_id AS pack
+            FROM documents
+        ), win AS (
+            SELECT fp, MIN(pack) % 10000000000 AS keep_doc_id
+            FROM keyed GROUP BY fp
+        )
+        SELECT count(*) FROM win
+        WHERE keep_doc_id NOT IN (
+            SELECT doc_id FROM read_parquet('{}/*.parquet'))
+    """.format(os.path.join(_stage_dir(1), "documents.parquet"))
+    ).fetchone()[0]
+    con.close()
+    checks["s1"] = {
+        "survivors": stages["s1_exact_keep_best"]["rows_out"],
+        "duckdb_distinct_groups": int(want_groups),
+        "survivors_match_oracle":
+            stages["s1_exact_keep_best"]["rows_out"] == int(want_groups),
+        "keep_best_rule_violations": int(bad_keep),
+    }
+    assert checks["s1"]["survivors_match_oracle"], checks["s1"]
+    assert bad_keep == 0, checks["s1"]
+
+    # ---------------- s2: near dedup (f2 -> f14) --------------------
+    def s2():
+        clusters = llm.f14_dedup_clusters(spark, _stage_dir(1))
+        cur = spark.read.parquet(
+            os.path.join(_stage_dir(1), "documents.parquet"))
+        cmap = clusters.select("doc_id", "cluster_id", "keep")
+        joined = cur.join(cmap, "doc_id", "left")
+        # cluster-cover invariants at tier, computed on the live join
+        n_docs = cur.count()
+        n_mapped = joined.filter(F.col("cluster_id").isNotNull()).count()
+        n_kept_flags = joined.filter("keep").count()
+        n_clusters = joined.select("cluster_id").distinct().count()
+        # reps are their own cluster: keep <=> cluster_id == doc_id
+        bad_rep = joined.filter(
+            F.col("keep") != (F.col("cluster_id") == F.col("doc_id"))
+        ).count()
+        survivors = joined.filter("keep").drop("cluster_id", "keep")
+        _write_docs(survivors, 2)
+
+        # planted-family recovery: source s (id<SHIFT, mod 50 == 2,
+        # >= 16 toks — short mod-2 sources got plain prefixed copies,
+        # not near-dups, so they are out of scope) and its K-1 near
+        # copies s + i*SHIFT must share a cluster.
+        eligible = (
+            spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+            .filter((F.pmod("doc_id", F.lit(50)) == 2)
+                    & (F.size(F.split(F.col("text"), " ")) >= 16))
+            .select(F.col("doc_id").alias("src_id"))
+        )
+        src_cl = (
+            cmap.filter(F.col("doc_id") < SHIFT)
+            .select(F.col("doc_id").alias("src_id"),
+                    F.col("cluster_id").alias("src_cluster"))
+            .join(F.broadcast(eligible), "src_id")
+        )
+        copy_cl = cmap.filter(
+            (F.col("doc_id") >= SHIFT)
+            & (F.pmod("doc_id", F.lit(50)) == 2)
+        ).select(
+            F.pmod("doc_id", F.lit(SHIFT)).alias("src_id"),
+            F.col("cluster_id").alias("copy_cluster"))
+        pairs = copy_cl.join(F.broadcast(src_cl), "src_id")
+        n_pairs = pairs.count()
+        n_recovered = pairs.filter(
+            F.col("copy_cluster") == F.col("src_cluster")).count()
+        recall = n_recovered / max(1, n_pairs)
+        checks["s2"] = {
+            "cover_rows": n_mapped, "corpus_rows": n_docs,
+            "cover_complete": n_mapped == n_docs,
+            "n_clusters": n_clusters, "n_keep_flags": n_kept_flags,
+            "one_keep_per_cluster": n_kept_flags == n_clusters,
+            "rep_is_own_cluster_violations": bad_rep,
+            "planted_pairs": n_pairs, "planted_recovered": n_recovered,
+            "planted_recall": round(recall, 4),
+        }
+        assert checks["s2"]["cover_complete"], checks["s2"]
+        assert checks["s2"]["one_keep_per_cluster"], checks["s2"]
+        assert bad_rep == 0, checks["s2"]
+        assert recall >= 0.9, checks["s2"]
+        return {"rows_in": n_docs, "rows_out": n_kept_flags}
+
+    stage("s2_near_dedup", s2)
+
+    # ---------------- s3: boilerplate removal (f25) -----------------
+    def s3():
+        rep = llm.f25_boilerplate_removal(spark, _stage_dir(2))
+        cur = spark.read.parquet(
+            os.path.join(_stage_dir(2), "documents.parquet"))
+        n_in = cur.count()
+        out = (
+            cur.join(rep.select("doc_id", "clean_text", "n_removed"),
+                     "doc_id")
+            .filter(F.length("clean_text") > 0)
+            .select("doc_id", F.col("clean_text").alias("text"),
+                    "lang", "source",
+                    F.length("clean_text").cast(
+                        cur.schema["n_chars"].dataType).alias("n_chars"))
+        )
+        _write_docs(out, 3)
+        n_out = spark.read.parquet(
+            os.path.join(_stage_dir(3), "documents.parquet")).count()
+        removed = rep.agg(F.sum("n_removed")).first()[0]
+        return {"rows_in": n_in, "rows_out": n_out,
+                "blocks_removed": int(removed or 0)}
+
+    stage("s3_boilerplate", s3)
+
+    # ---------------- s4: passage dedup (f26) -----------------------
+    def s4():
+        rep = llm.f26_passage_dedup(spark, _stage_dir(3))
+        cur = spark.read.parquet(
+            os.path.join(_stage_dir(3), "documents.parquet"))
+        n_in = cur.count()
+        kept_blocks, dropped = rep.agg(
+            F.sum(F.col("n_blocks") - F.col("n_dropped")),
+            F.sum("n_dropped")).first()
+        # the f26 contract re-derived independently: globally each
+        # distinct block survives exactly once
+        toked = cur.select(
+            "doc_id", F.split(F.col("text"), " ").alias("toks"))
+        from nyc_taxi_data_engineering_project_spark.queries.llm import (
+            _PASSAGE_W,
+            _word_blocks,
+        )
+
+        n_distinct_blocks = (
+            toked.select(F.explode(
+                _word_blocks(F.col("toks"), _PASSAGE_W)).alias("b"))
+            .select("b").distinct().count()
+        )
+        out = (
+            cur.join(rep.select("doc_id", "clean_text"), "doc_id")
+            .filter(F.length("clean_text") > 0)
+            .select("doc_id", F.col("clean_text").alias("text"),
+                    "lang", "source",
+                    F.length("clean_text").cast(
+                        cur.schema["n_chars"].dataType).alias("n_chars"))
+        )
+        _write_docs(out, 4)
+        n_out = spark.read.parquet(
+            os.path.join(_stage_dir(4), "documents.parquet")).count()
+        checks["s4"] = {
+            "kept_blocks": int(kept_blocks), "dropped": int(dropped),
+            "distinct_blocks": int(n_distinct_blocks),
+            "global_uniqueness":
+                int(kept_blocks) == int(n_distinct_blocks),
+        }
+        assert checks["s4"]["global_uniqueness"], checks["s4"]
+        return {"rows_in": n_in, "rows_out": n_out}
+
+    stage("s4_passage_dedup", s4)
+
+    # ---------------- s5: decontaminate (f30 + f35 twin) ------------
+    def s5():
+        rep = llm.f30_ngram_decontaminate(spark, _stage_dir(4))
+        cur = spark.read.parquet(
+            os.path.join(_stage_dir(4), "documents.parquet"))
+        n_in = cur.count()
+        # recall 1.0 by construction: every eval-source doc with >= 1
+        # gram is 100% contaminated
+        eval_docs = rep.filter(F.col("doc_id") % 89 == 0)
+        n_eval = eval_docs.count()
+        n_eval_flagged = eval_docs.filter("contaminated").count()
+        # Bloom one-sided error: f35's per-doc hits must dominate f30's
+        bloom = llm.f35_bloom_decontaminate(spark, _stage_dir(4))
+        viol = (
+            rep.select("doc_id", F.col("n_hit").alias("exact_hit"))
+            .join(bloom.select(
+                "doc_id", F.col("n_bloom_hit").alias("bloom_hit")),
+                "doc_id")
+            .filter(F.col("bloom_hit") < F.col("exact_hit")).count()
+        )
+        out = (
+            cur.join(rep.filter(~F.col("contaminated"))
+                     .select("doc_id"), "doc_id")
+        )
+        _write_docs(out, 5)
+        n_out = spark.read.parquet(
+            os.path.join(_stage_dir(5), "documents.parquet")).count()
+        checks["s5"] = {
+            "eval_docs": n_eval, "eval_flagged": n_eval_flagged,
+            "decon_recall": round(n_eval_flagged / max(1, n_eval), 4),
+            "bloom_one_sided_violations": int(viol),
+        }
+        assert n_eval_flagged == n_eval, checks["s5"]
+        assert viol == 0, checks["s5"]
+        return {"rows_in": n_in, "rows_out": n_out,
+                "contaminated_dropped": n_in - n_out}
+
+    stage("s5_decontaminate", s5)
+
+    # ---------------- s6: training order (f31) ----------------------
+    def s6():
+        ordered = llm.f31_training_order(spark, _stage_dir(5))
+        n_in = spark.read.parquet(
+            os.path.join(_stage_dir(5), "documents.parquet")).count()
+        stats = ordered.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("ord").alias("nd"),
+            F.min("ord").alias("mn"), F.max("ord").alias("mx")).first()
+        dest = os.path.join(WORK, "final_order.parquet")
+        ordered.write.mode("overwrite").parquet(dest)
+        checks["s6"] = {
+            "n": stats.n, "distinct": stats.nd,
+            "min": stats.mn, "max": stats.mx,
+            "is_permutation": stats.n == stats.nd == stats.mx
+            and stats.mn == 1,
+        }
+        assert checks["s6"]["is_permutation"], checks["s6"]
+        return {"rows_in": n_in, "rows_out": stats.n}
+
+    stage("s6_training_order", s6)
+
+    # DuckDB twin of the final order at tier: exact value match
+    con = _duck(5)
+    mism = con.sql("""
+        WITH twin AS (
+            SELECT doc_id, row_number() OVER (
+                ORDER BY md5('seed42:' || CAST(doc_id AS VARCHAR))
+            ) AS ord
+            FROM documents
+        )
+        SELECT count(*) FROM twin t
+        JOIN read_parquet('{}/*.parquet') s USING (doc_id)
+        WHERE t.ord <> s.ord
+    """.format(os.path.join(WORK, "final_order.parquet"))).fetchone()[0]
+    con.close()
+    checks["s6"]["duckdb_ord_mismatches"] = int(mism)
+    assert mism == 0, checks["s6"]
+
+    battery_wall = round(time.time() - t_batt, 1)
+
+    # fold the event log into the per-stage metric quadruple
+    spark.stop()
+    try:
+        from nyc_taxi_data_engineering_project_spark.evlog import (
+            group_task_metrics,
+        )
+
+        by_group = group_task_metrics(evlog, windows=windows)
+        for name, m in by_group.items():
+            if name in stages:
+                stages[name]["task_cpu_s"] = round(m["task_cpu_s"], 1)
+                stages[name]["shuffle_bytes"] = int(m["shuffle_bytes"])
+                stages[name]["python_worker_s"] = round(
+                    m["python_worker_s"], 1)
+    except Exception as exc:  # noqa: BLE001
+        print(f"# METRICS PARSE ERROR: {exc}", file=sys.stderr)
+    finally:
+        shutil.rmtree(evlog, ignore_errors=True)
+
+    summary = {
+        "K": K, "src": SRC, "corpus": meta,
+        "battery_wall_s": battery_wall,
+        "heap": os.environ.get("SPARK_GRAFT_DRIVER_MEM"),
+        "shuffle_partitions": n_shuffle,
+        "stages": stages, "checks": checks,
+        "all_checks_ok": True,  # asserts above would have thrown
+    }
+    art = os.path.join(HERE, "stress100_results",
+                       f"llm_pipeline_K{K}.json")
+    with open(art, "w") as fh:
+        json.dump(summary, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps({k: v for k, v in summary.items()
+                      if k != "stages"}), flush=True)
+    print(json.dumps({"stages": {k: v for k, v in stages.items()}}),
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

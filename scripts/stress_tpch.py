@@ -40,6 +40,7 @@ import json
 import math
 import os
 import shutil
+import subprocess
 import sys
 import time
 
@@ -247,7 +248,89 @@ def hashed_compare(spark, con, key: str, sdf_builder) -> dict:
             "match": status, "note": note, "mode": "hashed"}
 
 
+def _only_keys() -> list[str] | None:
+    """Child-mode key restriction: ``--key k1,k2`` runs only those."""
+    if "--key" in sys.argv:
+        return sys.argv[sys.argv.index("--key") + 1].split(",")
+    return None
+
+
+def _out_path() -> str | None:
+    if "--out" in sys.argv:
+        return sys.argv[sys.argv.index("--out") + 1]
+    return None
+
+
+def battery_main() -> None:
+    """r14 (verdict ask 4): fresh-JVM-per-query is the ENFORCED battery
+    posture. The r13 K=1000 battery OOM'd q5 at the heap rule's 22 g
+    when ONE JVM carried all 23 queries and only passed at a hand-set
+    48 g — the rule is per-query honest but battery-dishonest, because
+    accumulated JVM state (broadcast refs, codegen caches, shuffle
+    bookkeeping from 22 prior queries) eats the margin the rule sizes
+    for a single plan. Rather than inflate the rule with an
+    accumulated-state fudge factor (which would also over-size every
+    real EXECUTOR, where one JVM never serially owns a whole battery),
+    the harness now runs each key in its OWN subprocess whose heap is
+    the rule's OWN number — the same posture cpu_soak.py uses for the
+    board, and the same fresh-JVM A/B that BASELINE.md already names
+    as the honest K-tier wall read (accumulated state swings per-key
+    wall up to ~2×). Single-JVM mode stays available for A/B via
+    SPARK_GRAFT_TPCH_ONE_JVM=1. Each child runs its key + DuckDB
+    oracle + event-log metric triple exactly as before; the parent
+    materializes the corpus once, fans out, and merges the summary."""
+    if not os.path.exists(f"{WORK}/lineitem.parquet"):
+        rc = subprocess.call(
+            [sys.executable, os.path.abspath(__file__), str(K), WORK,
+             "--materialize-only"])
+        if rc != 0:
+            print("materialization failed", file=sys.stderr)
+            sys.exit(rc)
+    else:
+        print(f"reusing {WORK}", flush=True)
+
+    from nyc_taxi_data_engineering_project_spark.session import (
+        driver_memory_for,
+    )
+
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM") or driver_memory_for(WORK)
+    print(f"battery posture: fresh JVM per query at {mem} "
+          f"(engine rule driver_memory_for — per-query honest by "
+          f"construction; SPARK_GRAFT_TPCH_ONE_JVM=1 for the "
+          f"accumulated-state A/B)", flush=True)
+    results: dict[str, dict] = {}
+    t_batt = time.time()
+    for key in KEYS:
+        out = os.path.join(WORK, f".result_{key}.json")
+        if os.path.exists(out):
+            os.remove(out)
+        env = dict(os.environ)
+        env["SPARK_GRAFT_DRIVER_MEM"] = mem
+        env["SPARK_GRAFT_TPCH_ONE_JVM"] = "1"  # child runs in-process
+        rc = subprocess.call(
+            [sys.executable, os.path.abspath(__file__), str(K), WORK,
+             "--key", key, "--out", out], env=env)
+        if os.path.exists(out):
+            with open(out) as fh:
+                results.update(json.load(fh))
+            os.remove(out)
+        elif rc != 0:
+            results[key] = {"secs": -1.0,
+                            "err": f"child JVM exited {rc} with no result"}
+            print(f"  {key}: CHILD ERROR exit {rc}", flush=True)
+    write_summary(results, extra={
+        "battery_posture": "fresh_jvm_per_query",
+        "per_query_heap": mem,
+        "battery_wall_s": round(time.time() - t_batt, 1),
+    })
+
+
 def main() -> None:
+    only = _only_keys()
+    if ("--materialize-only" not in sys.argv and only is None
+            and os.environ.get("SPARK_GRAFT_TPCH_ONE_JVM") != "1"):
+        battery_main()
+        return
     # driver-heap sizing (r11, verdict ask 3): the engine now owns the
     # rule (session.driver_memory_for — 2× input bytes, [8g, 64g]).
     # When the corpus already exists its real bytes drive the floor;
@@ -283,6 +366,9 @@ def main() -> None:
         materialize(spark)
     else:
         print(f"reusing {WORK}", flush=True)
+    if "--materialize-only" in sys.argv:
+        spark.stop()
+        return
     # SCALE.md §2/§13: initial shuffle partitions are sized from the
     # INPUT BYTES so a partition fits executor memory (the session
     # default, sized for sf0.1, is ~19M rows/partition at K=1000 and
@@ -341,7 +427,7 @@ def main() -> None:
         reps_run[key] = max(reps_run.get(key, 0), rep + 1)
         spark.sparkContext.setJobGroup("stress-untagged", "")
 
-    for key in KEYS:
+    for key in (only or KEYS):
         if ((key in HASHED_KEYS
              or key in os.environ.get("SPARK_GRAFT_TPCH_HASH_KEYS",
                                       "").split(","))
@@ -410,20 +496,37 @@ def main() -> None:
                        if f"{key}::rep{r}" in by_group]
             if not per_rep or key not in results:
                 continue
-            pick = min(per_rep, key=lambda d: d["task_cpu_s"])
+            pick = min(per_rep, key=lambda d: (d["task_cpu_s"]
+                                               + d["python_worker_s"]))
             results[key]["task_cpu_s"] = round(pick["task_cpu_s"], 3)
             results[key]["shuffle_bytes"] = int(pick["shuffle_bytes"])
+            results[key]["python_worker_s"] = round(
+                pick["python_worker_s"], 3)
     except Exception as exc:  # noqa: BLE001
         print(f"# METRICS PARSE ERROR: {exc}", file=sys.stderr)
     finally:
         shutil.rmtree(evlog, ignore_errors=True)
 
+    out = _out_path()
+    if out is not None:  # battery child: hand results to the parent
+        with open(out, "w") as fh:
+            json.dump(results, fh)
+        n_bad = sum(1 for r in results.values()
+                    if r.get("match") not in ("exact", "quantum"))
+        if n_bad:
+            sys.exit(1)
+        return
+    write_summary(results)
+
+
+def write_summary(results: dict[str, dict],
+                  extra: dict | None = None) -> None:
     n_exact = sum(1 for r in results.values() if r.get("match") == "exact")
     n_quant = sum(1 for r in results.values() if r.get("match") == "quantum")
     n_bad = len(results) - n_exact - n_quant
     summary = {"K": K, "src": SRC, "n_keys": len(results),
                "exact": n_exact, "quantum": n_quant, "bad": n_bad,
-               "results": results}
+               **(extra or {}), "results": results}
     art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "stress100_results", f"stress_tpch_K{K}.json")
     try:

@@ -45,8 +45,12 @@ def test_groups_sum_cpu_and_shuffle(tmp_path):
         fh.write("{not json\n")
     got = group_task_metrics(evdir)
     assert got == {
-        "k1::rep0": {"task_cpu_s": 2.5, "shuffle_bytes": 100},
-        "k2::rep0": {"task_cpu_s": 1.0, "shuffle_bytes": 7},
+        "k1::rep0": {"task_cpu_s": 2.5, "shuffle_bytes": 100,
+                     "python_worker_s": 0.0,
+                     "python_worker_bytes": 0},
+        "k2::rep0": {"task_cpu_s": 1.0, "shuffle_bytes": 7,
+                     "python_worker_s": 0.0,
+                     "python_worker_bytes": 0},
     }
 
 
@@ -59,7 +63,9 @@ def test_missing_metrics_blocks_are_zero(tmp_path):
         {"Event": "SparkListenerTaskEnd", "Stage ID": 1},
     ]
     got = group_task_metrics(_write_log(tmp_path, log))
-    assert got == {"g": {"task_cpu_s": 0.0, "shuffle_bytes": 0}}
+    assert got == {"g": {"task_cpu_s": 0.0, "shuffle_bytes": 0,
+                   "python_worker_s": 0.0,
+                     "python_worker_bytes": 0}}
 
 
 def test_windows_fold_foreign_groups_by_submission_time(tmp_path):
@@ -108,8 +114,12 @@ def test_windows_fold_foreign_groups_by_submission_time(tmp_path):
     windows = {"d2::rep0": (1000, 2000), "d2::rep1": (2000, 3000)}
     got = group_task_metrics(evdir, windows=windows)
     assert got == {
-        "d2::rep0": {"task_cpu_s": 3.5, "shuffle_bytes": 64},
-        "d2::rep1": {"task_cpu_s": 0.75, "shuffle_bytes": 0},
+        "d2::rep0": {"task_cpu_s": 3.5, "shuffle_bytes": 64,
+                     "python_worker_s": 0.0,
+                     "python_worker_bytes": 0},
+        "d2::rep1": {"task_cpu_s": 0.75, "shuffle_bytes": 0,
+                     "python_worker_s": 0.0,
+                     "python_worker_bytes": 0},
     }
 
 
@@ -145,6 +155,52 @@ def test_stage_map_scoped_per_application_file(tmp_path):
                 fh.write(_json.dumps(ln) + "\n")
     got = group_task_metrics(str(d))
     assert got == {
-        "a1": {"task_cpu_s": 1.0, "shuffle_bytes": 0},
-        "a2": {"task_cpu_s": 2.0, "shuffle_bytes": 0},
+        "a1": {"task_cpu_s": 1.0, "shuffle_bytes": 0,
+               "python_worker_s": 0.0,
+                     "python_worker_bytes": 0},
+        "a2": {"task_cpu_s": 2.0, "shuffle_bytes": 0,
+               "python_worker_s": 0.0,
+                     "python_worker_bytes": 0},
+    }
+
+
+def test_python_worker_time_fourth_column(tmp_path):
+    """r14 (verdict ask 6): Arrow/Pandas/row-Python keys burn their
+    real work in Python workers, invisible to "Executor CPU Time" —
+    the per-task "time to run Python workers" accumulable (ms, in the
+    TaskEnd's Task Info) sums into python_worker_s per group.
+    Start/initialize-worker accumulables are one-off pool warming and
+    must NOT be counted; malformed Update values must not crash."""
+    log = [
+        {"Event": "SparkListenerJobStart", "Stage IDs": [1],
+         "Properties": {"spark.jobGroup.id": "e2::rep0"}},
+        {"Event": "SparkListenerTaskEnd", "Stage ID": 1,
+         "Task Info": {"Accumulables": [
+             {"Name": "time to run Python workers", "Update": 1500},
+             {"Name": "time to start Python workers", "Update": 900},
+             {"Name": "time to initialize Python workers",
+              "Update": 400},
+             {"Name": "data sent to Python workers", "Update": 12345},
+         ]},
+         "Task Metrics": {"Executor CPU Time": 100_000_000}},
+        {"Event": "SparkListenerTaskEnd", "Stage ID": 1,
+         "Task Info": {"Accumulables": [
+             {"Name": "time to run Python workers", "Update": 500},
+             # malformed Update: skipped, not fatal
+             {"Name": "time to run Python workers", "Update": "zzz"},
+         ]},
+         "Task Metrics": {"Executor CPU Time": 100_000_000}},
+        # a pure-JVM task in the same group adds nothing to the column
+        {"Event": "SparkListenerTaskEnd", "Stage ID": 1,
+         "Task Metrics": {"Executor CPU Time": 200_000_000}},
+    ]
+    got = group_task_metrics(_write_log(tmp_path, log))
+    assert got == {
+        "e2::rep0": {"task_cpu_s": 0.4, "shuffle_bytes": 0,
+                     "python_worker_s": 2.0,
+                     # "data sent to Python workers" (12345) counts —
+                     # the Python DATA SOURCE path (d13) publishes
+                     # ONLY byte counters, so bytes are its worker
+                     # evidence
+                     "python_worker_bytes": 12345},
     }
