@@ -417,26 +417,68 @@ def main() -> None:
 
     stage("s4_passage_dedup", s4)
 
-    # ---------------- s5: decontaminate (f30 + f35 twin) ------------
+    # ---------------- s5: decontaminate (f30 semantics + the
+    # productized Bloom lifecycle as the twin) ----------------------
+    #
+    # The registry keys plant their eval set as doc_id % 89 over the
+    # WHOLE corpus — the right demo stand-in at bench SF, but at tier
+    # it grows with K (16k eval docs at K=316 blanket the synthetic
+    # vocabulary and flag ~everything: measured 99.7% dropped on the
+    # first K=316 run). A REAL eval suite is fixed-size against any
+    # corpus, so the battery pins the eval set to the replica-0 slice
+    # (doc_id % 89 == 0 AND doc_id < SHIFT — ~56 docs at every K) and
+    # runs the same gram/broadcast/10% semantics through the REUSABLE
+    # surfaces: llm.gram_hashes + build_bloom_filter + bloom_probe
+    # (the 100 TB deployment path, exercising the sketch lifecycle
+    # inside the pipeline).
     def s5():
-        rep = llm.f30_ngram_decontaminate(spark, _stage_dir(4))
+        import tempfile as _tf
+
         cur = spark.read.parquet(
             os.path.join(_stage_dir(4), "documents.parquet"))
         n_in = cur.count()
-        # recall 1.0 by construction: every eval-source doc with >= 1
-        # gram is 100% contaminated
-        eval_docs = rep.filter(F.col("doc_id") % 89 == 0)
+        grams = llm.gram_hashes(cur)
+        eval_gh = (
+            grams.filter((F.col("doc_id") % 89 == 0)
+                         & (F.col("doc_id") < SHIFT))
+            .select("gh").distinct()
+        )
+        n_eval_grams = eval_gh.count()
+        # exact path: f30's broadcast-membership + 10% overlap rule
+        rep = (
+            grams.join(F.broadcast(
+                eval_gh.withColumn("hit", F.lit(True))), "gh", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum(F.when(F.col("hit"), 1).otherwise(0))
+                 .alias("n_hit"))
+            .select("doc_id", "n_grams", "n_hit",
+                    (F.col("n_hit") * 10 >= F.col("n_grams"))
+                    .alias("contaminated"))
+        )
+        # recall 1.0 by construction: every replica-0 eval doc's grams
+        # are ALL in the suite
+        eval_docs = rep.filter((F.col("doc_id") % 89 == 0)
+                               & (F.col("doc_id") < SHIFT))
         n_eval = eval_docs.count()
         n_eval_flagged = eval_docs.filter("contaminated").count()
-        # Bloom one-sided error: f35's per-doc hits must dominate f30's
-        bloom = llm.f35_bloom_decontaminate(spark, _stage_dir(4))
-        viol = (
-            rep.select("doc_id", F.col("n_hit").alias("exact_hit"))
-            .join(bloom.select(
-                "doc_id", F.col("n_bloom_hit").alias("bloom_hit")),
-                "doc_id")
-            .filter(F.col("bloom_hit") < F.col("exact_hit")).count()
+        # Bloom twin through the persisted-filter lifecycle: build the
+        # ~8 KB filter from the suite, probe the corpus gram stream,
+        # assert the one-sided guarantee (bloom hits >= exact hits)
+        bpath = _tf.mkdtemp(prefix="llm_pipe_bloom_")
+        llm.build_bloom_filter(spark, eval_gh, bpath)
+        probed = llm.bloom_probe(spark, bpath, grams)
+        bloom_rep = (
+            probed.groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+                 .alias("bloom_hits"))
         )
+        viol = (
+            rep.select("doc_id", "n_hit")
+            .join(bloom_rep, "doc_id")
+            .filter(F.col("bloom_hits") < F.col("n_hit")).count()
+        )
+        shutil.rmtree(bpath, ignore_errors=True)
         out = (
             cur.join(rep.filter(~F.col("contaminated"))
                      .select("doc_id"), "doc_id")
@@ -445,12 +487,17 @@ def main() -> None:
         n_out = spark.read.parquet(
             os.path.join(_stage_dir(5), "documents.parquet")).count()
         checks["s5"] = {
+            "eval_suite_grams": int(n_eval_grams),
             "eval_docs": n_eval, "eval_flagged": n_eval_flagged,
             "decon_recall": round(n_eval_flagged / max(1, n_eval), 4),
             "bloom_one_sided_violations": int(viol),
+            "dropped_frac": round((n_in - n_out) / max(1, n_in), 4),
         }
         assert n_eval_flagged == n_eval, checks["s5"]
         assert viol == 0, checks["s5"]
+        # a fixed suite must not blanket the corpus (the %89-at-tier
+        # artifact this stage replaces): the drop stays a small slice
+        assert checks["s5"]["dropped_frac"] < 0.2, checks["s5"]
         return {"rows_in": n_in, "rows_out": n_out,
                 "contaminated_dropped": n_in - n_out}
 

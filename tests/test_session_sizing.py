@@ -193,3 +193,53 @@ def test_envguard_scrubs_nondefault_contract_knobs(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_LSH_PLANES", "4")
     assert scrub_contract_env() == []
     assert os.environ["SPARK_GRAFT_LSH_PLANES"] == "4"
+
+
+def test_battery_posture_fresh_jvm_per_query():
+    """r14 (verdict ask 4): the heap rule is per-query honest but was
+    battery-dishonest — one JVM carrying all 23 K=1000 queries OOM'd
+    q5 at the rule's 22 g and needed a hand-set 48 g (SCALE.md §23e).
+    The adjudication: rather than inflate the rule with an
+    accumulated-state fudge factor (which would also over-size real
+    executors), the K-tier battery harness ENFORCES fresh-JVM-per-query
+    — each key runs in its own subprocess at the rule's OWN number.
+    Source-level pin of the contract."""
+    import os as _os
+
+    src_path = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "scripts", "stress_tpch.py")
+    with open(src_path) as fh:
+        src = fh.read()
+    # the orchestrator exists, routes by default, and children get the
+    # rule's number — not a hand-set constant
+    assert "def battery_main" in src
+    assert "SPARK_GRAFT_TPCH_ONE_JVM" in src
+    assert "driver_memory_for(WORK)" in src
+    import stress_tpch
+
+    assert callable(stress_tpch.battery_main)
+
+
+def test_k_tier_battery_completed_at_rules_own_number():
+    """The other half of the ask: the K=1000 battery re-run COMPLETED
+    under the enforced posture at the heap the rule itself derives
+    (driver_memory_for over the ~11 GB corpus -> 22 g), not a manual
+    48 g override — pinned against the recorded artifact."""
+    import json as _json
+    import os as _os
+
+    from nyc_taxi_data_engineering_project_spark.session import (
+        driver_memory_for,
+    )
+
+    art = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "scripts", "stress100_results", "stress_tpch_K1000.json")
+    with open(art) as fh:
+        a = _json.load(fh)
+    assert a["battery_posture"] == "fresh_jvm_per_query"
+    assert a["bad"] == 0 and a["n_keys"] == 23
+    # the recorded heap is what the rule derives for the K=1000 corpus
+    # estimate (K * ~11 MB/unit), with no hand override
+    assert a["per_query_heap"] == driver_memory_for(1000 * (11 << 20))
