@@ -196,9 +196,15 @@ def main() -> None:
         "spark.eventLog.compress": "false",
     })
     spark.sparkContext.setLogLevel("ERROR")
+    # partitions sized from the EXPANDED working set, not raw corpus
+    # bytes: the decontamination stage shuffles the gram stream (~10x
+    # the text), and sizing from 3x put 550 MB through each of 54
+    # partitions at K=1000 — s5 ran 4.4x for 3.16x data (spill-bound;
+    # the first K=1000 recording, SCALE.md §24a). Same inflation the
+    # heap rule uses; AQE coalesces the overshoot for the thin stages.
     n_shuffle = int(os.environ.get(
         "SPARK_GRAFT_SHUFFLE_PARTITIONS",
-        str(shuffle_partitions_for(est * 3))))  # decompressed text
+        str(shuffle_partitions_for(est * PIPELINE_EXPANSION))))
     spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
     print(f"shuffle partitions: {n_shuffle}", flush=True)
 
