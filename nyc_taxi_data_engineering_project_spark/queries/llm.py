@@ -274,6 +274,32 @@ F13_SPLIT_PLANES = [
     for _ in range(8)
 ]
 
+# f36's quantizer planes — an INDEPENDENT seeded prefix-stable stream
+# (not F13_PLANES: the two operators' cluster geometries must be free
+# to evolve separately — widening f13's pair-search buckets must not
+# silently re-cluster f36's prototype partition). Same 40-plane
+# envelope and the same prefix-stability contract: plane i is
+# identical at every count, so one static oracle serves all SFs.
+_F36_MAX_PLANES = 40
+_f36_rng = random.Random(3636)
+F36_PLANES = [
+    [_f36_rng.uniform(-1.0, 1.0) for _ in range(64)]
+    for _ in range(_F36_MAX_PLANES)
+]
+
+
+def _f36_planes(k: int):
+    """First ``k`` f36 quantizer planes; refuses past the inlined-oracle
+    envelope for exactly :func:`_f13_planes`'s reason."""
+    if k > _F36_MAX_PLANES:
+        raise ValueError(
+            f"f36 needs {k} hyperplanes but the prefix-stable plane set "
+            f"(and its inlined DuckDB oracle) holds _F36_MAX_PLANES="
+            f"{_F36_MAX_PLANES}; raise _F36_MAX_PLANES — both sides extend "
+            "the same seeded prefix, so the oracle stays exact."
+        )
+    return F36_PLANES[:k]
+
 
 def _f13_planes(k: int):
     """First ``k`` planes of the seeded stream (prefix-stable in k).
@@ -623,6 +649,7 @@ _PLANE_SETS = {
     "lsh": lambda: LSH_ALL_PLANES,
     "f13": lambda: F13_PLANES,
     "f13_split": lambda: F13_SPLIT_PLANES,
+    "f36": lambda: F36_PLANES,
 }
 
 
@@ -3952,3 +3979,116 @@ def f35_bloom_decontaminate(spark, sf_dir):
             .alias("contaminated"),
         )
     )
+
+
+# ------------------------------------------------- F36: semantic dedup
+def _f36_oracle() -> str:
+    """DuckDB twin of f36_semdedup: same inlined plane literals, same
+    size->plane-count rule (expected cluster width 256), same min-id
+    prototype, same rounded-cosine keep rule. Cross-engine seams are
+    f13's two knowns: Python banker's round vs DuckDB half-away in the
+    plane-count rule (differs only at an exact .5 log2, unreachable for
+    real counts) and float ulp at the 0.3 threshold, absorbed by
+    rounding to 6 dp before comparing (f3's proven pattern)."""
+    bits = ", ".join(
+        f"(CASE WHEN list_dot_product(e, [{', '.join(repr(v) for v in p)}])"
+        f" > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(F36_PLANES)
+    )
+    cent = fx.sql_round("list_cosine_similarity(t.e, p.pe)", 6)
+    return f"""
+    WITH params AS (
+        SELECT GREATEST(2, CAST(round(log2(GREATEST(COUNT(*), 1) / 256.0
+                                           + 1)) AS INTEGER)) AS k
+        FROM embeddings WHERE {_VEC_OK}
+    ), base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE {_VEC_OK}
+    ), tagged AS (
+        SELECT vec_id, e,
+               CAST(list_sum(([{bits}])[1:k]) AS BIGINT) AS bucket
+        FROM base, params
+    ), proto AS (
+        SELECT bucket, MIN(vec_id) AS pid, arg_min(e, vec_id) AS pe
+        FROM tagged GROUP BY 1
+    ), scored AS (
+        SELECT t.vec_id, t.bucket, p.pid, {cent} AS centrality
+        FROM tagged t JOIN proto p USING (bucket)
+    )
+    SELECT vec_id, bucket, centrality
+    FROM scored WHERE vec_id = pid OR centrality < 0.3
+    """
+
+
+@query("f36_semdedup", oracle=_f36_oracle())
+def f36_semdedup(spark, sf_dir):
+    """F36: SemDeDup-style cluster-prototype pruning — the ORACLE-GRADE
+    member of the semantic-dedup/clustering class (f28's k-means demo
+    stays the library-parity rows-only key, exactly as the portable
+    sketch twins did for c38/c11).
+
+    SemDeDup (Abbas et al. 2023, public) clusters an embedding corpus
+    and drops members too close to their cluster's representative. Two
+    deterministic substitutions make that semantic oracle-exact:
+
+    - the quantizer is the seeded sign-bit hyperplane partition
+      (F36_PLANES — an independent prefix-stable stream) instead of
+      k-means, sized to an expected cluster width of 256 by the same
+      log2 rule as f13;
+    - the representative is the cluster's MIN-vec_id member instead of
+      the floating-point centroid (a cross-member mean aggregates in
+      engine-chosen order — fp-nondeterministic across engines; the
+      arg-min is exact, and the k-means+centroid variant remains f28).
+
+    Keep rule: the prototype always survives; any other member survives
+    iff its rounded cosine to the prototype is < 0.3 (f13's synthetic
+    near-dup threshold). Work is LINEAR in the corpus: one map pass to
+    tag, a map-side-combinable arg-min per cluster (n/256 rows), one
+    equi-join on the cluster id (AQE broadcasts the prototype side at
+    test SF; at 100 TB, n/256 prototypes * 64 dims can exceed broadcast
+    - the join then shuffles BOTH sides on the bucket key, still one
+    star comparison per member, never a pairwise expansion), and one
+    codegen'd 64-dim dot per member (`_dot_unrolled` — bit-identical to
+    the oracle's loop). The pairwise member (quadratic within buckets,
+    split-capped) is f13; this operator is its linear complement: a
+    corpus-shrinking PRUNE, not a pair report."""
+    emb = _embeddings(spark, sf_dir)
+    n = emb.count()
+    k = max(2, round(math.log2(max(n, 1) / 256 + 1)))
+    _f36_planes(k)  # fail-fast guard past the inlined-oracle envelope
+    tagged = pin(
+        emb.withColumn("bucket",
+                       bucket_expr("f36", k, "emb").cast("long"))
+        .select("vec_id", "emb", "nrm", "bucket"),
+        "f36_tagged",
+    )
+    proto = tagged.groupBy("bucket").agg(
+        F.min("vec_id").alias("pid"),
+        F.min_by("emb", "vec_id").alias("p_emb"),
+        F.min_by("nrm", "vec_id").alias("p_nrm"),
+    )
+    cos = _dot_unrolled("emb", "p_emb") / (F.col("nrm") * F.col("p_nrm"))
+    # Pin the RAW cosine before rounding: fround's total-safety branches
+    # reference their operand ~5 times, and with the 300-node unrolled
+    # dot inlined at each reference (CollapseProject re-merges any
+    # intermediate select) the fused join stage blows janino's 64 KB
+    # method limit and the whole stage falls back to interpretation —
+    # the exact _dot_unrolled scope-discipline failure its docstring
+    # warns about. Behind the pin the rounding references a plain
+    # 8-byte column and the keep-filter stage codegens; the pinned
+    # frame is 4 narrow columns, an order of magnitude smaller than
+    # the tagged pin above.
+    scored = pin(
+        tagged.join(proto, "bucket").select(
+            "vec_id", "bucket", "pid", cos.alias("_cos"),
+        ),
+        "f36_scored",
+    )
+    out = (
+        scored.withColumn("centrality", fx.r6(F.col("_cos")))
+        .filter((F.col("vec_id") == F.col("pid"))
+                | (F.col("centrality") < 0.3))
+        .select("vec_id", "bucket", "centrality")
+    )
+    unpin(tagged)  # scored is materialized; the wide pin can go now
+    return out

@@ -1073,3 +1073,49 @@ def test_stream_bloom_filter_exactly_once(spark, tmp_path):
     with pytest.raises(ValueError, match="checkpoint"):
         bloom_update_writer(bdir, stream_id="other")(docs.limit(50), last)
     assert bits(bdir) == before
+
+
+def test_f36_semdedup_invariants(spark):
+    """r14: the semantic-dedup prune's contract, independent of the
+    DuckDB twin — (a) exactly one prototype (the bucket's min vec_id)
+    survives per cluster with centrality 1.0, (b) survivors are a
+    subset of the usable population and every non-prototype survivor
+    sits strictly under the 0.3 threshold, (c) pruning is monotone:
+    dropped = population - survivors, all with centrality >= 0.3."""
+    out = registry.QUERIES["f36_semdedup"](spark, SF_DIR)
+    rows = out.collect()
+    assert rows, "f36 must keep at least the prototypes"
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    pop = llm._embeddings(spark, SF_DIR).count()
+    assert len(rows) <= pop
+    for bucket, members in by_bucket.items():
+        protos = [r for r in members if r.centrality == 1.0]
+        # the min-id member IS the prototype and always survives
+        assert min(r.vec_id for r in members) == min(
+            r.vec_id for r in protos
+        ), f"bucket {bucket}: min-id survivor is not a prototype"
+        for r in members:
+            assert r.centrality == 1.0 or r.centrality < 0.3, (
+                f"bucket {bucket}: survivor {r.vec_id} at "
+                f"{r.centrality} violates the keep rule"
+            )
+
+
+def test_f36_plane_prefix_stable_and_guarded():
+    """f36's quantizer planes carry f13's prefix-stability contract —
+    plane i identical at every count, hard refusal past the
+    inlined-oracle envelope — and come from an INDEPENDENT seed (the
+    two operators' cluster geometries must not be coupled)."""
+    from nyc_taxi_data_engineering_project_spark.queries.llm import (
+        _F36_MAX_PLANES,
+        F13_PLANES,
+        _f36_planes,
+    )
+
+    assert _f36_planes(2) == _f36_planes(_F36_MAX_PLANES)[:2]
+    assert _f36_planes(16) == _f36_planes(40)[:16]
+    assert _f36_planes(1)[0] != F13_PLANES[0]
+    with pytest.raises(ValueError, match="_F36_MAX_PLANES"):
+        _f36_planes(_F36_MAX_PLANES + 1)

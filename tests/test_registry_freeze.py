@@ -45,5 +45,8 @@ def test_registry_matches_frozen_surface():
     # The 6 rows-only keys are genuine sketches/library-RNG
     # (c10/c11 approx, c29_sample, c38, f19/f20); r13 adds
     # d14_stream_layout_maintenance (exactly-once streaming layout
-    # maintenance, aggregate served through the layout under oracle)
-    assert len(got) == 146 and sum(v == "oracle" for v in got.values()) == 140
+    # maintenance, aggregate served through the layout under oracle);
+    # r14 adds f36_semdedup (SemDeDup-style cluster-prototype pruning —
+    # the oracle-grade member of the semantic-dedup/clustering class,
+    # with the k-means+centroid variant staying the f28 rows-only demo)
+    assert len(got) == 147 and sum(v == "oracle" for v in got.values()) == 141
