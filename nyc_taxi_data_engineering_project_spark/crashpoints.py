@@ -57,11 +57,26 @@ def crash_point(name: str) -> None:
     armed = os.environ.get("SPARK_GRAFT_CRASH_POINT")
     if not armed:
         return
-    want, _, nth = armed.partition(":")
+    want, sep, nth = armed.partition(":")
     if want != name:
         return
+    # validate the Nth-hit spec BEFORE touching the hit counter: a
+    # malformed spec ("name:", "name:abc") must fail as a clearly
+    # named configuration error, not as a bare int() ValueError from
+    # inside the armed production seam after state already moved
+    # (r14 self-review finding)
+    if sep:
+        try:
+            nth_n = int(nth)
+        except ValueError:
+            raise ValueError(
+                f"SPARK_GRAFT_CRASH_POINT={armed!r}: the part after "
+                f"':' must be an integer hit count (e.g. {name}:2)"
+            ) from None
+    else:
+        nth_n = 1
     _hits[name] = _hits.get(name, 0) + 1
-    if _hits[name] >= (int(nth) if nth else 1):
+    if _hits[name] >= nth_n:
         # stderr is unbuffered enough to usually survive; the kill
         # must not depend on it either way
         try:

@@ -3239,16 +3239,19 @@ def _read_sketch_parquet(spark, target: str):
     exists() probe — a writer swapping between our probe and
     ``spark.read.parquet`` surfaces a missing-path AnalysisException,
     which is the exact window this helper absorbs, so that exception
-    is retryable too. The budget backs off to ~1 s total (0.1/0.2/
-    0.3/0.4 s) so a slow filesystem mid-swap isn't misdiagnosed as a
-    stranded writer, and after composing the stranded-swap error we
-    re-check ``target`` one final time (the writer may have completed
-    while we were deciding)."""
+    is retryable too. The budget backs off to ~1 s total (0.2/0.3/
+    0.4 s BETWEEN the four attempts — no sleep after the last try,
+    r14 self-review) so a slow filesystem mid-swap isn't misdiagnosed
+    as a stranded writer, and after composing the stranded-swap error
+    we re-check ``target`` one final time (the writer may have
+    completed while we were deciding)."""
     import os as _os
     import time as _time
 
     last_exc = None
     for attempt in range(4):
+        if attempt:  # back off BETWEEN attempts; no dead tail sleep
+            _time.sleep(0.1 * (attempt + 1))
         if _os.path.exists(target):
             try:
                 return spark.read.parquet(target)
@@ -3257,7 +3260,6 @@ def _read_sketch_parquet(spark, target: str):
                         "Path does not exist" not in str(exc):
                     raise
                 last_exc = exc
-        _time.sleep(0.1 * (attempt + 1))
     tmp, old = target + ".tmp", target + ".old"
     if (_os.path.exists(_os.path.join(tmp, "_manifest.json"))
             or _os.path.exists(old)):

@@ -128,10 +128,17 @@ def main() -> None:
     n, nd = served.count(), served.select("o_orderkey").distinct().count()
     assert n == total == nd, (n, nd, total)
 
+    # the flat-cost read needs distinct steady (post-warmup) and tail
+    # windows; under ~6 batches they would overlap or be empty (r14
+    # self-review: n_batches=3 divided by zero AFTER the full drain
+    # was already paid) — report the curve without the verdict instead
     steady = [b["secs"] for b in batch_log if 2 <= b["batch_id"] <= 4]
     tail = [b["secs"] for b in batch_log if b["batch_id"]
             >= len(batch_log) - 3]
-    flat = (sum(tail) / len(tail)) <= 1.5 * (sum(steady) / len(steady))
+    flat = (
+        (sum(tail) / len(tail)) <= 1.5 * (sum(steady) / len(steady))
+        if steady and tail and len(batch_log) >= 6 else None
+    )
     max_runs = max(b["runs_per_bucket"] for b in batch_log)
     fanin_bounded = max_runs <= catalog.LAYOUT_COMPACT_RUNS_PER_BUCKET + 1.5
     row = {
@@ -147,7 +154,7 @@ def main() -> None:
         "fanin_bounded": fanin_bounded,
         "minor_compactions_total": batch_log[-1]["minor_compactions"],
     }
-    assert flat, row
+    assert flat is not False, row  # None = windows too short to judge
     assert fanin_bounded, row
     print(json.dumps({k: v for k, v in row.items() if k != "per_batch"}),
           flush=True)

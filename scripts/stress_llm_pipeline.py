@@ -148,6 +148,11 @@ def materialize(spark) -> dict:
     )
     dest = os.path.join(WORK, "s0", "documents.parquet")
     out.write.mode("overwrite").parquet(dest)
+    # stamp the tier: a stale WORK from a different K must never be
+    # silently reused (the artifact is labeled, heap/shuffle-sized,
+    # and value-checked for THIS K)
+    with open(os.path.join(WORK, "s0", "K.txt"), "w") as fh:
+        fh.write(str(K))
     # planted bookkeeping for the value checks (driver-side scalars)
     n_near_src = docs.filter((src_mod == 2) & toks_ok).count()
     n_exact_src = docs.filter(src_mod == 1).count()
@@ -211,10 +216,22 @@ def main() -> None:
     from nyc_taxi_data_engineering_project_spark.queries import llm
 
     meta = None
-    if not os.path.exists(os.path.join(WORK, "s0", "documents.parquet")):
+    k_marker = os.path.join(WORK, "s0", "K.txt")
+    stamped = None
+    if os.path.exists(k_marker):
+        with open(k_marker) as fh:
+            stamped = fh.read().strip()
+    if (not os.path.exists(os.path.join(WORK, "s0", "documents.parquet"))
+            or stamped != str(K)):
+        # an unstamped or different-K s0 tree is a different corpus:
+        # reusing it would mislabel the artifact and mis-size heap/
+        # shuffle for this K — rematerialize over the scratch dir
+        if stamped is not None and stamped != str(K):
+            print(f"{WORK}/s0 holds a K={stamped} corpus; "
+                  f"rematerializing at K={K}", flush=True)
         meta = materialize(spark)
     else:
-        print(f"reusing {WORK}/s0", flush=True)
+        print(f"reusing {WORK}/s0 (K={stamped})", flush=True)
     if meta is None:
         docs0 = spark.read.parquet(
             os.path.join(WORK, "s0", "documents.parquet"))
@@ -297,18 +314,34 @@ def main() -> None:
         cur = spark.read.parquet(
             os.path.join(_stage_dir(1), "documents.parquet"))
         cmap = clusters.select("doc_id", "cluster_id", "keep")
-        joined = cur.join(cmap, "doc_id", "left")
-        # cluster-cover invariants at tier, computed on the live join
+        # pin the corpus-cluster join ONCE: unpinned, each of the
+        # invariant counts below plus the survivors write re-executed
+        # the full 4.9M-row join at K=1000, and those ~5 repeats were
+        # booked inside s2's timing window — the recorded stage
+        # wall/CPU measured check-harness rework, not f14 (r14
+        # self-review finding)
+        from nyc_taxi_data_engineering_project_spark.pinning import (
+            pin, unpin,
+        )
+
+        joined = pin(cur.join(cmap, "doc_id", "left"), "s2_joined")
+        # cluster-cover invariants at tier, in ONE aggregate pass
         n_docs = cur.count()
-        n_mapped = joined.filter(F.col("cluster_id").isNotNull()).count()
-        n_kept_flags = joined.filter("keep").count()
-        n_clusters = joined.select("cluster_id").distinct().count()
-        # reps are their own cluster: keep <=> cluster_id == doc_id
-        bad_rep = joined.filter(
-            F.col("keep") != (F.col("cluster_id") == F.col("doc_id"))
-        ).count()
+        inv = joined.agg(
+            F.count(F.when(F.col("cluster_id").isNotNull(), 1))
+            .alias("n_mapped"),
+            F.count(F.when(F.col("keep"), 1)).alias("n_kept_flags"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            # reps are their own cluster: keep <=> cluster_id == doc_id
+            F.count(F.when(
+                F.col("keep") != (F.col("cluster_id") == F.col("doc_id")),
+                1)).alias("bad_rep"),
+        ).collect()[0]
+        n_mapped, n_kept_flags = inv.n_mapped, inv.n_kept_flags
+        n_clusters, bad_rep = inv.n_clusters, inv.bad_rep
         survivors = joined.filter("keep").drop("cluster_id", "keep")
         _write_docs(survivors, 2)
+        unpin(joined)
 
         # planted-family recovery: source s (id<SHIFT, mod 50 == 2,
         # >= 16 toks — short mod-2 sources got plain prefixed copies,
@@ -485,9 +518,16 @@ def main() -> None:
             .filter(F.col("bloom_hits") < F.col("n_hit")).count()
         )
         shutil.rmtree(bpath, ignore_errors=True)
-        out = (
-            cur.join(rep.filter(~F.col("contaminated"))
-                     .select("doc_id"), "doc_id")
+        # survivors by ANTI-join against the contaminated set: a doc
+        # whose text shrank under 5 tokens after s3/s4 produces no
+        # gram rows, so it has no `rep` row — an inner join on the
+        # not-contaminated report silently dropped it AND booked it as
+        # contaminated (r14 self-review finding). No 5-gram means it
+        # cannot contain eval text: it survives.
+        n_gramless = n_in - rep.count()
+        out = cur.join(
+            rep.filter(F.col("contaminated")).select("doc_id"),
+            "doc_id", "left_anti",
         )
         _write_docs(out, 5)
         n_out = spark.read.parquet(
@@ -497,6 +537,7 @@ def main() -> None:
             "eval_docs": n_eval, "eval_flagged": n_eval_flagged,
             "decon_recall": round(n_eval_flagged / max(1, n_eval), 4),
             "bloom_one_sided_violations": int(viol),
+            "gramless_docs_kept": int(n_gramless),
             "dropped_frac": round((n_in - n_out) / max(1, n_in), 4),
         }
         assert n_eval_flagged == n_eval, checks["s5"]

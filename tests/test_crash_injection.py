@@ -119,3 +119,22 @@ class TestCrashPointSeam:
                                   os.path.abspath(__file__))))
         assert proc.returncode == -9
         assert "hit2" in proc.stdout and "hit3" not in proc.stdout
+
+
+def test_crash_point_malformed_nth_spec_is_named(monkeypatch):
+    """r14 self-review: a malformed Nth-hit spec must fail as a named
+    configuration error BEFORE the hit counter moves — not as a bare
+    int() ValueError from inside the armed production seam."""
+    import pytest
+
+    from nyc_taxi_data_engineering_project_spark import crashpoints
+
+    for bad in ("seam:", "seam:abc", "seam:1.5"):
+        monkeypatch.setenv("SPARK_GRAFT_CRASH_POINT", bad)
+        crashpoints._hits.clear()
+        with pytest.raises(ValueError, match="SPARK_GRAFT_CRASH_POINT"):
+            crashpoints.crash_point("seam")
+        assert crashpoints._hits == {}, bad
+    # a well-formed spec for a DIFFERENT seam stays a no-op
+    monkeypatch.setenv("SPARK_GRAFT_CRASH_POINT", "other:2")
+    crashpoints.crash_point("seam")
