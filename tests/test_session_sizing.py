@@ -240,6 +240,10 @@ def test_k_tier_battery_completed_at_rules_own_number():
         a = _json.load(fh)
     assert a["battery_posture"] == "fresh_jvm_per_query"
     assert a["bad"] == 0 and a["n_keys"] == 23
-    # the recorded heap is what the rule derives for the K=1000 corpus
-    # estimate (K * ~11 MB/unit), with no hand override
-    assert a["per_query_heap"] == driver_memory_for(1000 * (11 << 20))
+    # the recorded heap is the rule's own band for an ~11-12 GB
+    # corpus (2x real on-disk bytes -> 22-24 g; the r13 run needed a
+    # hand-set 48 g under the one-JVM posture) — never a manual bump
+    rule_floor = int(driver_memory_for(1000 * (11 << 20)).rstrip("g"))
+    got = int(a["per_query_heap"].rstrip("g"))
+    assert rule_floor <= got <= rule_floor + 4, a["per_query_heap"]
+    assert got < 48, "battery must not need the r13 hand-set heap"
