@@ -50,6 +50,19 @@ stress100_results/aqe_vs_salting_60m.json; SCALE.md §17):
    only where partial state can't combine — exact per-key windows
    (use the two-phase rank, io.surrogate_ids / f31) or giant
    collect_list state (redesign the aggregate).
+5. **There is no hot-fraction crossover that rescues salting** (r14,
+   hot ∈ {5,10,25,50}% at 60 M rows — SCALE.md §24c,
+   aqe_salting_crossover.json). Exchange-present: AQE wins every
+   fraction its gate trips (1.8–1.9× over salting at 50% hot); under
+   the gate (≤5%) all strategies tie within noise — untripped gates
+   mean untreatable-and-harmless skew. Exchange-free (bucketed):
+   plain beats salted at EVERY fraction (2.4× at 5%, 1.3× at 50%) —
+   salting re-introduces the two-sided exchange the layout exists to
+   avoid, and that costs more than the hot bucket's straggler at
+   this tier. Salting a bucketed join is a last resort for a key so
+   hot that ONE bucket's single-task time exceeds a full reshuffle
+   (unreached at 50%/60 M); for durably hot keys, re-build the
+   layout at a higher bucket count instead.
 """
 
 from __future__ import annotations
