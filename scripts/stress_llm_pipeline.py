@@ -147,11 +147,17 @@ def materialize(spark) -> dict:
         )
     )
     dest = os.path.join(WORK, "s0", "documents.parquet")
-    out.write.mode("overwrite").parquet(dest)
     # stamp the tier: a stale WORK from a different K must never be
     # silently reused (the artifact is labeled, heap/shuffle-sized,
-    # and value-checked for THIS K)
-    with open(os.path.join(WORK, "s0", "K.txt"), "w") as fh:
+    # and value-checked for THIS K). The stamp is REMOVED before the
+    # overwrite and re-written only after it completes — a killed
+    # materialization must read as unstamped, not as the previous K
+    # blessing a partial tree
+    marker = os.path.join(WORK, "s0", "K.txt")
+    if os.path.exists(marker):
+        os.remove(marker)
+    out.write.mode("overwrite").parquet(dest)
+    with open(marker, "w") as fh:
         fh.write(str(K))
     # planted bookkeeping for the value checks (driver-side scalars)
     n_near_src = docs.filter((src_mod == 2) & toks_ok).count()
@@ -483,8 +489,18 @@ def main() -> None:
             .select("gh").distinct()
         )
         n_eval_grams = eval_gh.count()
-        # exact path: f30's broadcast-membership + 10% overlap rule
-        rep = (
+        # exact path: f30's broadcast-membership + 10% overlap rule.
+        # Pinned ONCE: five consumers read it (eval count, flagged
+        # count, the Bloom violation join, the gramless count, the
+        # survivor anti-join) and unpinned each would re-run the full
+        # gram explode + broadcast join + per-doc rollup — the same
+        # check-harness-rework-booked-as-stage-cost class as the s2
+        # finding (r14 self-review)
+        from nyc_taxi_data_engineering_project_spark.pinning import (
+            pin as _pin, unpin as _unpin,
+        )
+
+        rep = _pin(
             grams.join(F.broadcast(
                 eval_gh.withColumn("hit", F.lit(True))), "gh", "left")
             .groupBy("doc_id")
@@ -493,7 +509,8 @@ def main() -> None:
                  .alias("n_hit"))
             .select("doc_id", "n_grams", "n_hit",
                     (F.col("n_hit") * 10 >= F.col("n_grams"))
-                    .alias("contaminated"))
+                    .alias("contaminated")),
+            "s5_rep",
         )
         # recall 1.0 by construction: every replica-0 eval doc's grams
         # are ALL in the suite
@@ -530,6 +547,7 @@ def main() -> None:
             "doc_id", "left_anti",
         )
         _write_docs(out, 5)
+        _unpin(rep)
         n_out = spark.read.parquet(
             os.path.join(_stage_dir(5), "documents.parquet")).count()
         checks["s5"] = {
