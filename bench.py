@@ -208,6 +208,11 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "n_queries": len(timings),
+        # r14 (§24e like-for-like protocol): best-of-N is part of a
+        # recording's identity — the 2-rep window sits inside the
+        # cold-codegen phase, so CPU compares are only valid between
+        # same-reps boards; the artifact now says which it is
+        "reps": REPS,
         # r12 (verdict ask 2): {wall_s, task_cpu_s, shuffle_bytes} per
         # key — task_cpu_s is the primary regression signal (immune to
         # the box's ±40% wall band), wall stays the gate
@@ -239,7 +244,7 @@ def main() -> None:
         {"metric": "total_query_wall_clock", "value": total,
          "unit": "sec", "queries": out, "sf": sf,
          "n_queries": len(timings), "queries_shown": len(out),
-         "detail": "BENCH_DETAIL.json"},
+         "reps": REPS, "detail": "BENCH_DETAIL.json"},
         separators=(",", ":"),
     ))  # session already stopped above (event-log flush)
 

@@ -23,19 +23,31 @@ import json
 import sys
 
 
-def load(path: str) -> dict:
+def load(path: str) -> tuple[dict, dict]:
     with open(path) as fh:
         d = json.load(fh)
     m = d.get("metrics", {})
     if not m:
         sys.exit(f"{path} has no per-key metrics block")
-    return m
+    return m, d
 
 
 def main() -> None:
     if len(sys.argv) != 3:
         sys.exit(__doc__)
-    base, new = load(sys.argv[1]), load(sys.argv[2])
+    (base, bd), (new, nd) = load(sys.argv[1]), load(sys.argv[2])
+    # a regression read is only meaningful between SAME-PROTOCOL
+    # recordings: an sf0.001 dev board diffed against the sf0.1
+    # baseline reads as a catastrophic plan drift (r14: a small-SF
+    # run silently clobbered the committed baseline and the first
+    # regress read of the round compared across SFs), and best-of-N
+    # identity matters because the 2-rep window sits inside the
+    # cold-codegen phase (SCALE.md §24e) — refuse, don't warn
+    for field in ("sf", "reps"):
+        a, b = bd.get(field), nd.get(field)
+        if a is not None and b is not None and a != b:
+            sys.exit(f"refusing cross-{field} compare: base {field}={a} "
+                     f"vs new {field}={b} — same-protocol boards only")
     common = sorted(set(base) & set(new))
     added = sorted(set(new) - set(base))
     removed = sorted(set(base) - set(new))
