@@ -131,6 +131,55 @@ def events_ts_is_nanos(path: str) -> bool:
     return "ts" in nanos_ts_columns(path)
 
 
+def _path_fingerprint(path: str):
+    """Cheap identity of a parquet source for driver-side caches: a
+    file is (mtime_ns, size); a directory is the full sorted part list
+    with each part's (mtime_ns, size) — the same invalidation rule as
+    :func:`nanos_ts_columns`. ``None`` = unstat-able (don't cache)."""
+    import glob as _glob
+
+    try:
+        if os.path.isdir(path):
+            return tuple(
+                (os.path.basename(p), st.st_mtime_ns, st.st_size)
+                for p in sorted(_glob.glob(os.path.join(path, "*.parquet")))
+                for st in (os.stat(p),)
+            )
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+
+
+# Driver-side parquet schema cache (r14 optimization round, guide §1/§5:
+# the driver should do almost no per-query work). ``spark.read.parquet``
+# pays ~140 ms of py4j + Hadoop footer inference PER CALL; with ~190
+# ``table()`` call sites × 2 bench reps that inference was ~25% of the
+# whole sf0.1 board's wall. Passing the cached schema back to the reader
+# (``spark.read.schema(s).parquet(path)``) skips inference (~19 ms) and
+# changes NOTHING downstream: the relation still gets fresh attribute
+# ids (no self-join aliasing hazard), and column pruning + predicate
+# pushdown are scan-time properties, unaffected (asserted in
+# tests/test_plans.py PushedFilters checks). Keyed on the same
+# fingerprint rule as the nanos dispatch, so a rewritten file re-infers.
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
+    fp = _path_fingerprint(path)
+    if fp is None:
+        return spark.read.parquet(path)
+    key = (path, fp)
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        df = spark.read.parquet(path)
+        if len(_SCHEMA_CACHE) > 256:  # bound: a few bytes per entry
+            _SCHEMA_CACHE.clear()
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
+
+
 def _read_parquet_dispatch(spark: SparkSession,
                            paths: tuple[str, ...]) -> DataFrame:
     """Read an explicit set of parquet part files with the same
@@ -257,11 +306,27 @@ def table(spark: SparkSession, sf_dir: str, name: str,
                 .cast("timestamp_ntz"),
             )
     else:
-        df = spark.read.parquet(path)
+        df = _read_parquet_cached(spark, path)
     if with_derived:
         for col_name, factory in LAYOUT_DERIVED.get(name, {}).items():
             df = df.withColumn(col_name, factory(df))
     return df
+
+
+# Per-session view-registration memo (r14 optimization round):
+# ``createOrReplaceTempView`` costs ~110 ms of py4j/catalog work per
+# view per call, and the SQL-surface keys re-registered identical views
+# every bench rep. The memo records what each view name was last
+# registered AS — (sf_dir, source fingerprint, layout-serving state) —
+# and skips the re-registration only on an exact match, so a changed
+# file, a different sf_dir, a registered/dropped layout, or a new
+# session re-registers exactly as before. Keyed weakly on the session
+# object: a stopped/recreated session starts with an empty memo.
+import weakref as _weakref
+
+_VIEW_MEMO: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    _weakref.WeakKeyDictionary()
+)
 
 
 def register_views(spark: SparkSession, sf_dir: str,
@@ -271,8 +336,20 @@ def register_views(spark: SparkSession, sf_dir: str,
     Mirrors ``CREATE TABLE IF NOT EXISTS`` idempotency
     (``sql/init.sql:12,21``): safe to call repeatedly.
     """
+    try:
+        memo = _VIEW_MEMO.setdefault(spark, {})
+    except TypeError:  # un-weakref-able session stub (tests)
+        memo = {}
+    serve = spark.conf.get(LAYOUT_SERVE_CONF, "true")
     for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        state = (sf_dir, _path_fingerprint(path),
+                 spark.conf.get(_layout_conf_key(sf_dir, name), None),
+                 serve)
+        if memo.get(name) == state:
+            continue
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+        memo[name] = state
 
 
 def bootstrap_database(spark: SparkSession, db: str = "nyc") -> None:
