@@ -289,7 +289,19 @@ def d8_stateful(spark, sf_dir):
     monotonically growing per-user counts whose FINAL state equals the
     batch aggregate."""
     out = d8_tracked(events_stream(spark, sf_dir))
-    return run_available_now(out, "d8_state", output_mode="update")
+    # d8 is the one replay whose per-partition cost is COMPUTE (a pandas
+    # state function runs a Python-worker round per state partition per
+    # batch), not store bookkeeping — it wants core-scaled parallelism,
+    # not the store-minimizing replay default. Half the cores, not all:
+    # each partition pays a worker round-trip AND a store commit, and a
+    # worker per core contends with the commit threads (r14 sweeps at
+    # sf0.1, loaded session: 4 parts 2.4 s, 8 → 1.9 s, 16 → 1.5 s,
+    # 32 → 2.3 s and noisy). Scale-adaptive: tracks the driver's
+    # lower-core bench runs instead of pinning a local[32] constant.
+    return run_available_now(
+        out, "d8_state", output_mode="update",
+        state_partitions=max(2, spark.sparkContext.defaultParallelism // 2),
+    )
 
 
 def d8_tracked(events: DataFrame) -> DataFrame:

@@ -66,33 +66,82 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def _replay_state_partitions() -> str:
+    """State-store partition count for the bounded replay
+    (``SPARK_GRAFT_REPLAY_STATE_PARTS`` to override; default 2).
+
+    Each state partition costs a store load+commit (+ for pandas state
+    ops, a Python worker round) PER micro-batch — pure fixed overhead
+    that dwarfs the per-row work at replay scale, where the whole
+    state is a few thousand keys (r14 measured on d2 at sf0.1: 8 → 2
+    partitions halves the micro-batch wall with byte-identical
+    output). A production stream sizes this to peak key cardinality /
+    state volume, not CPU count — that decision belongs to the
+    deployment, which is why it is an env knob rather than a constant
+    derived from local cores."""
+    return os.environ.get("SPARK_GRAFT_REPLAY_STATE_PARTS", "2")
+
+
+def _replay_checkpoint_root() -> str | None:
+    """Ephemeral checkpoint root for the bounded replay: RAM-backed
+    when the host offers /dev/shm, else None (Spark's temp default).
+
+    The memory-sink replay is already non-durable by construction —
+    its checkpoint exists only to drive the offset/commit protocol
+    within one process — so placing it on tmpfs removes per-batch
+    fsync/disk latency without weakening any durability the harness
+    ever had. The production sink path (D10/D14 foreachBatch +
+    explicit checkpointLocation) keeps real on-disk checkpoints and
+    is where recovery semantics are asserted (tests/test_streaming.py,
+    tests/test_stream_layout.py). ``SPARK_GRAFT_REPLAY_CKPT_DIR``
+    overrides; set it to a durable path to opt out."""
+    override = os.environ.get("SPARK_GRAFT_REPLAY_CKPT_DIR")
+    if override:
+        return override
+    return "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+
 def run_available_now(sdf: DataFrame, name: str,
-                      output_mode: str = "append") -> DataFrame:
+                      output_mode: str = "append",
+                      state_partitions: int | None = None) -> DataFrame:
     """Execute a streaming DataFrame to completion over existing input
     (availableNow trigger → memory sink) and return the materialized
     result table. This is the bounded-replay harness; production sinks
-    use ``foreachBatch``/parquet with checkpoints (D10)."""
+    use ``foreachBatch``/parquet with checkpoints (D10).
+
+    ``state_partitions`` overrides the replay default for ops whose
+    per-partition work is COMPUTE, not state bookkeeping (d8's pandas
+    state function): those want core-scaled parallelism, where the
+    store-bound ops want the minimum store count."""
+    import shutil
+    import tempfile
+
     spark = sdf.sparkSession
     # state-store partition count is frozen from shuffle.partitions at
-    # query start and AQE does not apply to streaming state — pin it to a
-    # sane bound for the bounded replay, then restore the session value.
-    # 8 partitions: each state partition costs a store + (for pandas
-    # state ops) a Python worker per micro-batch, a fixed overhead that
-    # dwarfs the per-row work at replay scale. A production stream sizes
-    # this to peak key cardinality / state volume, not CPU count.
+    # query start and AQE does not apply to streaming state — pin it to
+    # the replay bound, then restore the session value.
     old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(state_partitions) if state_partitions
+                   else _replay_state_partitions())
+    ckpt_root = _replay_checkpoint_root()
+    ckpt = tempfile.mkdtemp(prefix=f"replay_{name}_", dir=ckpt_root) \
+        if ckpt_root else None
     try:
-        q = (
+        writer = (
             sdf.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
             .trigger(availableNow=True)
-            .start()
         )
+        if ckpt:
+            writer = writer.option("checkpointLocation", ckpt)
+        q = writer.start()
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        if ckpt:
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
