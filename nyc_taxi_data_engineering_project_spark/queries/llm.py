@@ -3962,17 +3962,42 @@ def f35_bloom_decontaminate(spark, sf_dir):
     corpus, a REAL eval suite is fixed KBs), per-doc rollup is one
     map-side-combinable aggregate."""
     grams = gram_hashes(table(spark, sf_dir, "documents"))
-    gp = _bloom_positions(grams)
+    # r14 optimization (guide §2.3/§2.4): a gram's k=3 positions are
+    # nibble ranges of the SAME md5 digest, i.e. derivable as three
+    # COLUMNS of one row — the previous explode-to-3-rows +
+    # groupBy(doc_id, gh) re-aggregation shuffled every corpus gram
+    # (10.1 MB at sf0.1, corpus-sized at tier) merely to count set
+    # positions that were co-located all along. Column form: k_hit is
+    # a per-row expression over three membership joins against the
+    # bits set, which is ≤ 2^16 rows BY CONSTRUCTION (m = 2^16 bits)
+    # and therefore always broadcastable — made explicit per guide
+    # §3.1 instead of trusting AQE's estimate. The only exchanges left
+    # are the tiny eval-side distinct and the map-side-combinable
+    # per-doc rollup: the corpus truly never shuffles now (2 Exchange
+    # → 1 on the corpus path; same rows, pinned by the oracle).
+    pos_cols = [
+        F.conv(F.expr(f"substring(gh, {j * 4 + 1}, 4)"), 16, 10)
+        .cast("int").alias(f"_p{j}")
+        for j in range(_BLOOM_K)
+    ]
+    pg = grams.select("doc_id", "gh", *pos_cols)
     bits = (
-        gp.filter(F.col("doc_id") % 89 == 0)
-        .select("pos").distinct()
+        pg.filter(F.col("doc_id") % 89 == 0)
+        .select(F.explode(F.array(*[F.col(f"_p{j}")
+                                    for j in range(_BLOOM_K)])).alias("pos"))
+        .distinct()
         .withColumn("_set", F.lit(True))
     )
-    khit = (
-        gp.join(bits, "pos", "left")
-        .groupBy("doc_id", "gh")
-        .agg(F.sum(F.when(F.col("_set"), 1).otherwise(0)).alias("k_hit"))
+    khit = pg
+    for j in range(_BLOOM_K):
+        khit = khit.join(
+            F.broadcast(bits.select(F.col("pos").alias(f"_p{j}"),
+                                    F.col("_set").alias(f"_s{j}"))),
+            f"_p{j}", "left")
+    k_hit = sum(
+        F.when(F.col(f"_s{j}"), 1).otherwise(0) for j in range(_BLOOM_K)
     )
+    khit = khit.select("doc_id", k_hit.alias("k_hit"))
     return (
         khit.groupBy("doc_id")
         .agg(

@@ -16,6 +16,7 @@ from .. import fx
 from ..catalog import table
 from ..registry import query
 from ..streaming import (
+    ephemeral_scratch_dir,
     events_stream,
     foreach_batch_idempotent_sink,
     run_available_now,
@@ -570,7 +571,11 @@ def d14_stream_layout_maintenance(spark, sf_dir):
 
     from ..catalog import drop_workload_layout, stream_append_layout
 
-    tmp = tempfile.mkdtemp(prefix="d14_")
+    # the whole tree is removed in the finally below — ephemeral
+    # scratch, so tmpfs placement (r14 optimization) changes latency
+    # only; recovery semantics stay pinned on durable dirs in
+    # tests/test_stream_layout.py
+    tmp = ephemeral_scratch_dir("d14_")
     feed = os.path.join(tmp, "feed")
     src2 = os.path.join(tmp, "src")
     lay = os.path.join(tmp, "layout")

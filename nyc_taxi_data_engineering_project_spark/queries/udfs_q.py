@@ -118,9 +118,21 @@ def e3_apply_in_pandas(spark, sf_dir):
             }
         )
 
+    # r14 optimization (guide §4.1 + §2.5): project to the three columns
+    # the kernel reads BEFORE the Python boundary (grouped-map is opaque
+    # — Spark would otherwise ship every column through Arrow), and pin
+    # the grouped-map exchange at core-scaled width. Without the
+    # explicit repartition, AQE's parallelism-first coalescing folds
+    # this byte-tiny exchange into ONE partition and every group runs
+    # serially through a single Python worker (measured at sf0.1: one
+    # 1.9-2.4 s task); the same hash partitioning satisfies the
+    # grouped-map's required distribution, so no second exchange
+    # appears. defaultParallelism tracks the driver's lower-core runs.
     return (
         table(spark, sf_dir, "orders")
         .filter(F.col("o_custkey") < 500)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(spark.sparkContext.defaultParallelism, "o_custkey")
         .groupBy("o_custkey")
         .applyInPandas(
             zscore, schema="orderkey long, custkey long, price_z double"

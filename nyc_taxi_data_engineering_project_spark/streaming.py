@@ -90,15 +90,37 @@ def _replay_checkpoint_root() -> str | None:
     its checkpoint exists only to drive the offset/commit protocol
     within one process — so placing it on tmpfs removes per-batch
     fsync/disk latency without weakening any durability the harness
-    ever had. The production sink path (D10/D14 foreachBatch +
-    explicit checkpointLocation) keeps real on-disk checkpoints and
-    is where recovery semantics are asserted (tests/test_streaming.py,
-    tests/test_stream_layout.py). ``SPARK_GRAFT_REPLAY_CKPT_DIR``
-    overrides; set it to a durable path to opt out."""
+    ever had. Production sinks whose OUTPUT outlives the call (D10's
+    read-back parquet) keep their trees on real disk, and the
+    crash/replay recovery semantics are asserted on durable dirs in
+    tests/test_streaming.py / tests/test_stream_layout.py.
+    ``SPARK_GRAFT_REPLAY_CKPT_DIR`` overrides; set it to a durable
+    path to opt out."""
     override = os.environ.get("SPARK_GRAFT_REPLAY_CKPT_DIR")
     if override:
         return override
     return "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+
+def ephemeral_scratch_dir(prefix: str) -> str:
+    """mkdtemp for scratch trees that are CREATED AND DELETED within a
+    single query call (d14's feed/source/layout/checkpoint): RAM-backed
+    when the host offers /dev/shm (``SPARK_GRAFT_SCRATCH_DIR``
+    overrides, e.g. to a durable path), else the system temp default.
+
+    Durability of a tree that the same call removes in its ``finally``
+    buys nothing, so tmpfs placement changes latency only (d14
+    fresh-session steady total measured 8.1 s on /tmp-on-disk → 4.6 s
+    on /dev/shm; the bucketed saveAsTable commits dominate). Callers
+    whose output must OUTLIVE the call (d10's sink parquet, which the
+    returned DataFrame reads lazily) must NOT use this — an uncleaned
+    tmpfs tree would accumulate in RAM instead of on disk."""
+    root = os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
+    if not root:
+        root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=prefix, dir=root)
 
 
 def run_available_now(sdf: DataFrame, name: str,
