@@ -163,6 +163,12 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = _sf_of(SF_DIR)
+    # r15 (verdict ask 5): board-level CPU totals on the one-line JSON
+    # so the driver can separate the box's ±40% ambient wall band from
+    # real plan regressions without trusting builder-side boards.
+    # Additive fields only; computed below once metrics parse.
+    task_cpu_total = None
+    python_worker_total = None
 
     # flush + parse the event log into per-key noise-immune metrics:
     # min task-CPU across reps (min-of-N, same additive-noise argument
@@ -194,6 +200,10 @@ def main() -> None:
                 # structural worker-activity evidence
                 "python_worker_bytes": int(pick["python_worker_bytes"]),
             }
+        task_cpu_total = round(
+            sum(m["task_cpu_s"] for m in metrics.values()), 3)
+        python_worker_total = round(
+            sum(m["python_worker_s"] for m in metrics.values()), 3)
     except Exception as exc:
         print(f"# BENCH METRICS PARSE ERROR: {exc}", file=sys.stderr)
     finally:
@@ -217,6 +227,9 @@ def main() -> None:
         # key — task_cpu_s is the primary regression signal (immune to
         # the box's ±40% wall band), wall stays the gate
         "metrics": metrics,
+        # r15 verdict ask 5: board totals of the noise-immune columns
+        "task_cpu_total": task_cpu_total,
+        "python_worker_total": python_worker_total,
     }
     if layout_build_s is not None:
         detail["layout_dir"] = layout_dir
@@ -240,13 +253,18 @@ def main() -> None:
     slowest = sorted(timings, key=lambda k: -timings[k])[:12]
     out = {k: timings[k] for k in
            ["flagship_daily_region_revenue", *slowest] if k in timings}
-    print(json.dumps(
-        {"metric": "total_query_wall_clock", "value": total,
-         "unit": "sec", "queries": out, "sf": sf,
-         "n_queries": len(timings), "queries_shown": len(out),
-         "reps": REPS, "detail": "BENCH_DETAIL.json"},
-        separators=(",", ":"),
-    ))  # session already stopped above (event-log flush)
+    line = {"metric": "total_query_wall_clock", "value": total,
+            "unit": "sec", "queries": out, "sf": sf,
+            "n_queries": len(timings), "queries_shown": len(out),
+            "reps": REPS, "detail": "BENCH_DETAIL.json"}
+    if task_cpu_total is not None:
+        # r15 verdict ask 5: wall sits in the box's ±40% ambient band;
+        # these two totals are the noise-immune companions (task-thread
+        # CPU + Python-worker time summed over all keys' min-CPU reps)
+        line["task_cpu_total"] = task_cpu_total
+        line["python_worker_total"] = python_worker_total
+    print(json.dumps(line, separators=(",", ":")))
+    # session already stopped above (event-log flush)
 
 
 if __name__ == "__main__":

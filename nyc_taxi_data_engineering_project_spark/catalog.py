@@ -162,6 +162,15 @@ def _path_fingerprint(path: str):
 # pushdown are scan-time properties, unaffected (asserted in
 # tests/test_plans.py PushedFilters checks). Keyed on the same
 # fingerprint rule as the nanos dispatch, so a rewritten file re-infers.
+#
+# Scope assumption (r14 ADVICE): the cache is process-global, keyed on
+# (path, fingerprint) only — NOT on the SparkSession or on parquet-
+# inference confs (e.g. spark.sql.parquet.inferTimestampNTZ.enabled).
+# Every session in this engine comes from session.get_session with
+# uniform parquet-inference settings, so one inferred schema is valid
+# process-wide; a host application mixing sessions with DIFFERENT
+# inference confs must clear _SCHEMA_CACHE between them (or key a fork
+# of this cache on the session, the _VIEW_MEMO pattern).
 _SCHEMA_CACHE: dict[tuple, object] = {}
 
 
@@ -335,6 +344,14 @@ def register_views(spark: SparkSession, sf_dir: str,
 
     Mirrors ``CREATE TABLE IF NOT EXISTS`` idempotency
     (``sql/init.sql:12,21``): safe to call repeatedly.
+
+    Invariant (r14 ADVICE): temp views named after TESTDATA_TABLES are
+    only ever (re)registered THROUGH this function — the per-session
+    memo below skips a re-registration when (sf_dir, source
+    fingerprint, layout state) are unchanged, so any code that drops or
+    overwrites one of these view names outside this function would be
+    silently masked by the skip. No such code exists; a future drop
+    helper must also clear the session's ``_VIEW_MEMO`` entry.
     """
     try:
         memo = _VIEW_MEMO.setdefault(spark, {})
@@ -1422,7 +1439,9 @@ def _stream_marker_path(src_path: str) -> str:
 def layout_ingest_writer(sf_dir: str, path: str, name: str,
                          stream_id: str | None = None,
                          buckets: int | None = None,
-                         lsh_planes: int | None = None):
+                         lsh_planes: int | None = None,
+                         publish: str = "write",
+                         source_log: str | None = None):
     """Per-batch maintainer for a STREAMING layout source (r13 — the
     lifecycle symmetry the sketch products completed in r12/r13: every
     stored product now has build / incremental-append / streaming
@@ -1471,7 +1490,44 @@ def layout_ingest_writer(sf_dir: str, path: str, name: str,
     and degrades to a FULL rebuild — the right outcome, but O(corpus)
     cost, not the append-only path. ``buckets``/``lsh_planes`` pass
     through to the underlying build — the first batch against a fresh
-    layout is the full build that fixes them."""
+    layout is the full build that fixes them.
+
+    ``publish`` (r15 optimization, guide §1.2 — don't recompute what a
+    cheaper operation moves): how a batch's rows land in the source
+    directory.
+
+    - ``"write"`` (default): ``batch_df.write.parquet`` — a Spark job
+      that re-serializes every batch row. Works for ANY streamed
+      frame (transformed, non-file sources) and is the durable
+      general path.
+    - ``"link"``: hardlink (copy across filesystems) the batch's own
+      INPUT FILES under the deterministic names — a metadata move, no
+      Spark job, no byte rewrite. ONLY valid when the streamed frame
+      is a BARE file-source scan of immutable feed files (no
+      filter/projection/transform — the batch's rows are exactly its
+      input files' rows verbatim); the caller opts in because only it
+      knows its plan. d14's feed replay is exactly this shape, and at
+      ingest scale the saving is a full re-serialization of every
+      batch. The batch→files mapping comes from the file source's own
+      checkpointed metadata log (``source_log`` =
+      ``<checkpoint>/sources/<i>``; the foreachBatch frame wraps the
+      executed RDD, so ``inputFiles()`` is empty there) — Spark's
+      durable record of exactly which files constitute each batch,
+      written at batch construction, so it exists for originals AND
+      replays. Misuse is guarded loudly: a missing/empty log entry
+      for a non-empty batch refuses, as does a file already inside
+      the source directory (self-publication). The crash/replay
+      protocol is IDENTICAL — same deterministic names, same
+      delete-then-republish on replay, same marker commit (links are
+      published via a temp name + atomic rename, like the write
+      path's per-file renames)."""
+    if publish not in ("write", "link"):
+        raise ValueError(f"publish={publish!r}; expected 'write' or 'link'")
+    if publish == "link" and source_log is None:
+        raise ValueError(
+            "publish='link' requires source_log (the file source's "
+            "checkpoint metadata dir, <checkpoint>/sources/<i>) — "
+            "stream_append_layout wires it automatically")
 
     src_path = os.path.join(sf_dir, f"{name}.parquet")
 
@@ -1501,22 +1557,78 @@ def layout_ingest_writer(sf_dir: str, path: str, name: str,
             stem = f"part-graft-{sid}-{int(batch_id):09d}-"
             # sid-scoped so two streams feeding DIFFERENT sources that
             # happen to share a directory prefix can never collide
-            tmp = os.path.join(src_path, f"_graft_ingest_tmp_{sid}")
-            _shutil.rmtree(tmp, ignore_errors=True)
-            batch_df.write.mode("overwrite").parquet(tmp)
-            # a crashed prior attempt may have published a PARTIAL set
-            # of files (the marker proves the layout never consumed
-            # them — consumption only happens after the marker commit)
-            for f in _glob.glob(os.path.join(src_path,
-                                             stem + "*.parquet")):
-                os.remove(f)
-            parts = sorted(f for f in os.listdir(tmp)
-                           if f.endswith(".parquet"))
-            for i, f in enumerate(parts):
-                os.replace(os.path.join(tmp, f),
-                           os.path.join(src_path,
-                                        f"{stem}{i:05d}.parquet"))
-            _shutil.rmtree(tmp, ignore_errors=True)
+            if publish == "link":
+                from urllib.parse import unquote as _unquote
+                from urllib.parse import urlparse as _urlparse
+
+                log_file = os.path.join(source_log, str(int(batch_id)))
+                entries: list[str] = []
+                try:
+                    with open(log_file) as fh:
+                        for line in fh:
+                            line = line.strip()
+                            if not line or line.startswith("v"):
+                                continue  # version header
+                            rec = _json.loads(line)
+                            entries.append(
+                                _unquote(_urlparse(rec["path"]).path))
+                except OSError as exc:
+                    raise ValueError(
+                        f"publish='link': no file-source metadata log "
+                        f"entry at {log_file} — the stream's source is "
+                        f"not a file source (or not source 0). Use the "
+                        f"default publish='write'. ({exc})") from exc
+                in_files = sorted(
+                    p for p in entries if p.endswith(".parquet"))
+                if not in_files:
+                    raise ValueError(
+                        f"publish='link': batch {batch_id}'s metadata "
+                        f"log entry lists no parquet files — use the "
+                        f"default publish='write' for non-file sources "
+                        f"or transformed streams.")
+                src_abs = os.path.abspath(src_path) + os.sep
+                for p in in_files:
+                    if os.path.abspath(p).startswith(src_abs):
+                        raise ValueError(
+                            f"publish='link' batch input {p} already "
+                            f"lives inside the source directory "
+                            f"{src_path} — self-publication would "
+                            f"duplicate rows.")
+                # same replay posture as the write path: a crashed
+                # attempt's partial publication is deleted and re-linked
+                for f in _glob.glob(os.path.join(src_path,
+                                                 stem + "*.parquet")):
+                    os.remove(f)
+                for i, p in enumerate(in_files):
+                    dst = os.path.join(src_path, f"{stem}{i:05d}.parquet")
+                    tmpdst = dst + ".inprogress"
+                    try:
+                        os.remove(tmpdst)
+                    except OSError:
+                        pass
+                    try:
+                        os.link(p, tmpdst)
+                    except OSError:  # cross-device: fall back to copy
+                        _shutil.copy2(p, tmpdst)
+                    os.replace(tmpdst, dst)
+            else:
+                tmp = os.path.join(src_path, f"_graft_ingest_tmp_{sid}")
+                _shutil.rmtree(tmp, ignore_errors=True)
+                batch_df.write.mode("overwrite").parquet(tmp)
+                # a crashed prior attempt may have published a PARTIAL
+                # set of files (the marker proves the layout never
+                # consumed them — consumption only happens after the
+                # marker commit)
+                for f in _glob.glob(os.path.join(src_path,
+                                                 stem + "*.parquet")):
+                    os.remove(f)
+                parts = sorted(f for f in os.listdir(tmp)
+                               if f.endswith(".parquet"))
+                for i, f in enumerate(parts):
+                    os.replace(os.path.join(tmp, f),
+                               os.path.join(src_path,
+                                            f"{stem}{i:05d}.parquet"))
+                _shutil.rmtree(tmp, ignore_errors=True)
             from .crashpoints import crash_point
 
             crash_point("layout_publish_before_marker")  # r14 ask 2
@@ -1537,7 +1649,8 @@ def layout_ingest_writer(sf_dir: str, path: str, name: str,
 def stream_append_layout(stream_df, sf_dir: str, path: str, name: str,
                          checkpoint: str,
                          buckets: int | None = None,
-                         lsh_planes: int | None = None) -> None:
+                         lsh_planes: int | None = None,
+                         publish: str = "write") -> None:
     """Drain a streaming DataFrame into a workload-layout SOURCE and
     keep the layout incrementally maintained (r13): foreachBatch +
     checkpoint (source offset tracking) + :func:`layout_ingest_writer`
@@ -1546,10 +1659,17 @@ def stream_append_layout(stream_df, sf_dir: str, path: str, name: str,
     again as new data lands, or swap the trigger for a continuous
     cadence. The checkpoint's absolute path is the stream identity
     (the sketch writers' posture): batch ids are only monotonic within
-    one checkpoint, so the replay guard is keyed on both."""
+    one checkpoint, so the replay guard is keyed on both. ``publish``
+    passes through to :func:`layout_ingest_writer` — ``"link"`` is the
+    zero-rewrite publication for bare single-file-source replays (see
+    there for the contract); the batch→files mapping is read from THIS
+    checkpoint's ``sources/0`` metadata log."""
     writer = layout_ingest_writer(
         sf_dir, path, name, stream_id=os.path.abspath(checkpoint),
-        buckets=buckets, lsh_planes=lsh_planes)
+        buckets=buckets, lsh_planes=lsh_planes, publish=publish,
+        source_log=(os.path.join(os.path.abspath(checkpoint),
+                                 "sources", "0")
+                    if publish == "link" else None))
     q = (stream_df.writeStream.foreachBatch(writer)
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True)

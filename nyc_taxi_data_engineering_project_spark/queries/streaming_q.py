@@ -290,19 +290,24 @@ def d8_stateful(spark, sf_dir):
     monotonically growing per-user counts whose FINAL state equals the
     batch aggregate."""
     out = d8_tracked(events_stream(spark, sf_dir))
-    # d8 is the one replay whose per-partition cost is COMPUTE (a pandas
-    # state function runs a Python-worker round per state partition per
-    # batch), not store bookkeeping — it wants core-scaled parallelism,
-    # not the store-minimizing replay default. Half the cores, not all:
-    # each partition pays a worker round-trip AND a store commit, and a
-    # worker per core contends with the commit threads (r14 sweeps at
-    # sf0.1, loaded session: 4 parts 2.4 s, 8 → 1.9 s, 16 → 1.5 s,
-    # 32 → 2.3 s and noisy). Scale-adaptive: tracks the driver's
-    # lower-core bench runs instead of pinning a local[32] constant.
-    return run_available_now(
-        out, "d8_state", output_mode="update",
-        state_partitions=max(2, spark.sparkContext.defaultParallelism // 2),
-    )
+    # r15 (verdict ask 2): the r14 core-DERIVED override
+    # (defaultParallelism // 2 → 16 at 32 cores, 4 at 8) anti-scaled
+    # on the driver's board (5.9 s at 32c vs 2.5 s at 8c). Re-measured
+    # fresh-JVM at sf0.1 per the driver's protocol
+    # (plans/r15/d8_state_parts_ab.json, min over REPS=5 + per-rep
+    # trajectories): at 32 cores parts=2 → 3.4 s, 8 → 1.7 s,
+    # 16 → 1.9 s; at 8 cores parts=4 → 5.3 s, 8 → 2.0 s. d8's
+    # per-partition cost really is COMPUTE (the pandas state fn is a
+    # Python-worker round per partition per batch — the r14 reading),
+    # so the store-minimizing replay default (2) serializes it; but
+    # deriving the count from CORES is what broke at 8 cores (4 parts
+    # = too few) and what inflated the 32-core cold spawn bill (16
+    # workers). A FIXED 8 — r13's value, sized to the op's compute
+    # profile, not the host — wins at BOTH core counts (8c/32c ratio
+    # 2.0/1.7 ≈ 1.18, ≥ 1) and is deployment-overridable the same way
+    # as the replay default.
+    return run_available_now(out, "d8_state", output_mode="update",
+                             state_partitions=8)
 
 
 def d8_tracked(events: DataFrame) -> DataFrame:
@@ -587,7 +592,16 @@ def d14_stream_layout_maintenance(spark, sf_dir):
         stream = (spark.readStream.schema(orders.schema)
                   .option("maxFilesPerTrigger", 1).parquet(feed))
         os.makedirs(src2)
-        stream_append_layout(stream, src2, lay, "orders", ckpt, buckets=4)
+        # publish="link" (r15): this stream is a bare file-source scan
+        # of the immutable feed, so each batch's publication into the
+        # source directory is a hardlink of its own input file — the
+        # per-batch Spark re-serialization job the "write" path paid is
+        # gone (guide §1.2: the cheapest correct operation is a
+        # metadata move). Exactly-once protocol unchanged (same names,
+        # marker, replay guard) — pinned in tests/test_stream_layout.py
+        # including link-vs-write equivalence.
+        stream_append_layout(stream, src2, lay, "orders", ckpt, buckets=4,
+                             publish="link")
         served = table(spark, src2, "orders")
         agg = served.groupBy("o_orderpriority").agg(
             F.count(F.lit(1)).alias("n_orders"),

@@ -105,6 +105,16 @@ _R03_SWEPT: frozenset[str] = frozenset({
     "tpch_q16", "tpch_q20", "tpch_q21", "tpch_q22",
 })
 
+# Keys first swept by the driver in round 14 (CORRECTNESS_r14.json):
+# the r14-build round's f36 addition entered the registry after r3 had
+# closed the gap, so it sorted gap-first (class 2) and PERMANENTLY
+# evicted the 50th class-3 key (c12_rank) from the driver's 50-key
+# sample window (r14 VERDICT item 1). It swept green in r14 — fold it
+# into the hard-signal class so the window returns to the r13 set.
+_R14_SWEPT: frozenset[str] = frozenset({
+    "f36_semdedup",
+})
+
 # The r3 sweep's red keys (1 ERR + 1 FAIL, both root-caused to the events
 # timestamp-unit bug, fixed in r4) — re-verifying the repair is the single
 # highest-value slot of the r4 sweep, so these sort before everything.
@@ -167,7 +177,8 @@ def _priority(key: str) -> tuple[int, int, float]:
         return (0, has_oracle, cost)
     if key in _SWEPT_ROWS_ONLY and key in ORACLES:
         return (1, 0, cost)
-    if not (key in _R01_VERIFIED or key in _R02_SWEPT or key in _R03_SWEPT):
+    if not (key in _R01_VERIFIED or key in _R02_SWEPT or key in _R03_SWEPT
+            or key in _R14_SWEPT):
         return (2, has_oracle, cost)
     return (3, has_oracle, cost)
 

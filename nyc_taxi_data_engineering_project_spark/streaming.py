@@ -114,7 +114,15 @@ def ephemeral_scratch_dir(prefix: str) -> str:
     on /dev/shm; the bucketed saveAsTable commits dominate). Callers
     whose output must OUTLIVE the call (d10's sink parquet, which the
     returned DataFrame reads lazily) must NOT use this — an uncleaned
-    tmpfs tree would accumulate in RAM instead of on disk."""
+    tmpfs tree would accumulate in RAM instead of on disk.
+
+    SIZE caveat (r14 ADVICE), not just lifetime: the scratch tree
+    lives in RAM for the duration of the call — d14 materializes a
+    full feed copy + source + bucketed layout there, so at
+    larger-than-bench scale that is ~3× the table's bytes of tmpfs.
+    Callers staging more data than free RAM comfortably holds must
+    point ``SPARK_GRAFT_SCRATCH_DIR`` at real disk; tmpfs exhaustion
+    surfaces as a confusing no-space-left write error, not an OOM."""
     root = os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
     if not root:
         root = "/dev/shm" if os.path.isdir("/dev/shm") else None

@@ -2,7 +2,10 @@
 (streaming.run_available_now) — state-partition default/override and
 the ephemeral checkpoint root. The OPTIMIZATION_r14.md streaming section
 documents the measurements these encode (d2 8→2 parts halves the
-micro-batch wall; d8's pandas state op wants core-scaled parallelism)."""
+micro-batch wall). r15 dropped d8's core-derived override — it
+anti-scaled under the driver's cold protocol (OPTIMIZATION_r15.md) —
+but the override seam itself stays (deployment knob, exercised
+below)."""
 
 from __future__ import annotations
 
@@ -60,7 +63,8 @@ def test_run_available_now_restores_session_partitions_and_cleans_ckpt(
 
 def test_run_available_now_state_partitions_override(spark):
     """A per-query override changes the state-partition bound without
-    changing the result (d8 passes defaultParallelism through this)."""
+    changing the result (deployment seam; no registry key overrides
+    since r15 reverted d8's — state partitions track state volume)."""
     name = f"ro_{uuid.uuid4().hex[:8]}"
     stream = (
         events_stream(spark, SF_DIR)

@@ -336,3 +336,66 @@ def test_streamed_embeddings_layout_value_partitioned_width_pinned(
             sorted(map(tuple, computed.collect()))
     finally:
         drop_workload_layout(spark, src)
+
+
+def test_link_publish_equals_write_and_is_exactly_once(spark, tmp_path):
+    """r15 optimization: ``publish="link"`` (hardlink the batch's own
+    feed files into the source, mapping read from the checkpoint's
+    file-source metadata log) must produce the SAME served layout as
+    the default Spark-write publication, keep the exactly-once restart
+    contract, and really be a metadata move (hardlinks of the feed
+    files, not rewrites)."""
+    feed = str(tmp_path / "feed")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    orders.repartition(3).write.parquet(feed)
+
+    def _drain(src, lay, ckpt, publish):
+        stream = (spark.readStream.schema(orders.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(feed))
+        stream_append_layout(stream, src, lay, "orders", ckpt,
+                             buckets=4, publish=publish)
+
+    trees = {}
+    for publish in ("write", "link"):
+        src = str(tmp_path / f"src_{publish}")
+        lay = str(tmp_path / f"lay_{publish}")
+        ckpt = str(tmp_path / f"ckpt_{publish}")
+        os.makedirs(src)
+        _drain(src, lay, ckpt, publish)
+        trees[publish] = (src, lay, ckpt)
+    try:
+        got_w = _served_rows(spark, trees["write"][0])
+        got_l = _served_rows(spark, trees["link"][0])
+        assert got_l.count() == got_w.count() == orders.count()
+        assert got_l.exceptAll(got_w).count() == 0
+        assert got_w.exceptAll(got_l).count() == 0
+        # link publication is a metadata move: every published part is
+        # a hardlink (st_nlink >= 2 — the feed file is the other name)
+        pubs = _published(trees["link"][0])
+        assert pubs and all(os.stat(p).st_nlink >= 2 for p in pubs)
+        # restart on the same checkpoint: nothing new (exactly-once)
+        src, lay, ckpt = trees["link"]
+        pub = {p: os.stat(p).st_mtime_ns for p in _published(src)}
+        files = _layout_files(lay, _layout_tbl(spark, src))
+        _drain(src, lay, ckpt, "link")
+        assert {p: os.stat(p).st_mtime_ns
+                for p in _published(src)} == pub
+        assert _layout_files(lay, _layout_tbl(spark, src)) == files
+        assert _served_rows(spark, src).count() == orders.count()
+    finally:
+        for src, _lay, _ckpt in trees.values():
+            drop_workload_layout(spark, src)
+
+
+def test_link_publish_requires_source_log():
+    """The link contract is explicit: without the file-source metadata
+    log dir there is no batch→files mapping — refuse at construction,
+    not mid-stream."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="source_log"):
+        layout_ingest_writer("s", "l", "orders", stream_id="x",
+                             publish="link")
+    with _pytest.raises(ValueError, match="publish"):
+        layout_ingest_writer("s", "l", "orders", stream_id="x",
+                             publish="rename")
