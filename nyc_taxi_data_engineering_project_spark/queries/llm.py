@@ -4111,15 +4111,27 @@ def f36_semdedup(spark, sf_dir):
     the oracle's loop). The pairwise member (quadratic within buckets,
     split-capped) is f13; this operator is its linear complement: a
     corpus-shrinking PRUNE, not a pair report."""
-    emb = _embeddings(spark, sf_dir)
-    n = emb.count()
+    # r15 (the f13 fold, verdict ask 7's pattern): the plane-count
+    # count() was a separate full corpus pass before the tagged pin's
+    # second one. The source is pinned ONCE with an Observation riding
+    # the pin's own materialization (observed n == count() exactly),
+    # and the bucket tag derives LAZILY from the pinned blocks — its
+    # two consumers (prototype arg-min, member join) re-derive only
+    # the k·64-dim sign dots, linear expression work, instead of
+    # forcing a second corpus materialization.
+    obs = Observation()
+    emb = pin(
+        _embeddings(spark, sf_dir)
+        .observe(obs, F.count(F.lit(1)).alias("n")),
+        "f36_emb",
+    )
+    n = int(obs.get["n"])
     k = max(2, round(math.log2(max(n, 1) / 256 + 1)))
     _f36_planes(k)  # fail-fast guard past the inlined-oracle envelope
-    tagged = pin(
+    tagged = (
         emb.withColumn("bucket",
                        bucket_expr("f36", k, "emb").cast("long"))
-        .select("vec_id", "emb", "nrm", "bucket"),
-        "f36_tagged",
+        .select("vec_id", "emb", "nrm", "bucket")
     )
     proto = tagged.groupBy("bucket").agg(
         F.min("vec_id").alias("pid"),
@@ -4149,5 +4161,5 @@ def f36_semdedup(spark, sf_dir):
                 | (F.col("centrality") < 0.3))
         .select("vec_id", "bucket", "centrality")
     )
-    unpin(tagged)  # scored is materialized; the wide pin can go now
+    unpin(emb)  # scored is materialized; the wide source pin can go now
     return out
