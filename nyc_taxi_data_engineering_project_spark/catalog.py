@@ -1561,6 +1561,15 @@ def layout_ingest_writer(sf_dir: str, path: str, name: str,
                 from urllib.parse import unquote as _unquote
                 from urllib.parse import urlparse as _urlparse
 
+                sibling = os.path.join(os.path.dirname(source_log), "1")
+                if os.path.isdir(sibling):
+                    # a second source would publish only source 0's
+                    # files — silent row loss; the link contract is
+                    # SINGLE bare file source, refuse loudly
+                    raise ValueError(
+                        "publish='link' supports exactly ONE file "
+                        f"source, but this stream checkpoints a second "
+                        f"source at {sibling} — use publish='write'.")
                 log_file = os.path.join(source_log, str(int(batch_id)))
                 entries: list[str] = []
                 try:
