@@ -1563,14 +1563,25 @@ def layout_ingest_writer(sf_dir: str, path: str, name: str,
 
                 sibling = os.path.join(os.path.dirname(source_log), "1")
                 if os.path.isdir(sibling):
-                    # a second source would publish only source 0's
-                    # files — silent row loss; the link contract is
-                    # SINGLE bare file source, refuse loudly
+                    # a second FILE source would publish only source
+                    # 0's files — silent row loss; refuse loudly.
+                    # (Non-file second sources — rate/socket — write no
+                    # sources/<i> dir and are undetectable here; they
+                    # are outside the documented single-bare-file-
+                    # source contract the CALLER opts into.)
                     raise ValueError(
                         "publish='link' supports exactly ONE file "
                         f"source, but this stream checkpoints a second "
                         f"source at {sibling} — use publish='write'.")
+                # Spark compacts the file-source metadata log every
+                # compactInterval (default 10) batches: that batch's
+                # entry is named '<id>.compact' and is CUMULATIVE
+                # (every entry since batch 0, each carrying its own
+                # batchId) — so dispatch on whichever file exists and
+                # filter to THIS batch's entries.
                 log_file = os.path.join(source_log, str(int(batch_id)))
+                if not os.path.exists(log_file):
+                    log_file += ".compact"
                 entries: list[str] = []
                 try:
                     with open(log_file) as fh:
@@ -1579,6 +1590,8 @@ def layout_ingest_writer(sf_dir: str, path: str, name: str,
                             if not line or line.startswith("v"):
                                 continue  # version header
                             rec = _json.loads(line)
+                            if int(rec.get("batchId", -1)) != int(batch_id):
+                                continue  # compact file: other batches
                             entries.append(
                                 _unquote(_urlparse(rec["path"]).path))
                 except OSError as exc:
@@ -1587,14 +1600,26 @@ def layout_ingest_writer(sf_dir: str, path: str, name: str,
                         f"entry at {log_file} — the stream's source is "
                         f"not a file source (or not source 0). Use the "
                         f"default publish='write'. ({exc})") from exc
-                in_files = sorted(
-                    p for p in entries if p.endswith(".parquet"))
+                in_files = sorted(entries)
                 if not in_files:
                     raise ValueError(
                         f"publish='link': batch {batch_id}'s metadata "
-                        f"log entry lists no parquet files — use the "
-                        f"default publish='write' for non-file sources "
-                        f"or transformed streams.")
+                        f"log lists no files — use the default "
+                        f"publish='write' for non-file sources or "
+                        f"transformed streams.")
+                # the published name is forced to .parquet, so the feed
+                # bytes must BE parquet; a non-.parquet-named feed file
+                # may be any format the stream reader was built with —
+                # refuse loudly rather than publish bytes the parquet
+                # maintenance path would misread (and never silently
+                # drop a file the batch actually contained)
+                odd = [p for p in in_files if not p.endswith(".parquet")]
+                if odd:
+                    raise ValueError(
+                        f"publish='link': batch {batch_id} contains "
+                        f"non-.parquet-named input files {odd[:3]} — "
+                        f"the link contract is a bare PARQUET file "
+                        f"source; use the default publish='write'.")
                 src_abs = os.path.abspath(src_path) + os.sep
                 for p in in_files:
                     if os.path.abspath(p).startswith(src_abs):
@@ -1608,13 +1633,21 @@ def layout_ingest_writer(sf_dir: str, path: str, name: str,
                 for f in _glob.glob(os.path.join(src_path,
                                                  stem + "*.parquet")):
                     os.remove(f)
-                for i, p in enumerate(in_files):
-                    dst = os.path.join(src_path, f"{stem}{i:05d}.parquet")
-                    tmpdst = dst + ".inprogress"
+                # dot-prefixed temp names: hidden from Spark's file
+                # listing AND from every *.parquet glob in this module,
+                # so a crash mid-link can never leave a stray the
+                # readers or the write-path cleanup would miss (the
+                # write path's underscore-prefixed temp dir posture)
+                for stale in _glob.glob(
+                        os.path.join(src_path, f".{stem}*.inprogress")):
                     try:
-                        os.remove(tmpdst)
+                        os.remove(stale)
                     except OSError:
                         pass
+                for i, p in enumerate(in_files):
+                    dst = os.path.join(src_path, f"{stem}{i:05d}.parquet")
+                    tmpdst = os.path.join(
+                        src_path, f".{stem}{i:05d}.inprogress")
                     try:
                         os.link(p, tmpdst)
                     except OSError:  # cross-device: fall back to copy

@@ -304,10 +304,14 @@ def d8_stateful(spark, sf_dir):
     # = too few) and what inflated the 32-core cold spawn bill (16
     # workers). A FIXED 8 — r13's value, sized to the op's compute
     # profile, not the host — wins at BOTH core counts (8c/32c ratio
-    # 2.0/1.7 ≈ 1.18, ≥ 1) and is deployment-overridable the same way
-    # as the replay default.
-    return run_available_now(out, "d8_state", output_mode="update",
-                             state_partitions=8)
+    # 2.0/1.7 ≈ 1.18, ≥ 1). Deployment override: a DEDICATED env knob
+    # (the generic SPARK_GRAFT_REPLAY_STATE_PARTS only applies when no
+    # per-query override is passed, so it cannot reach d8).
+    return run_available_now(
+        out, "d8_state", output_mode="update",
+        state_partitions=int(os.environ.get(
+            "SPARK_GRAFT_D8_STATE_PARTS", "8")),
+    )
 
 
 def d8_tracked(events: DataFrame) -> DataFrame:

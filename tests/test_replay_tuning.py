@@ -2,10 +2,11 @@
 (streaming.run_available_now) — state-partition default/override and
 the ephemeral checkpoint root. The OPTIMIZATION_r14.md streaming section
 documents the measurements these encode (d2 8→2 parts halves the
-micro-batch wall). r15 dropped d8's core-derived override — it
-anti-scaled under the driver's cold protocol (OPTIMIZATION_r15.md) —
-but the override seam itself stays (deployment knob, exercised
-below)."""
+micro-batch wall). r15 replaced d8's core-derived override with a
+fixed 8 (its own env knob, SPARK_GRAFT_D8_STATE_PARTS) — the
+core-derived value anti-scaled under the driver's cold protocol
+(OPTIMIZATION_r15.md); the generic override seam stays (deployment
+knob, exercised below)."""
 
 from __future__ import annotations
 
@@ -63,8 +64,8 @@ def test_run_available_now_restores_session_partitions_and_cleans_ckpt(
 
 def test_run_available_now_state_partitions_override(spark):
     """A per-query override changes the state-partition bound without
-    changing the result (deployment seam; no registry key overrides
-    since r15 reverted d8's — state partitions track state volume)."""
+    changing the result (deployment seam; d8 passes a fixed 8 through
+    it, overridable via SPARK_GRAFT_D8_STATE_PARTS)."""
     name = f"ro_{uuid.uuid4().hex[:8]}"
     stream = (
         events_stream(spark, SF_DIR)

@@ -399,3 +399,39 @@ def test_link_publish_requires_source_log():
     with _pytest.raises(ValueError, match="publish"):
         layout_ingest_writer("s", "l", "orders", stream_id="x",
                              publish="rename")
+
+
+def test_link_publish_across_metadata_log_compaction(spark, tmp_path):
+    """Spark compacts the file-source metadata log every
+    compactInterval (default 10) batches: that batch's log entry is
+    named ``<id>.compact`` and is CUMULATIVE. The link publisher must
+    dispatch on the compact name and filter to the batch's own
+    entries — a 12-file feed crosses the boundary at batch 9 (the bug
+    this pins: open(<ckpt>/sources/0/9) raised, wedging the stream;
+    and a naive read of the cumulative file would re-publish batches
+    0-8's files under batch 9's names)."""
+    feed = str(tmp_path / "feed")
+    src = str(tmp_path / "src")
+    lay = str(tmp_path / "lay")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    orders.repartition(12).write.parquet(feed)
+    stream = (spark.readStream.schema(orders.schema)
+              .option("maxFilesPerTrigger", 1).parquet(feed))
+    stream_append_layout(stream, src, lay, "orders", ckpt,
+                         buckets=4, publish="link")
+    try:
+        # the compact boundary really was crossed
+        assert os.path.exists(
+            os.path.join(ckpt, "sources", "0", "9.compact"))
+        # 12 batches -> 12 published files, one per feed file, and the
+        # served layout holds each source row exactly once
+        assert len(_published(src)) == 12
+        served = _served_rows(spark, src)
+        assert served.count() == orders.count()
+        src_rows = spark.read.parquet(f"{src}/orders.parquet")
+        assert served.exceptAll(src_rows).count() == 0
+        assert src_rows.exceptAll(served).count() == 0
+    finally:
+        drop_workload_layout(spark, src)
