@@ -435,3 +435,67 @@ def test_link_publish_across_metadata_log_compaction(spark, tmp_path):
         assert src_rows.exceptAll(served).count() == 0
     finally:
         drop_workload_layout(spark, src)
+
+
+def test_link_publish_crash_mid_link_republishes_cleanly(
+        spark, tmp_path, monkeypatch):
+    """Crash window 1 for the LINK publisher: some links landed, the
+    marker did not commit. The replay must sweep the dot-prefixed
+    temps, delete the partial stem publication, re-link, and leave no
+    stray visible to any reader glob."""
+    import glob as _g
+
+    import nyc_taxi_data_engineering_project_spark.catalog as cat
+
+    feed = str(tmp_path / "feed")
+    src = str(tmp_path / "src")
+    lay = str(tmp_path / "lay")
+    log_dir = str(tmp_path / "ckpt" / "sources" / "0")
+    os.makedirs(src)
+    os.makedirs(log_dir)
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    orders.repartition(2).write.parquet(feed)
+    parts = sorted(glob.glob(os.path.join(feed, "*.parquet")))
+    assert len(parts) == 2
+    # craft the file-source metadata log: one file per batch
+    for i, p in enumerate(parts):
+        with open(os.path.join(log_dir, str(i)), "w") as fh:
+            fh.write("v1\n")
+            fh.write(json.dumps(
+                {"path": f"file://{p}", "timestamp": 0, "batchId": i},
+            ) + "\n")
+    writer = layout_ingest_writer(src, lay, "orders", stream_id="ckpt-l",
+                                  buckets=4, publish="link",
+                                  source_log=log_dir)
+    # batch_df rows are unused by the link path; only the session is
+    dummy = orders.limit(0)
+    try:
+        writer(dummy, 0)
+
+        real_replace = os.replace
+
+        def _boom(a, b):
+            if ".inprogress" in a:
+                raise OSError("synthetic crash mid-link")
+            return real_replace(a, b)
+
+        monkeypatch.setattr(cat.os, "replace", _boom)
+        with pytest.raises(OSError, match="synthetic crash"):
+            writer(dummy, 1)
+        monkeypatch.setattr(cat.os, "replace", real_replace)
+        # leftover temp is hidden from every reader-facing glob
+        strays = _g.glob(os.path.join(src, "orders.parquet",
+                                      ".*inprogress"))
+        assert strays, "the synthetic crash should leave a temp"
+        assert not [p for p in _published(src)
+                    if "-000000001-" in os.path.basename(p)]
+
+        writer(dummy, 1)  # replay: sweep temps, re-link, commit
+        assert not _g.glob(os.path.join(src, "orders.parquet",
+                                        ".*inprogress"))
+        served = _served_rows(spark, src)
+        assert served.count() == orders.count()
+        with open(_stream_marker_path(f"{src}/orders.parquet")) as fh:
+            assert json.load(fh)["last_batch_id"] == 1
+    finally:
+        drop_workload_layout(spark, src)
